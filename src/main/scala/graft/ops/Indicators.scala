@@ -1,0 +1,222 @@
+package graft.ops
+
+import graft.Q
+import graft.functions.Ewma
+import graft.sources.Bars
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Technical-indicator cascade (SURVEY.md §2.4 W1-W6) replicating the
+  * reference's pandas definitions as-written (reference
+  * `streamlit_app/streamlit_app.py:165-204`), generalized from a
+  * single-symbol frame to `partitionBy(symbol)`.
+  *
+  * The reference computes these over the dashboard's `ORDER BY datetime
+  * DESC LIMIT 100` frame without re-sorting (`streamlit_app.py:76,346-352`),
+  * i.e. literally over *descending* time. We use ascending event time — the
+  * indicator semantics the formulas intend — and document the quirk here.
+  *
+  * All division-by-zero cases are explicit CASE guards (Spark 4 runs ANSI
+  * mode; DuckDB yields NULL): degenerate flat-window inputs produce NULL
+  * instead of pandas' ±inf/NaN — documented deviation, same on both the
+  * engine and oracle side.
+  */
+object Indicators {
+  import Rolling._
+
+  // --- column builders (reference streamlit_app.py:165-204) ---
+
+  /** The per-symbol event-time window as (partition, order) column seqs
+    * for direct Catalyst window construction (see [[Ewma.alpha]]). */
+  private val P = Seq(col("symbol"))
+  private val O = Seq(col("datetime"))
+
+  /** W1: EMA(span) — `close.ewm(span, adjust=False).mean()` (:165-166). */
+  def ema(c: Column, span: Int): Column = Ewma.span(c, span, P, O)
+
+  /** W2: SMA(20) — `close.rolling(20).mean()` (:168-169). */
+  def sma(c: Column, n: Int = 20): Column = mean(c, n)
+
+  def withIndicatorCols(bars: DataFrame): DataFrame = {
+    val b = bars
+      .withColumn("ema5", ema(col("close"), 5))
+      .withColumn("ema15", ema(col("close"), 15))
+      .withColumn("sma", sma(col("close")))
+    withAdx(withMacd(withTsi(withRsi(b))))
+  }
+
+  /** W3: RSI(14), Cutler simple-mean variant (:171-176). */
+  def withRsi(df: DataFrame, n: Int = 14): DataFrame = {
+    val delta = diff(col("close"))
+    val gain = when(delta > 0, delta).otherwise(0.0)
+    val loss = when(delta < 0, -delta).otherwise(0.0)
+    val withGl = df
+      .withColumn("rsi_gain", mean(gain, n))
+      .withColumn("rsi_loss", mean(loss, n))
+    withGl.withColumn("rsi",
+        when(col("rsi_loss") === 0 && col("rsi_gain") === 0, lit(null))
+          .when(col("rsi_loss") === 0, 100.0)
+          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("rsi_gain") / col("rsi_loss"))))
+      .drop("rsi_gain", "rsi_loss")
+  }
+
+  /** W4: TSI(25,13) — double-smoothed momentum (:178-184). */
+  def withTsi(df: DataFrame, longW: Int = 25, shortW: Int = 13): DataFrame =
+    df.withColumn("tsi_d", diff(col("close")))
+      .withColumn("tsi_e1", ema(col("tsi_d"), longW))
+      .withColumn("tsi_a1", ema(abs(col("tsi_d")), longW))
+      .withColumn("tsi_e2", ema(col("tsi_e1"), shortW))
+      .withColumn("tsi_a2", ema(col("tsi_a1"), shortW))
+      .withColumn("tsi",
+        when(col("tsi_a2") === 0, lit(null))
+          .otherwise(lit(100.0) * (col("tsi_e2") / col("tsi_a2"))))
+      .drop("tsi_d", "tsi_e1", "tsi_a1", "tsi_e2", "tsi_a2")
+
+  /** W5: MACD(12,26,9) (:186-191). */
+  def withMacd(df: DataFrame): DataFrame =
+    df.withColumn("macd_e12", ema(col("close"), 12))
+      .withColumn("macd_e26", ema(col("close"), 26))
+      .withColumn("macd", col("macd_e12") - col("macd_e26"))
+      .withColumn("macd_signal", ema(col("macd"), 9))
+      .drop("macd_e12", "macd_e26")
+
+  /** W6: ADX(14) with the author's as-written -DM sign convention
+    * (`low_diff.where((low_diff > high_diff) & (low_diff > 0), 0)`,
+    * :193-204 — standard ADX uses -low.diff()).
+    */
+  def withAdx(df: DataFrame, n: Int = 14): DataFrame = {
+    val hd = diff(col("high"))
+    val ld = diff(col("low"))
+    val pc = lag1(col("close"))
+    val pdm = when(hd > ld && hd > 0, hd).otherwise(0.0)
+    val mdm = when(ld > hd && ld > 0, ld).otherwise(0.0)
+    // row 0: prev close NULL -> pandas rowwise max skips NaN -> tr = high-low
+    val tr = when(pc.isNull, col("high") - col("low"))
+      .otherwise(greatest(col("high") - col("low"), abs(col("high") - pc), abs(col("low") - pc)))
+    // ewm(alpha=1/n) directly (not span form) per reference :200-201
+    val stage2 = df
+      .withColumn("adx_epdm", Ewma.alpha(pdm, 1.0 / n, P, O))
+      .withColumn("adx_emdm", Ewma.alpha(mdm, 1.0 / n, P, O))
+      .withColumn("adx_atr", mean(tr, n))
+      .withColumn("adx_pdi",
+        when(col("adx_atr") === 0, lit(null))
+          .otherwise(lit(100.0) * (col("adx_epdm") / col("adx_atr"))))
+      .withColumn("adx_mdi",
+        when(col("adx_atr") === 0, lit(null))
+          .otherwise(lit(100.0) * (col("adx_emdm") / col("adx_atr"))))
+      .withColumn("adx_dxin",
+        when(col("adx_pdi") + col("adx_mdi") === 0, lit(null))
+          .otherwise(lit(100.0) * abs(col("adx_pdi") - col("adx_mdi")) / (col("adx_pdi") + col("adx_mdi"))))
+      .withColumn("adx_dx", mean(col("adx_dxin"), n))
+      .withColumn("adx", Ewma.alpha(col("adx_dx"), 1.0 / n, P, O))
+    stage2.drop("adx_epdm", "adx_emdm", "adx_atr", "adx_pdi", "adx_mdi", "adx_dxin", "adx_dx")
+  }
+
+  // --- oracle CTE chains (DuckDB) mirroring the above bit-for-bit ---
+
+  private def barsWith(extra: String, select: String): String =
+    s"WITH ${Bars.cte}, $extra\n$select"
+
+  private val rsiCtes =
+    s"""d AS (SELECT symbol, datetime, close, ${Sql.diff("close")} AS delta FROM bars),
+       |g AS (SELECT *, CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS gain,
+       |               CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS loss FROM d),
+       |r AS (SELECT *, ${Sql.rollMean("gain", 14)} AS ag, ${Sql.rollMean("loss", 14)} AS al FROM g)""".stripMargin
+
+  private val tsiCtes =
+    s"""d AS (SELECT symbol, datetime, close, ${Sql.diff("close")} AS td FROM bars),
+       |e1 AS (SELECT *, ${Sql.ewmaSpan("td", 25)} AS te1, ${Sql.ewmaSpan("abs(td)", 25)} AS ta1 FROM d),
+       |e2 AS (SELECT *, ${Sql.ewmaSpan("te1", 13)} AS te2, ${Sql.ewmaSpan("ta1", 13)} AS ta2 FROM e1)""".stripMargin
+
+  private val macdCtes =
+    s"""m1 AS (SELECT symbol, datetime, close, ${Sql.ewmaSpan("close", 12)} AS e12,
+       |              ${Sql.ewmaSpan("close", 26)} AS e26 FROM bars),
+       |m2 AS (SELECT *, (e12 - e26) AS macd FROM m1),
+       |m3 AS (SELECT *, ${Sql.ewmaSpan("macd", 9)} AS macd_signal FROM m2)""".stripMargin
+
+  private val adxCtes =
+    s"""a0 AS (SELECT symbol, datetime, high, low, close,
+       |              ${Sql.diff("high")} AS hd, ${Sql.diff("low")} AS ld,
+       |              ${Sql.lag("close")} AS pc FROM bars),
+       |a1 AS (SELECT *, CASE WHEN hd > ld AND hd > 0 THEN hd ELSE 0.0 END AS pdm,
+       |               CASE WHEN ld > hd AND ld > 0 THEN ld ELSE 0.0 END AS mdm,
+       |               CASE WHEN pc IS NULL THEN high - low
+       |                    ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END AS tr FROM a0),
+       |a2 AS (SELECT *, ${Sql.ewma("pdm", "1.0/14.0")} AS epdm,
+       |               ${Sql.ewma("mdm", "1.0/14.0")} AS emdm,
+       |               ${Sql.rollMean("tr", 14)} AS atr FROM a1),
+       |a3 AS (SELECT *, CASE WHEN atr = 0 THEN NULL ELSE 100.0 * (epdm / atr) END AS pdi,
+       |               CASE WHEN atr = 0 THEN NULL ELSE 100.0 * (emdm / atr) END AS mdi FROM a2),
+       |a4 AS (SELECT *, CASE WHEN pdi + mdi = 0 THEN NULL
+       |                    ELSE 100.0 * abs(pdi - mdi) / (pdi + mdi) END AS dxin FROM a3),
+       |a5 AS (SELECT *, ${Sql.rollMean("dxin", 14)} AS dx FROM a4),
+       |a6 AS (SELECT *, ${Sql.ewma("dx", "1.0/14.0")} AS adx FROM a5)""".stripMargin
+
+  // --- queries ---
+
+  def queries: Seq[Q] = Seq(
+    Q("w1_ema",
+      barsWith(
+        s"x AS (SELECT symbol, datetime, close, ${Sql.ewmaSpan("close", 5)} AS ema5, ${Sql.ewmaSpan("close", 15)} AS ema15 FROM bars)",
+        "SELECT symbol, datetime, round(close, 6) AS close, round(ema5, 6) AS ema5, round(ema15, 6) AS ema15 FROM x ORDER BY symbol, datetime")) {
+      (s, dir) =>
+        Q.norm(
+          Bars(s, dir).select(col("symbol"), col("datetime"), col("close"),
+            ema(col("close"), 5).as("ema5"), ema(col("close"), 15).as("ema15")),
+          "symbol", "datetime")
+    },
+
+    Q("w2_sma20",
+      barsWith(
+        s"x AS (SELECT symbol, datetime, close, ${Sql.rollMean("close", 20)} AS sma FROM bars)",
+        "SELECT symbol, datetime, round(close, 6) AS close, round(sma, 6) AS sma FROM x ORDER BY symbol, datetime")) {
+      (s, dir) =>
+        Q.norm(
+          Bars(s, dir).select(col("symbol"), col("datetime"), col("close"),
+            sma(col("close")).as("sma")),
+          "symbol", "datetime")
+    },
+
+    Q("w3_rsi14",
+      barsWith(rsiCtes,
+        """SELECT symbol, datetime, round(close, 6) AS close,
+          |round(CASE WHEN al = 0 AND ag = 0 THEN NULL WHEN al = 0 THEN 100.0
+          |           ELSE 100.0 - 100.0 / (1.0 + ag / al) END, 6) AS rsi
+          |FROM r ORDER BY symbol, datetime""".stripMargin)) {
+      (s, dir) =>
+        Q.norm(
+          withRsi(Bars(s, dir)).select("symbol", "datetime", "close", "rsi"),
+          "symbol", "datetime")
+    },
+
+    Q("w4_tsi",
+      barsWith(tsiCtes,
+        """SELECT symbol, datetime, round(close, 6) AS close,
+          |round(CASE WHEN ta2 = 0 THEN NULL ELSE 100.0 * (te2 / ta2) END, 6) AS tsi
+          |FROM e2 ORDER BY symbol, datetime""".stripMargin)) {
+      (s, dir) =>
+        Q.norm(
+          withTsi(Bars(s, dir)).select("symbol", "datetime", "close", "tsi"),
+          "symbol", "datetime")
+    },
+
+    Q("w5_macd",
+      barsWith(macdCtes,
+        """SELECT symbol, datetime, round(close, 6) AS close,
+          |round(macd, 6) AS macd, round(macd_signal, 6) AS macd_signal
+          |FROM m3 ORDER BY symbol, datetime""".stripMargin)) {
+      (s, dir) =>
+        Q.norm(
+          withMacd(Bars(s, dir)).select("symbol", "datetime", "close", "macd", "macd_signal"),
+          "symbol", "datetime")
+    },
+
+    Q("w6_adx",
+      barsWith(adxCtes,
+        "SELECT symbol, datetime, round(close, 6) AS close, round(adx, 6) AS adx FROM a6 ORDER BY symbol, datetime")) {
+      (s, dir) =>
+        Q.norm(
+          withAdx(Bars(s, dir)).select("symbol", "datetime", "close", "adx"),
+          "symbol", "datetime")
+    })
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import graft.Q
+import graft.sources.Bars
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trading-strategy signal generators (SURVEY.md §2.5 T1-T4), replicating
+  * reference `streamlit_app/streamlit_app.py:212-239` as-written — quirks
+  * included (T1's window contains the current row, so its predicate is
+  * unsatisfiable and the signal is always 0; pandas overwrite order makes
+  * SELL win where BUY and SELL overlap in T2).
+  *
+  * signal ∈ {1 buy, -1 sell, 0 hold} as IntegerType.
+  */
+object Strategies {
+  import Rolling._
+
+  /** T1 scalping (:212-216): close vs rolling(5) min/max of itself. */
+  def scalping(df: DataFrame): DataFrame =
+    df.withColumn("signal",
+      when(col("close") < rmin(col("close"), 5), 1)
+        .when(col("close") > rmax(col("close"), 5), -1)
+        .otherwise(0))
+
+  /** T2 range trading (:218-224): per-symbol global support/resistance
+    * bands. pandas sets BUY then overwrites with SELL — SELL wins overlaps.
+    * The per-symbol extrema ride the same symbol-window (no extra shuffle,
+    * no driver round-trip) via an unbounded frame.
+    */
+  def rangeTrading(df: DataFrame): DataFrame = {
+    val whole = Window.partitionBy("symbol")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val support = min(col("low")).over(whole)
+    val resistance = max(col("high")).over(whole)
+    df.withColumn("signal",
+      when(col("close") >= resistance * 0.95, -1)
+        .when(col("close") <= support * 1.05, 1)
+        .otherwise(0))
+  }
+
+  /** T3 momentum (:226-231): close - close.shift(5). */
+  def momentum(df: DataFrame): DataFrame =
+    df.withColumn("momentum", diff(col("close"), 5))
+      .withColumn("signal",
+        when(col("momentum") > 0, 1).when(col("momentum") < 0, -1).otherwise(0))
+
+  /** T4 breakout (:233-239): close vs yesterday's rolling(20) extrema. */
+  def breakout(df: DataFrame): DataFrame = {
+    val withExt = df
+      .withColumn("bk_max", rmax(col("close"), 20))
+      .withColumn("bk_min", rmin(col("close"), 20))
+    withExt.withColumn("signal",
+        when(col("close") > lag1(col("bk_max")), 1)
+          .when(col("close") < lag1(col("bk_min")), -1)
+          .otherwise(0))
+      .drop("bk_max", "bk_min")
+  }
+
+  private def barsQ(extra: String, select: String): String =
+    s"WITH ${Bars.cte}, $extra\n$select"
+
+  private val base = "SELECT symbol, datetime, round(close, 6) AS close, signal FROM x ORDER BY symbol, datetime"
+
+  def queries: Seq[Q] = Seq(
+    Q("t1_scalping",
+      barsQ(
+        s"""x AS (SELECT symbol, datetime, close,
+           |  CASE WHEN close < ${Sql.rollMin("close", 5)} THEN 1
+           |       WHEN close > ${Sql.rollMax("close", 5)} THEN -1 ELSE 0 END AS signal FROM bars)""".stripMargin,
+        base)) { (s, dir) =>
+      Q.norm(scalping(Bars(s, dir)).select("symbol", "datetime", "close", "signal"),
+        "symbol", "datetime")
+    },
+
+    Q("t2_range_trading",
+      barsQ(
+        s"""x AS (SELECT symbol, datetime, close,
+           |  CASE WHEN close >= max(high) OVER (PARTITION BY symbol) * 0.95 THEN -1
+           |       WHEN close <= min(low) OVER (PARTITION BY symbol) * 1.05 THEN 1
+           |       ELSE 0 END AS signal FROM bars)""".stripMargin,
+        base)) { (s, dir) =>
+      Q.norm(rangeTrading(Bars(s, dir)).select("symbol", "datetime", "close", "signal"),
+        "symbol", "datetime")
+    },
+
+    Q("t3_momentum",
+      barsQ(
+        s"""x AS (SELECT symbol, datetime, close, ${Sql.diffK("close", 5)} AS momentum,
+           |  CASE WHEN ${Sql.diffK("close", 5)} > 0 THEN 1
+           |       WHEN ${Sql.diffK("close", 5)} < 0 THEN -1 ELSE 0 END AS signal FROM bars)""".stripMargin,
+        "SELECT symbol, datetime, round(close, 6) AS close, round(momentum, 6) AS momentum, signal FROM x ORDER BY symbol, datetime")) {
+      (s, dir) =>
+        Q.norm(momentum(Bars(s, dir)).select("symbol", "datetime", "close", "momentum", "signal"),
+          "symbol", "datetime")
+    },
+
+    Q("t4_breakout",
+      barsQ(
+        s"""b1 AS (SELECT symbol, datetime, close, ${Sql.rollMax("close", 20)} AS bk_max,
+           |        ${Sql.rollMin("close", 20)} AS bk_min FROM bars),
+           |x AS (SELECT symbol, datetime, close,
+           |  CASE WHEN close > ${Sql.lag("bk_max")} THEN 1
+           |       WHEN close < ${Sql.lag("bk_min")} THEN -1 ELSE 0 END AS signal FROM b1)""".stripMargin,
+        base)) { (s, dir) =>
+      Q.norm(breakout(Bars(s, dir)).select("symbol", "datetime", "close", "signal"),
+        "symbol", "datetime")
+    })
+}

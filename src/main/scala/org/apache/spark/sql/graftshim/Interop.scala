@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between graft's custom Catalyst expressions and the public
+  * `Column` API. Spark 4 keeps `Column <-> Expression` conversion
+  * `private[sql]` (the Connect refactor made `Column` wrap a ColumnNode),
+  * so the engine exposes exactly the two conversions it needs from inside
+  * the `org.apache.spark.sql` namespace — the same approach third-party
+  * Spark extensions use.
+  */
+object Interop {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local oracle checker — my feedback loop before the driver's t2 gate.
+
+Usage: python3 tools/check.py [sfdir] [outdir] [--run] [query ...]
+  --run: invoke `sbt runMain graft.Verify` first to refresh outdir.
+
+For each query in outdir/oracle_sql.json: run the SQL in DuckDB (tables =
+parquet basenames in sfdir), read the Spark parquet from outdir, sort columns
+by name, and compare cell-exact (after canonicalizing NaN/None).
+"""
+import json, math, sys, subprocess
+from pathlib import Path
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return v
+    return v
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    run = "--run" in args
+    args = [a for a in args if a != "--run"]
+    sfdir = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
+    outdir = args[1] if len(args) > 1 else "/tmp/vout"
+    only = set(args[2:])
+
+    if run:
+        subprocess.run(
+            ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
+            cwd="/root/repo", check=True)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sfdir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    oracle = json.loads((Path(outdir) / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        spath = Path(outdir) / name
+        if not spath.exists():
+            print(f"FAIL {name}: no spark output at {spath}")
+            n_fail += 1
+            continue
+        try:
+            want = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        got = con.execute(f"SELECT * FROM '{spath}/*.parquet'").df()
+        want = want.reindex(sorted(want.columns), axis=1)
+        got = got.reindex(sorted(got.columns), axis=1)
+        if list(want.columns) != list(got.columns):
+            print(f"FAIL {name}: columns want={list(want.columns)} got={list(got.columns)}")
+            n_fail += 1
+            continue
+        if len(want) != len(got):
+            print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
+            n_fail += 1
+            continue
+        bad = 0
+        for c in want.columns:
+            wv = [canon(x) for x in want[c].tolist()]
+            gv = [canon(x) for x in got[c].tolist()]
+            for i, (a, b) in enumerate(zip(wv, gv)):
+                if a != b and not (a is None and b is None):
+                    if bad < 3:
+                        print(f"  {name}.{c}[{i}]: oracle={a!r} spark={b!r}")
+                    bad += 1
+        if bad:
+            print(f"FAIL {name}: {bad} mismatched cells / {len(want)} rows")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(want)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
