@@ -15,7 +15,11 @@ object SparkEntry {
       ops.Indicators.queries ++
       ops.Strategies.queries ++
       ops.Patterns.queries ++
-      ops.Charts.queries
+      ops.Charts.queries ++
+      ext.TextStats.queries ++
+      ext.Dedup.queries ++
+      ext.Similarity.queries ++
+      ext.Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference pipeline's essence: re-bar the event stream, score each

@@ -1,0 +1,130 @@
+package graft.ext
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over `documents` — the dedup family a
+  * training-data pipeline runs at 100 TB (north-star extension surface):
+  * n-gram Jaccard via inverted index, MinHash+LSH banding, and SimHash
+  * signatures.
+  *
+  * Scale design (the whole point of these shapes):
+  *   - NO pairwise cross join anywhere. d4 joins docs through an inverted
+  *     shingle index (cost ~ sum of per-shingle df^2, not n^2); d2 joins
+  *     through LSH band buckets (cost ~ per-bucket collisions only).
+  *   - Signatures (minhash/simhash) are per-row Column expressions —
+  *     computed in one narrow projection during the scan, no shuffle.
+  *   - At 100 TB both joins are plain shuffle-hash/sort-merge joins on
+  *     high-cardinality keys, which AQE re-balances; hot shingles (low
+  *     information, high df) are the classic skew source — the standard
+  *     production guard is a df cap on the inverted index, which is a
+  *     semantic parameter documented on d4 rather than hard-coded.
+  */
+object Dedup {
+  import Portable._
+
+  /** Exact-Jaccard near-dup threshold (matches the planted near-dup pairs
+    * in the synthetic corpus; 25 pairs >= 0.5 at sf0.01). */
+  val JaccardThreshold = 0.5
+
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      shingles3(tokens(col("text"))).as("sh"))
+      .where(size(col("sh")) > 0)
+
+  private val shingledCte =
+    s"""sh0 AS (SELECT doc_id, ${sqlShingles3(sqlTokens("text"))} AS sh FROM documents),
+       |shingled AS (SELECT * FROM sh0 WHERE len(sh) > 0)""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+
+    // d4: exact 3-gram Jaccard pairs via inverted shingle index.
+    Q("d4_ngram_jaccard",
+      s"""WITH $shingledCte,
+         |n AS (SELECT doc_id, len(sh) AS ns FROM shingled),
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b,
+         |             inter * 1.0 / (na.ns + nb.ns - inter) AS jaccard
+         |      FROM p JOIN n na ON na.doc_id = p.doc_a
+         |             JOIN n nb ON nb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+         |FROM j WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin) {
+      (s, dir) => {
+        val sh = shingled(s, dir)
+        val n = sh.select(col("doc_id"), size(col("sh")).as("ns"))
+        val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+        val p = e.as("a").join(e.as("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        val j = p.join(n.as("na"), col("doc_a") === col("na.doc_id"))
+          .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            (col("inter") * 1.0 / (col("na.ns") + col("nb.ns") - col("inter"))).as("jaccard"))
+        j.where(col("jaccard") >= JaccardThreshold)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      }
+    },
+
+    // d2: MinHash signatures + LSH banding -> candidate pairs -> exact
+    // Jaccard verification. Output = verified candidates (so recall is
+    // whatever 8x4 banding yields — identical on both sides by
+    // construction).
+    Q("d2_minhash_lsh",
+      s"""WITH $shingledCte,
+         |sig AS (SELECT doc_id, sh, ${sqlMinhashSig("sh")} AS sig FROM shingled),
+         |bands AS (SELECT doc_id, r.bi AS bi, (${sqlBandKeys("sig")})[r.bi + 1] AS bk
+         |          FROM sig CROSS JOIN (SELECT unnest(range(0, $LshBands)) AS bi) r),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |verified AS (SELECT doc_a, doc_b,
+         |    len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+         |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard,
+         |    len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2])) / ${MinhashK}.0 AS sim_est
+         |  FROM cand JOIN sig sa ON sa.doc_id = cand.doc_a
+         |            JOIN sig sb ON sb.doc_id = cand.doc_b)
+         |SELECT doc_a, doc_b, round(sim_est, 6) AS sim_est, round(jaccard, 6) AS jaccard
+         |FROM verified WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin) {
+      (s, dir) => {
+        val sig = shingled(s, dir)
+          .select(col("doc_id"), col("sh"), minhashSig(col("sh")).as("sig"))
+        val bands = sig.select(col("doc_id"),
+          posexplode(bandKeys(col("sig"))).as(Seq("bi", "bk")))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val verified = cand
+          .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            (size(array_intersect(col("sa.sh"), col("sb.sh"))) * 1.0 /
+              (size(col("sa.sh")) + size(col("sb.sh")) -
+                size(array_intersect(col("sa.sh"), col("sb.sh"))))).as("jaccard"),
+            (size(filter(zip_with(col("sa.sig"), col("sb.sig"), (x, y) => x === y),
+              b => b)) / lit(MinhashK.toDouble)).as("sim_est"))
+        verified.where(col("jaccard") >= JaccardThreshold)
+          .select(col("doc_a"), col("doc_b"),
+            round(col("sim_est"), 6).as("sim_est"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      }
+    },
+
+    // d3: SimHash 32-bit signatures (token multiset, occurrence-weighted).
+    Q("d3_simhash",
+      s"""SELECT doc_id, ${sqlSimhash32(sqlTokens("text"))} AS simhash
+         |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), simhash32(tokens(col("text"))).as("simhash"))
+          .orderBy("doc_id")
+    })
+}

@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine deterministic primitives, each defined TWICE — as a Spark
+  * `Column` builder and as the DuckDB SQL fragment the oracle uses — so
+  * the driver's cell-exact compare holds bit-for-bit.
+  *
+  * Determinism rules (same discipline as [[graft.ops.Sql]]):
+  *   - Hashes are sha256-prefix based: identical hex output in both
+  *     engines, converted to integers via hex-string cast. No engine-native
+  *     hash (Spark xxhash64 vs DuckDB murmur differ).
+  *   - Floating-point reductions are sequential left folds in array index
+  *     order on BOTH sides (`aggregate` HOF / `list_reduce`), never
+  *     engine-native SUM/AVG over groups, so accumulation order is pinned.
+  *   - Integer math only where possible (minhash, simhash, jaccard counts);
+  *     integer ops are order-independent and exact.
+  *
+  * Scale design: every primitive here is a *per-row* Column expression —
+  * no shuffle, no UDF, fully codegen-friendly — so the heavy lifting
+  * (LSH banding joins, inverted-index joins) stays in relational operators
+  * Catalyst can plan and AQE can re-balance.
+  */
+object Portable {
+
+  /** 32-bit portable hash: first 8 hex chars of sha256 as a long. */
+  def hash32(c: Column): Column =
+    conv(substring(sha2(c.cast("string"), 256), 1, 8), 16, 10).cast("long")
+  def sqlHash32(x: String): String =
+    s"CAST(concat('0x', substr(sha256($x), 1, 8)) AS BIGINT)"
+
+  /** 60-bit portable hash (15 hex chars) for low-collision keys. */
+  def hash60(c: Column): Column =
+    conv(substring(sha2(c.cast("string"), 256), 1, 15), 16, 10).cast("long")
+  def sqlHash60(x: String): String =
+    s"CAST(concat('0x', substr(sha256($x), 1, 15)) AS BIGINT)"
+
+  /** Whitespace tokens. */
+  def tokens(c: Column): Column = split(c, " ")
+  def sqlTokens(x: String): String = s"string_split($x, ' ')"
+
+  /** Distinct 3-word shingles of a token array (empty when < 3 tokens). */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      array_distinct(
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i, lit(3))))))
+      .otherwise(array().cast("array<string>"))
+  def sqlShingles3(toks: String): String =
+    s"list_distinct(list_transform(range(1, greatest(len($toks) - 1, 1)), i -> array_to_string(($toks)[i:i+2], ' ')))"
+
+  // --- MinHash (SURVEY.md north-star dedup) ---
+  // k=32 permutations h_i(v) = ((2i+1)*v + b_i) mod P over 32-bit shingle
+  // hashes; (2i+1)*v < 2^38 so the modular math never overflows int64 in
+  // either engine. b_i = (2654435761*(i+1)) mod P (Knuth multiplicative).
+  val MinhashK = 32
+  val LshBands = 8
+  val LshRows = 4
+  val P32 = 4294967311L // smallest prime > 2^32
+
+  /** k-element minhash signature of a (distinct) shingle array. */
+  def minhashSig(sh: Column): Column = {
+    val hashes = transform(sh, s => hash32(s))
+    transform(sequence(lit(0), lit(MinhashK - 1)), i =>
+      array_min(transform(hashes, v =>
+        ((lit(2L) * i + lit(1L)) * v + (lit(2654435761L) * (i + lit(1L))) % P32) % P32)))
+  }
+  def sqlMinhashSig(sh: String): String =
+    s"list_transform(range(0, $MinhashK), i -> list_min(list_transform(" +
+      s"list_transform($sh, s -> ${sqlHash32("s")}), " +
+      s"v -> ((2*i + 1)*v + (2654435761*(i + 1)) % $P32) % $P32)))"
+
+  /** LSH band keys: signature rows joined 4-at-a-time into 8 band strings. */
+  def bandKeys(sig: Column): Column =
+    transform(sequence(lit(0), lit(LshBands - 1)), j =>
+      concat_ws("-", slice(sig, j * LshRows + 1, lit(LshRows))))
+  def sqlBandKeys(sig: String): String =
+    s"list_transform(range(0, $LshBands), j -> array_to_string(($sig)[j*$LshRows + 1 : j*$LshRows + $LshRows], '-'))"
+
+  // --- SimHash: 32-bit signature over (multiset of) token hashes ---
+  // bit_j(v) via floor(v / 2^j) % 2 — v < 2^32 is exact in a double and
+  // 2^j is an exact power, so the floor-division trick is deterministic
+  // and identical in both engines (DuckDB CAST(double AS BIGINT) rounds,
+  // Spark truncates — floor() first sidesteps the difference).
+  def simhash32(toks: Column): Column = {
+    val th = transform(toks, t => hash32(t))
+    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) => {
+      val bitSum = aggregate(th, lit(0L),
+        (s, v) => s + (floor(v / pow(lit(2.0), j)).cast("long") % 2L) * 2L - 1L)
+      acc + when(bitSum >= 0, pow(lit(2.0), j).cast("long")).otherwise(0L)
+    })
+  }
+  def sqlSimhash32(toks: String): String =
+    s"list_sum(list_transform(range(0, 32), j -> CASE WHEN " +
+      s"list_sum(list_transform(list_transform($toks, t -> ${sqlHash32("t")}), " +
+      s"v -> (CAST(floor(v / power(2.0, j)) AS BIGINT) % 2) * 2 - 1)) >= 0 " +
+      s"THEN CAST(power(2.0, j) AS BIGINT) ELSE 0 END))"
+
+  // --- Embedding math (sequential double folds, identical order) ---
+
+  /** Dot product of two float arrays as a sequential double fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+  def sqlDot(a: String, b: String): String =
+    s"list_reduce(array_concat([0.0], list_transform(list_zip($a, $b), " +
+      s"p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)"
+
+  /** Cosine similarity (NULL when either norm is zero). */
+  def cosine(a: Column, b: Column): Column = {
+    val na = sqrt(dot(a, a))
+    val nb = sqrt(dot(b, b))
+    when(na === 0.0 || nb === 0.0, lit(null)).otherwise(dot(a, b) / (na * nb))
+  }
+  def sqlCosine(a: String, b: String): String = {
+    val na = s"sqrt(${sqlDot(a, a)})"
+    val nb = s"sqrt(${sqlDot(b, b)})"
+    s"CASE WHEN $na = 0.0 OR $nb = 0.0 THEN NULL ELSE ${sqlDot(a, b)} / ($na * $nb) END"
+  }
+
+  /** Polynomial rolling hash of a string's codepoints, mod 1e9+7.
+    * Char-at-position folds (not split-on-empty) because the two engines'
+    * empty-separator split semantics differ.
+    */
+  def fingerprint(c: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1)))),
+      lit(0L), (h, v) => (h * 31L + v) % 1000000007L)
+  def sqlFingerprint(x: String): String =
+    s"list_reduce(array_concat([CAST(0 AS BIGINT)], list_transform(range(1, length($x) + 1), " +
+      s"i -> ord(substr($x, i, 1)))), (h, v) -> (h * 31 + v) % 1000000007)"
+}

@@ -1,0 +1,137 @@
+package graft.ext
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over `embeddings`
+  * (64-dim float vectors) — the north-star similarity extension.
+  *
+  * Three tiers, mirroring how an ANN pipeline scales:
+  *   - e2_knn_brute: exact top-k for a small query set. Per-pair cosine is
+  *     a sequential fold (codegen'd Column algebra, no UDF); the query
+  *     side is tiny so Catalyst broadcasts it — cost O(|Q| * n), one scan.
+  *   - e1_cosine_neardup: all-pairs >= threshold. Brute at test scale;
+  *     the d2-style LSH banding (random hyperplanes) is the 100 TB path —
+  *     same join shape as Dedup.d2, bucketed instead of pairwise.
+  *   - e3_knn_ivf: IVF-style cluster pruning. Centroids derived
+  *     deterministically from the data (min vec_id per label), vectors
+  *     assigned to nearest centroid, queries probe ONLY their own cluster:
+  *     the partition-pruning pattern that makes ANN tractable at scale
+  *     (search cost drops from O(n) to O(n / n_clusters) per query).
+  *
+  * All cosine math is the portable sequential fold ([[Portable.dot]]) so
+  * rankings are bit-identical to the DuckDB oracle — no tolerance games.
+  */
+object Similarity {
+  import Portable._
+
+  val K = 3                  // neighbors per query
+  val NQueries = 5           // queries = vec_id < 5
+  val NearDupThreshold = 0.45
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+
+  private val cosAB = sqlCosine("q.embedding", "c.embedding")
+
+  def queries: Seq[Q] = Seq(
+
+    // e2: exact brute-force top-k cosine for queries vec_id < 5.
+    Q("e2_knn_brute",
+      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $NQueries),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |                  $cosAB AS cos
+         |           FROM q JOIN embeddings c ON c.vec_id != q.vec_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |             (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |           FROM scored)
+         |SELECT query_id, neighbor_id, rk, round(cos, 6) AS cos
+         |FROM ranked WHERE rk <= $K ORDER BY query_id, rk""".stripMargin) {
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.where(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val scored = q.join(e, col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("qe"), col("embedding")).as("cos"))
+        val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+        scored.withColumn("rk", row_number().over(w)).where(col("rk") <= K)
+          .select(col("query_id"), col("neighbor_id"), col("rk"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rk")
+      }
+    },
+
+    // e1: all-pairs cosine >= threshold (embedding near-dup survey).
+    Q("e1_cosine_neardup",
+      s"""WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |                  ${sqlCosine("a.embedding", "b.embedding")} AS cos
+         |           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, round(cos, 6) AS cos
+         |FROM p WHERE cos >= $NearDupThreshold ORDER BY vec_a, vec_b""".stripMargin) {
+      (s, dir) => {
+        val e = emb(s, dir)
+        val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+        a.join(b, col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
+          .where(col("cos") >= NearDupThreshold)
+          .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+          .orderBy("vec_a", "vec_b")
+      }
+    },
+
+    // e3: IVF cluster pruning. Centroid c_l = embedding of min vec_id per
+    // label; every vector assigned to argmax-cosine centroid; queries
+    // search only their own cluster.
+    Q("e3_knn_ivf",
+      s"""WITH cent AS (
+         |  SELECT label AS cl, embedding FROM (
+         |    SELECT label, embedding,
+         |           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |assign AS (
+         |  SELECT vec_id, cl, embedding FROM (
+         |    SELECT e.vec_id, cent.cl, e.embedding,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqlCosine("e.embedding", "cent.embedding")} DESC, cent.cl) AS rn
+         |    FROM embeddings e CROSS JOIN cent) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, cl, embedding AS qe
+         |      FROM assign WHERE vec_id < $NQueries),
+         |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |                  ${sqlCosine("q.qe", "c.embedding")} AS cos
+         |           FROM q JOIN assign c ON c.cl = q.cl AND c.vec_id != q.query_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |             (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |           FROM scored)
+         |SELECT query_id, neighbor_id, rk, round(cos, 6) AS cos
+         |FROM ranked WHERE rk <= $K ORDER BY query_id, rk""".stripMargin) {
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cent = e.withColumn("rn",
+            row_number().over(Window.partitionBy("label").orderBy("vec_id")))
+          .where(col("rn") === 1)
+          .select(col("label").as("cl"), col("embedding").as("ce"))
+        val assign = e.crossJoin(broadcast(cent))
+          .withColumn("ccos", cosine(col("embedding"), col("ce")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cl"))))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("cl"), col("embedding"))
+        val q = assign.where(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("cl"), col("embedding").as("qe"))
+        val scored = q.join(assign.as("c"),
+            col("c.cl") === q("cl") && col("c.vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+            cosine(col("qe"), col("c.embedding")).as("cos"))
+        val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+        scored.withColumn("rk", row_number().over(w)).where(col("rk") <= K)
+          .select(col("query_id"), col("neighbor_id"), col("rk"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rk")
+      }
+    })
+}

@@ -1,0 +1,139 @@
+package graft.ext
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline extension surface (north-star ops beyond the
+  * reference's own inventory; SURVEY.md §7.1 step 10): token counting,
+  * quality scoring, n-gram language ID, document fingerprinting, and
+  * exact dedup.
+  *
+  * Scale design: every derived column is per-row Column algebra (one
+  * narrow scan, no shuffle except the dedup groupBy); language marker
+  * lists are literal arrays folded into codegen, not a join.
+  */
+object TextStats {
+  import Portable._
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  /** Fixed stopword list (synthetic corpus vocabulary). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Marker tokens per language for the n-gram/stopword language-ID
+    * heuristic. NOTE: the synthetic corpus draws the same vocabulary for
+    * every `lang` value, so predictions are deterministic but carry no
+    * real signal — the operator's value is its (tested) shape: marker
+    * scoring + fixed-priority argmax, the standard cheap lang-ID scheme.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "la", "et"),
+    "zh" -> Seq("de", "shi", "bu"))
+
+  private def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(markers.map(lit): _*), t)))
+  private def sqlMarkerCount(toks: String, markers: Seq[String]): String =
+    s"len(list_filter($toks, t -> list_contains([${markers.map(m => s"'$m'").mkString(",")}], t)))"
+
+  def queries: Seq[Q] = Seq(
+
+    // Token counting: whitespace tokens + BPE-ish greedy <=4-char chunks.
+    Q("x_tokens",
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |       len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS n_subtokens
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        docs(s, dir).select(col("doc_id"),
+          size(tokens(col("text"))).as("n_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]{1,4}"), lit(0))).as("n_subtokens"))
+          .orderBy("doc_id")
+    },
+
+    // Quality scoring: length/stopword-ratio/mean-token-length features.
+    // Integer-derived doubles only (count/count divisions + ln) so both
+    // engines compute identical IEEE results.
+    Q("x_quality",
+      s"""WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+         |f AS (SELECT doc_id, n_chars, len(toks) AS nt,
+         |             ${sqlMarkerCount("toks", Stopwords)} AS nstop,
+         |             list_sum(list_transform(toks, x -> length(x))) AS chars_in_toks
+         |      FROM t)
+         |SELECT doc_id, nt AS n_tokens,
+         |       round(nstop * 1.0 / nt, 6) AS stopword_ratio,
+         |       round(chars_in_toks * 1.0 / nt, 6) AS mean_token_len,
+         |       round(ln(1 + n_chars) * (1.0 - nstop * 1.0 / nt), 6) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin) {
+      (s, dir) => {
+        val t = docs(s, dir).select(col("doc_id"), col("n_chars"),
+          tokens(col("text")).as("toks"))
+        val f = t.select(col("doc_id"), col("n_chars"),
+          size(col("toks")).as("nt"),
+          markerCount(col("toks"), Stopwords).as("nstop"),
+          aggregate(transform(col("toks"), x => length(x).cast("long")),
+            lit(0L), (a, v) => a + v).as("chars_in_toks"))
+        f.select(col("doc_id"), col("nt").as("n_tokens"),
+          round(col("nstop") * 1.0 / col("nt"), 6).as("stopword_ratio"),
+          round(col("chars_in_toks") * 1.0 / col("nt"), 6).as("mean_token_len"),
+          round(log(lit(1) + col("n_chars")) * (lit(1.0) - col("nstop") * 1.0 / col("nt")), 6)
+            .as("quality"))
+          .orderBy("doc_id")
+      }
+    },
+
+    // Language ID: marker-count argmax with fixed priority order.
+    Q("x_langid", {
+      val counts = LangMarkers.map { case (l, ms) =>
+        s"${sqlMarkerCount("toks", ms)} AS c_$l"
+      }.mkString(",\n             ")
+      val best = LangMarkers.map { case (l, _) => s"c_$l" }.mkString("greatest(", ", ", ")")
+      val cases = LangMarkers.map { case (l, _) =>
+        s"WHEN c_$l = $best THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+         |f AS (SELECT doc_id, lang, $counts FROM t)
+         |SELECT doc_id, lang, CASE $cases END AS predicted
+         |FROM f ORDER BY doc_id""".stripMargin
+    }) {
+      (s, dir) => {
+        val t = docs(s, dir).select(col("doc_id"), col("lang"),
+          tokens(col("text")).as("toks"))
+        val f = t.select(Seq(col("doc_id"), col("lang")) ++
+          LangMarkers.map { case (l, ms) => markerCount(col("toks"), ms).as(s"c_$l") }: _*)
+        val best = greatest(LangMarkers.map { case (l, _) => col(s"c_$l") }: _*)
+        val pred = LangMarkers.foldLeft(when(lit(false), lit(""))) {
+          case (acc, (l, _)) => acc.when(col(s"c_$l") === best, l)
+        }
+        f.select(col("doc_id"), col("lang"), pred.as("predicted")).orderBy("doc_id")
+      }
+    },
+
+    // Document fingerprinting: polynomial rolling hash of the text.
+    Q("x_fingerprint",
+      s"""SELECT doc_id, ${sqlFingerprint("text")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id")
+    },
+
+    // Exact dedup: group identical texts by content hash, keep min doc_id.
+    // (The synthetic corpus has no exact dups — every group has size 1 —
+    // but the operator is the standard exact-dedup shape: hash groupBy
+    // with map-side partial aggregation.)
+    Q("d1_exact_dedup",
+      """SELECT min(doc_id) AS keeper, count(*) AS n_copies, sha256(text) AS content_hash
+        |FROM documents GROUP BY sha256(text) ORDER BY keeper""".stripMargin) {
+      (s, dir) =>
+        docs(s, dir).groupBy(sha2(col("text"), 256).as("content_hash"))
+          .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+          .select("keeper", "n_copies", "content_hash")
+          .orderBy("keeper")
+    })
+}
