@@ -1,0 +1,119 @@
+package graft.streaming
+
+import graft.ops.Core
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** The reference pipeline's streaming half, Spark-first (SURVEY.md §2.8,
+  * §3.1/§3.3):
+  *
+  *   Kafka topic `stock_data` (JSON, malformed rows silently dropped,
+  *   reference `flink_processor/flink_processor.py:52-74`)
+  *     -> event-time `ts` + 1-second watermark (`flink_processor.py:56,64`)
+  *     -> BUY/SELL/HOLD CASE (`flink_processor.py:105-109`)
+  *     -> upsert into the keyed store, PK (symbol, datetime)
+  *        (`flink_processor.py:77-91`, `postgres/init.sql:12`)
+  *
+  * plus the client-side bounded 20-row per-symbol buffer
+  * (`streamlit_app/provider.py:107-113`) as a stateful streaming operator.
+  *
+  * Source/sink specifics are parameters (any streaming DataFrame works:
+  * Kafka via `readStream.format("kafka")`, files, or MemoryStream in
+  * tests) — the engine owns the transforms and state semantics.
+  *
+  * Scale design: the ingest path is stateless row-local work (parse,
+  * project, CASE) — it scales with source partitions, no shuffle. State
+  * enters only at the upsert (foreachBatch dedup = one hash aggregation
+  * per micro-batch) and the bounded buffer (flatMapGroupsWithState keyed
+  * by symbol; state size is capped at 20 rows * |symbols|, and the
+  * watermark bounds how long state lingers).
+  */
+object Pipeline {
+
+  /** The wire schema of the reference's `stock_data` topic
+    * (`flink_processor.py:53-63`). */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("symbol", StringType),
+    StructField("Datetime", StringType),
+    StructField("Open", DoubleType),
+    StructField("High", DoubleType),
+    StructField("Low", DoubleType),
+    StructField("Close", DoubleType),
+    StructField("Volume", LongType),
+    StructField("Dividends", DoubleType),
+    StructField("Stock_Splits", DoubleType)))
+
+  /** S6: schema-first JSON decode with silent malformed-row drop
+    * (`'json.ignore-parse-errors' = 'True'`, `flink_processor.py:72`).
+    * Works on both batch and streaming DataFrames with a `value` string
+    * column (the Kafka value).
+    */
+  def decode(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value"), wireSchema).as("r"))
+      .select(col("r.*"))
+      .where(col("symbol").isNotNull && col("Datetime").isNotNull)
+
+  /** S7+S8+P4+P5: event time, watermark, rename-to-sink-schema, indicator.
+    * Mirrors the Flink job's single SELECT (`flink_processor.py:94-112`).
+    */
+  def score(decoded: DataFrame, watermark: String = "1 second"): DataFrame =
+    decoded
+      .withColumn("ts", to_timestamp(col("Datetime"), "yyyy-MM-dd HH:mm:ss"))
+      .where(col("ts").isNotNull)
+      .withWatermark("ts", watermark)
+      .select(
+        col("symbol"),
+        col("ts").as("datetime"),
+        col("Open").as("open"), col("High").as("high"),
+        col("Low").as("low"), col("Close").as("close"),
+        col("Volume").as("volume"),
+        Core.indicator(col("Close"), col("Open")).as("indicator"))
+
+  /** S9: streaming upsert keyed (symbol, datetime) — Flink's JDBC upsert
+    * (`flink_processor.py:89`) as foreachBatch + last-write-wins dedup.
+    * `store` receives each deduped micro-batch; swap in a JDBC/Delta
+    * MERGE writer in production.
+    */
+  def upsertQuery(scored: DataFrame, store: (DataFrame, Long) => Unit,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    scored.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // one row per PK inside the batch; the store merges across
+        // batches (upsert), so replays/duplicates converge to one row.
+        store(batch.dropDuplicates("symbol", "datetime"), id)
+      }
+      .start()
+
+  final case class Bar(symbol: String, datetime: java.sql.Timestamp,
+      open: Double, high: Double, low: Double, close: Double,
+      volume: Long, indicator: String)
+
+  /** S13: the provider's bounded per-symbol buffer (cap 20,
+    * `provider.py:111-112`) as a stateful streaming op. Emits the full
+    * buffer contents on every update (the provider's consumer-visible
+    * contract: latest <= 20 rows per symbol).
+    */
+  def boundedBuffer(scored: Dataset[Bar], cap: Int = 20): Dataset[Bar] = {
+    import scored.sparkSession.implicits._
+    scored.groupByKey(_.symbol)
+      .flatMapGroupsWithState[List[Bar], Bar](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Bar], state: GroupState[List[Bar]]) =>
+          val prev = state.getOption.getOrElse(Nil)
+          // append in arrival order, keep the latest `cap` rows
+          val next = (prev ++ rows.toList).takeRight(cap)
+          state.update(next)
+          next.iterator
+      }
+  }
+
+  /** Batch twin of the full ingest for the dry-run/console path (S10). */
+  def batchIngest(spark: SparkSession, jsonLines: Seq[String]): DataFrame = {
+    import spark.implicits._
+    score(decode(jsonLines.toDF("value")))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.ext.{Multimodal, Portable}
+import org.apache.spark.sql.functions._
+
+/** Specs for the training-pipeline extension primitives. */
+class ExtSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("minhash: identical docs get identical signatures; disjoint docs differ") {
+    val df = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f g"),
+      (3L, "q r s t u v w x y z zz")).toDF("doc_id", "text")
+      .select(col("doc_id"), Portable.minhashSig(
+        Portable.shingles3(Portable.tokens(col("text")))).as("sig"))
+    val sigs = df.orderBy("doc_id").select("sig").as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+    assert(sigs.forall(_.size == Portable.MinhashK))
+  }
+
+  test("minhash signature agreement approximates jaccard (sanity band)") {
+    // two docs sharing most shingles should agree on most signature rows
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 zz")).toDF("doc_id", "text")
+      .select(col("doc_id"), Portable.minhashSig(
+        Portable.shingles3(Portable.tokens(col("text")))).as("sig"))
+    val Array(a, b) = df.orderBy("doc_id").select("sig").as[Seq[Long]].collect()
+    val agree = a.zip(b).count { case (x, y) => x == y }
+    assert(agree >= Portable.MinhashK / 2) // true jaccard ~ 9/15
+  }
+
+  test("shingles: fewer than 3 tokens -> empty; n tokens -> n-2 distinct-capped") {
+    val got = Seq((1, "a b"), (2, "a b c d"), (3, "x x x x"))
+      .toDF("id", "text")
+      .select(col("id"), Portable.shingles3(Portable.tokens(col("text"))).as("sh"))
+      .orderBy("id").select("sh").as[Seq[String]].collect()
+    assert(got(0).isEmpty)
+    assert(got(1) == Seq("a b c", "b c d"))
+    assert(got(2) == Seq("x x x")) // distinct collapses repeats
+  }
+
+  test("simhash: equal for identical docs, within 32 bits, order-weighted") {
+    val got = Seq((1L, "a b c"), (2L, "a b c"), (3L, "z z z z z"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Portable.simhash32(Portable.tokens(col("text"))).as("s"))
+      .orderBy("doc_id").select("s").as[Long].collect()
+    assert(got(0) == got(1))
+    assert(got.forall(s => s >= 0 && s < (1L << 32)))
+  }
+
+  test("cosine: self-similarity is 1, orthogonal is 0, zero vector is null") {
+    val df = Seq(
+      (1, Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (2, Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)),
+      (3, Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("id", "a", "b")
+      .select(col("id"), Portable.cosine(col("a"), col("b")).as("c"))
+      .orderBy("id").select("c").as[Option[Double]].collect()
+    assert(math.abs(df(0).get - 1.0) < 1e-12)
+    assert(math.abs(df(1).get) < 1e-12)
+    assert(df(2).isEmpty)
+  }
+
+  test("fingerprint: deterministic, order-sensitive") {
+    val got = Seq((1L, "ab"), (2L, "ab"), (3L, "ba")).toDF("id", "t")
+      .select(col("id"), Portable.fingerprint(col("t")).as("fp"))
+      .orderBy("id").select("fp").as[Long].collect()
+    assert(got(0) == got(1))
+    assert(got(0) != got(2))
+    // h("ab") = (0*31 + 97)*31 + 98 = 3105
+    assert(got(0) == 97L * 31 + 98)
+  }
+
+  test("multimodal: features deterministic across partition layouts") {
+    val f1 = Multimodal.features(spark, sf).orderBy("doc_id").collect().toSeq
+    val f2 = Multimodal.features(spark, sf).repartition(7).orderBy("doc_id").collect().toSeq
+    assert(f1 == f2)
+    assert(f1.nonEmpty)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.{Core, Indicators, Rolling, Strategies}
+import graft.sources.Bars
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Property/invariant specs for the operator surface (SURVEY.md §5.3). */
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val bars: DataFrame = Bars(spark, sf).cache()
+
+  test("bars: one row per (symbol, datetime); high >= low; volume > 0") {
+    val n = bars.count()
+    assert(n > 0)
+    assert(bars.select("symbol", "datetime").distinct().count() == n)
+    assert(bars.where(col("high") < col("low")).count() == 0)
+    assert(bars.where(col("volume") <= 0).count() == 0)
+    assert(bars.where(!col("open").between(col("low"), col("high"))).count() == 0)
+    assert(bars.where(!col("close").between(col("low"), col("high"))).count() == 0)
+  }
+
+  test("p5 indicator agrees with sign(close - open) and is closed over {BUY,SELL,HOLD}") {
+    val scored = Core.scored(spark, sf)
+    assert(scored.where(!col("indicator").isin("BUY", "SELL", "HOLD")).count() == 0)
+    assert(scored.where(
+      (col("close") > col("open") && col("indicator") =!= "BUY") ||
+      (col("close") < col("open") && col("indicator") =!= "SELL") ||
+      (col("close") === col("open") && col("indicator") =!= "HOLD")).count() == 0)
+  }
+
+  test("rolling mean: NULL for first n-1 rows, equals hand-sliced mean after") {
+    val xs = Seq(1.0, 2.0, 4.0, 8.0, 16.0)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i, x) }.toDF("symbol", "datetime", "x")
+    val got = df.withColumn("m", Rolling.mean(col("x"), 3))
+      .orderBy("datetime").select("m").as[Option[Double]].collect().toSeq
+    assert(got(0).isEmpty && got(1).isEmpty)
+    got.drop(2).zipWithIndex.foreach { case (g, i) =>
+      val want = xs.slice(i, i + 3).sum / 3.0
+      assert(math.abs(g.get - want) < 1e-12)
+    }
+  }
+
+  test("rsi is in [0, 100] where defined") {
+    val rsi = Indicators.withRsi(bars).select("rsi").as[Option[Double]].collect()
+    assert(rsi.flatten.forall(v => v >= 0.0 && v <= 100.0))
+    assert(rsi.flatten.nonEmpty)
+  }
+
+  test("t1 scalping signal is identically 0 (the as-written quirk, SURVEY §2.5)") {
+    // rolling windows INCLUDE the current row, so close < min(close) and
+    // close > max(close) are unsatisfiable — replicated faithfully.
+    val s = Strategies.scalping(bars)
+    assert(s.where(col("signal") =!= 0).count() == 0)
+  }
+
+  test("heikin-ashi: ha_high >= max(open, close) of the original bar") {
+    val ha = graft.ops.Charts.heikinAshi(bars)
+    assert(ha.where(col("ha_high") < greatest(col("open"), col("close"))).count() == 0)
+  }
+
+  test("a3 latest snapshot has exactly one row per symbol, the max-datetime one") {
+    val scored = Core.scored(spark, sf)
+    val snap = scored.groupBy("symbol").agg(
+      max_by(col("close"), col("datetime")).as("price"))
+    val manual = scored.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("symbol").orderBy(col("datetime").desc)))
+      .where(col("rn") === 1).select(col("symbol"), col("close").as("price"))
+    assert(snap.except(manual).count() == 0 && manual.except(snap).count() == 0)
+  }
+}

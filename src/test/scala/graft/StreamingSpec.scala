@@ -1,0 +1,93 @@
+package graft
+
+import graft.streaming.Pipeline
+import graft.streaming.Pipeline.Bar
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import scala.collection.mutable
+
+/** Streaming semantics (SURVEY.md §2.8): JSON decode with corrupt-drop,
+  * event-time scoring, upsert dedup, bounded per-symbol state.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rec(sym: String, dt: String, o: Double, c: Double): String =
+    s"""{"symbol":"$sym","Datetime":"$dt","Open":$o,"High":${math.max(o, c)},"Low":${math.min(o, c)},"Close":$c,"Volume":10,"Dividends":0.0,"Stock_Splits":0.0}"""
+
+  test("S6 decode: malformed rows silently dropped, schema-first") {
+    val out = Pipeline.batchIngest(spark, Seq(
+      rec("AAPL", "2024-01-01 10:00:00", 1.0, 2.0),
+      """{"not json""",
+      """{"symbol":"MSFT"}""", // missing Datetime -> dropped
+      rec("MSFT", "2024-01-01 10:01:00", 5.0, 4.0)))
+    val rows = out.orderBy("symbol").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("indicator")).toSeq == Seq("BUY", "SELL"))
+  }
+
+  test("S9 streaming upsert: duplicates within and across batches converge to one row per PK") {
+    val input = MemoryStream[String](spark)
+    val store = mutable.Map[(String, java.sql.Timestamp), Row]()
+    val scored = Pipeline.score(Pipeline.decode(input.toDF().withColumnRenamed("value", "value")))
+    val q = Pipeline.upsertQuery(scored, (batch, _) => {
+      batch.collect().foreach { r =>
+        store((r.getAs[String]("symbol"), r.getAs[java.sql.Timestamp]("datetime"))) = r
+      }
+    }, Trigger.ProcessingTime(0L)) // immediate micro-batches; AvailableNow would stop after wave 1
+
+    input.addData(
+      rec("AAPL", "2024-01-01 10:00:00", 1.0, 2.0),
+      rec("AAPL", "2024-01-01 10:00:00", 1.0, 3.0)) // same PK, same batch
+    q.processAllAvailable()
+    input.addData(rec("AAPL", "2024-01-01 10:00:00", 1.0, 9.0)) // same PK, later batch
+    q.processAllAvailable()
+    q.stop()
+
+    assert(store.size == 1)
+    // later batch wins (upsert semantics)
+    assert(store.values.head.getAs[Double]("close") == 9.0)
+  }
+
+  test("S13 bounded buffer: per-symbol state capped at 20 rows, arrival order kept") {
+    val input = MemoryStream[Bar](spark)
+    val out = Pipeline.boundedBuffer(input.toDS(), cap = 20)
+    val q = out.writeStream.format("memory").queryName("buf")
+      .outputMode("append").start()
+
+    def bar(sym: String, i: Int): Bar =
+      Bar(sym, java.sql.Timestamp.valueOf(f"2024-01-01 10:${i / 60}%02d:${i % 60}%02d"),
+        i, i + 1, i - 1, i, 10L, "HOLD")
+
+    input.addData((0 until 30).map(i => bar("AAPL", i)): _*)
+    input.addData((0 until 5).map(i => bar("MSFT", i)): _*)
+    q.processAllAvailable()
+
+    // the last emission per symbol reflects the capped buffer
+    val aapl = spark.table("buf").where($"symbol" === "AAPL")
+    // first batch emits the trailing 20 of 30 rows
+    assert(aapl.count() == 20)
+    val minutes = aapl.select(max("open")).as[Double].head()
+    assert(minutes == 29.0) // newest row retained
+    assert(aapl.select(min("open")).as[Double].head() == 10.0) // oldest 10 evicted
+    assert(spark.table("buf").where($"symbol" === "MSFT").count() == 5)
+
+    // second wave: state persists across batches and stays capped
+    input.addData((30 until 35).map(i => bar("AAPL", i)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val afterIds = spark.table("buf").where($"symbol" === "AAPL")
+      .select("open").as[Double].collect()
+    // total emitted rows: 20 (batch 1) + 20 (batch 2 re-emission of capped buffer)
+    assert(afterIds.length == 40)
+    assert(afterIds.max == 34.0)
+  }
+
+  test("streaming plan is stateless up to the sink (no unexpected shuffle)") {
+    val plan = Pipeline.score(Pipeline.decode(Seq("{}").toDF("value")))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in ingest plan:\n$plan")
+  }
+}
