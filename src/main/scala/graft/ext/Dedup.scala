@@ -93,8 +93,11 @@ object Dedup {
          |SELECT doc_a, doc_b, round(sim_est, 6) AS sim_est, round(jaccard, 6) AS jaccard
          |FROM verified WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin) {
       (s, dir) => {
+        // cached: feeds the band explode AND both sides of the verify
+        // join — without it the sha256+signature work runs three times
         val sig = shingled(s, dir)
           .select(col("doc_id"), col("sh"), minhashSig(col("sh")).as("sig"))
+          .cache()
         val bands = sig.select(col("doc_id"),
           posexplode(bandKeys(col("sig"))).as(Seq("bi", "bk")))
         val cand = bands.as("a").join(bands.as("b"),

@@ -59,13 +59,15 @@ object Portable {
   val LshRows = 4
   val P32 = 4294967311L // smallest prime > 2^32
 
-  /** k-element minhash signature of a (distinct) shingle array. */
-  def minhashSig(sh: Column): Column = {
-    val hashes = transform(sh, s => hash32(s))
-    transform(sequence(lit(0), lit(MinhashK - 1)), i =>
-      array_min(transform(hashes, v =>
-        ((lit(2L) * i + lit(1L)) * v + (lit(2654435761L) * (i + lit(1L))) % P32) % P32)))
-  }
+  /** k-element minhash signature of a (distinct) shingle array.
+    * Codegen kernel ([[graft.functions.MinHashSig]]): the equivalent
+    * nested-`transform` HOF re-evaluates the sha256 of every shingle once
+    * per permutation (32x) because inner lambda expressions re-run per
+    * outer element — the kernel hashes once and loops in generated Java,
+    * bit-identical output.
+    */
+  def minhashSig(sh: Column): Column =
+    graft.functions.ArrayOps.minhashSig(transform(sh, s => hash32(s)), MinhashK)
   def sqlMinhashSig(sh: String): String =
     s"list_transform(range(0, $MinhashK), i -> list_min(list_transform(" +
       s"list_transform($sh, s -> ${sqlHash32("s")}), " +
@@ -79,18 +81,11 @@ object Portable {
     s"list_transform(range(0, $LshBands), j -> array_to_string(($sig)[j*$LshRows + 1 : j*$LshRows + $LshRows], '-'))"
 
   // --- SimHash: 32-bit signature over (multiset of) token hashes ---
-  // bit_j(v) via floor(v / 2^j) % 2 — v < 2^32 is exact in a double and
-  // 2^j is an exact power, so the floor-division trick is deterministic
-  // and identical in both engines (DuckDB CAST(double AS BIGINT) rounds,
-  // Spark truncates — floor() first sidesteps the difference).
-  def simhash32(toks: Column): Column = {
-    val th = transform(toks, t => hash32(t))
-    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) => {
-      val bitSum = aggregate(th, lit(0L),
-        (s, v) => s + (floor(v / pow(lit(2.0), j)).cast("long") % 2L) * 2L - 1L)
-      acc + when(bitSum >= 0, pow(lit(2.0), j).cast("long")).otherwise(0L)
-    })
-  }
+  // Codegen kernel; the oracle's bit_j(v) = floor(v / 2^j) % 2 is exact
+  // (v < 2^32 fits a double, 2^j is an exact power) and equals the
+  // kernel's (v >> j) & 1 for non-negative v.
+  def simhash32(toks: Column): Column =
+    graft.functions.ArrayOps.simhash32(transform(toks, t => hash32(t)))
   def sqlSimhash32(toks: String): String =
     s"list_sum(list_transform(range(0, 32), j -> CASE WHEN " +
       s"list_sum(list_transform(list_transform($toks, t -> ${sqlHash32("t")}), " +
@@ -99,10 +94,12 @@ object Portable {
 
   // --- Embedding math (sequential double folds, identical order) ---
 
-  /** Dot product of two float arrays as a sequential double fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two float arrays as a sequential double fold —
+    * codegen kernel ([[graft.functions.DotProductF]]) with the identical
+    * index-ascending IEEE accumulation as the `aggregate`-HOF/`list_reduce`
+    * definition.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayOps.dotF(a, b)
   def sqlDot(a: String, b: String): String =
     s"list_reduce(array_concat([0.0], list_transform(list_zip($a, $b), " +
       s"p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)"
