@@ -16,6 +16,7 @@ object SparkEntry {
       ops.Strategies.queries ++
       ops.Patterns.queries ++
       ops.Charts.queries ++
+      ops.Dashboard.queries ++
       ext.TextStats.queries ++
       ext.Dedup.queries ++
       ext.Similarity.queries ++

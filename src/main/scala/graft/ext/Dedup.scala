@@ -30,9 +30,12 @@ object Dedup {
   val JaccardThreshold = 0.5
 
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(col("doc_id"),
-      shingles3(tokens(col("text"))).as("sh"))
-      .where(size(col("sh")) > 0)
+    Tables.documents(spark, dir)
+      // equivalent to size(sh) > 0, but filtering BEFORE the projection:
+      // a post-projection filter gets pushed down with the whole shingle
+      // expression inlined into the Filter, computing it twice per row
+      .where(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
 
   private val shingledCte =
     s"""sh0 AS (SELECT doc_id, ${sqlShingles3(sqlTokens("text"))} AS sh FROM documents),
