@@ -17,6 +17,8 @@ object SparkEntry {
       ops.Patterns.queries ++
       ops.Charts.queries ++
       ops.Dashboard.queries ++
+      ops.RowOps.queries ++
+      ext.Fundamentals.queries ++
       ext.TextStats.queries ++
       ext.Dedup.queries ++
       ext.Similarity.queries ++

@@ -79,4 +79,13 @@ class ExtSpec extends SparkTestBase {
     assert(f1 == f2)
     assert(f1.nonEmpty)
   }
+
+  test("flatten: nested structs -> underscore-joined leaf columns") {
+    import org.apache.spark.sql.functions.struct
+    val df = Seq((1, 2, 3)).toDF("a", "b", "c")
+      .select(col("a"), struct(col("b"), struct(col("c").as("deep")).as("in")).as("nest"))
+    val flat = graft.sources.Flatten(df)
+    assert(flat.columns.toSeq == Seq("a", "nest_b", "nest_in_deep"))
+    assert(flat.collect().head.toSeq == Seq(1, 2, 3))
+  }
 }
