@@ -30,7 +30,7 @@ object Dedup {
   val JaccardThreshold = 0.5
 
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    spread(Tables.documents(spark, dir), "doc_id")
       // equivalent to size(sh) > 0, but filtering BEFORE the projection:
       // a post-projection filter gets pushed down with the whole shingle
       // expression inlined into the Filter, computing it twice per row
@@ -61,7 +61,11 @@ object Dedup {
         val sh = shingled(s, dir)
         val n = sh.select(col("doc_id"), size(col("sh")).as("ns"))
         val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-        val p = e.as("a").join(e.as("b"),
+        // shuffle-hash, not broadcast: the exploded index is O(corpus) —
+        // at scale it cannot broadcast, and here the two identical
+        // hashpartitioning(g) exchanges collapse into one ReusedExchange
+        // so the shingle pipeline runs once instead of twice
+        val p = e.as("a").join(e.as("b").hint("shuffle_hash"),
             col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("inter"))
@@ -103,7 +107,7 @@ object Dedup {
           .cache()
         val bands = sig.select(col("doc_id"),
           posexplode(bandKeys(col("sig"))).as(Seq("bi", "bk")))
-        val cand = bands.as("a").join(bands.as("b"),
+        val cand = bands.as("a").join(bands.as("b").hint("shuffle_hash"),
             col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -129,7 +133,7 @@ object Dedup {
       s"""SELECT doc_id, ${sqlSimhash32(sqlTokens("text"))} AS simhash
          |FROM documents ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
-        Tables.documents(s, dir)
+        spread(Tables.documents(s, dir), "doc_id")
           .select(col("doc_id"), simhash32(tokens(col("text"))).as("simhash"))
           .orderBy("doc_id")
     })

@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object Portable {
 
+  /** Spread a small-file scan across the cluster before per-row kernel
+    * work. The test tables are single parquet files — one input split —
+    * so without this every sha256/shingle/cosine pipeline runs on ONE
+    * core while 31 idle. Hash-partitioning on the row key costs one tiny
+    * shuffle (O(rows), upstream of all the heavy per-row work) and is the
+    * same operation a 100 TB run gets for free from many input splits.
+    */
+  def spread(df: org.apache.spark.sql.DataFrame, key: String): org.apache.spark.sql.DataFrame =
+    df.repartition(col(key))
+
   /** 32-bit portable hash: first 8 hex chars of sha256 as a long. */
   def hash32(c: Column): Column =
     conv(substring(sha2(c.cast("string"), 256), 1, 8), 16, 10).cast("long")
@@ -40,13 +50,14 @@ object Portable {
   def tokens(c: Column): Column = split(c, " ")
   def sqlTokens(x: String): String = s"string_split($x, ' ')"
 
-  /** Distinct 3-word shingles of a token array (empty when < 3 tokens). */
-  def shingles3(toks: Column): Column =
-    when(size(toks) >= 3,
-      array_distinct(
-        transform(sequence(lit(1), size(toks) - 2),
-          i => concat_ws(" ", slice(toks, i, lit(3))))))
-      .otherwise(array().cast("array<string>"))
+  /** Distinct 3-word shingles of a token array (empty when < 3 tokens).
+    * Kernel ([[graft.functions.Shingles3K]]): the HOF form re-evaluated
+    * the tokenisation inside every per-index lambda. Output order is
+    * first-occurrence on the Spark side vs DuckDB `list_distinct`'s
+    * unspecified order — immaterial: shingle arrays feed only
+    * order-insensitive consumers (counts, min-hash, intersections).
+    */
+  def shingles3(toks: Column): Column = graft.functions.ArrayOps.shingles3(toks)
   def sqlShingles3(toks: String): String =
     s"list_distinct(list_transform(range(1, greatest(len($toks) - 1, 1)), i -> array_to_string(($toks)[i:i+2], ' ')))"
 
@@ -116,14 +127,11 @@ object Portable {
     s"CASE WHEN $na = 0.0 OR $nb = 0.0 THEN NULL ELSE ${sqlDot(a, b)} / ($na * $nb) END"
   }
 
-  /** Polynomial rolling hash of a string's codepoints, mod 1e9+7.
-    * Char-at-position folds (not split-on-empty) because the two engines'
-    * empty-separator split semantics differ.
+  /** Polynomial rolling hash of a string's codepoints, mod 1e9+7 —
+    * kernel ([[graft.functions.PolyHash]]); the oracle folds
+    * `ord(substr(x, i, 1))` per position, same codepoint sequence.
     */
-  def fingerprint(c: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1)))),
-      lit(0L), (h, v) => (h * 31L + v) % 1000000007L)
+  def fingerprint(c: Column): Column = graft.functions.ArrayOps.polyHash(c)
   def sqlFingerprint(x: String): String =
     s"list_reduce(array_concat([CAST(0 AS BIGINT)], list_transform(range(1, length($x) + 1), " +
       s"i -> ord(substr($x, i, 1)))), (h, v) -> (h * 31 + v) % 1000000007)"

@@ -33,7 +33,7 @@ object Similarity {
   val NearDupThreshold = 0.45
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    Portable.spread(Tables.embeddings(spark, dir), "vec_id")
 
   private val cosAB = sqlCosine("q.embedding", "c.embedding")
 
@@ -73,11 +73,18 @@ object Similarity {
          |SELECT vec_a, vec_b, round(cos, 6) AS cos
          |FROM p WHERE cos >= $NearDupThreshold ORDER BY vec_a, vec_b""".stripMargin) {
       (s, dir) => {
+        // norms precomputed per vector BEFORE the pair join: dot(a,a) is
+        // the same IEEE value either way, but per-pair it costs 3 dots
+        // per candidate instead of 1
         val e = emb(s, dir)
-        val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+        val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("na"))
+        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("nb"))
         a.join(b, col("vec_a") < col("vec_b"))
-          .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
+          .select(col("vec_a"), col("vec_b"),
+            when(col("na") === 0.0 || col("nb") === 0.0, lit(null))
+              .otherwise(dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
           .where(col("cos") >= NearDupThreshold)
           .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
           .orderBy("vec_a", "vec_b")

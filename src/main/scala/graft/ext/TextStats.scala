@@ -19,7 +19,7 @@ object TextStats {
   import Portable._
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Portable.spread(Tables.documents(spark, dir), "doc_id")
 
   /** Fixed stopword list (synthetic corpus vocabulary). */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")

@@ -170,10 +170,76 @@ case class SimHash32(child: Expression)
 }
 
 object ArrayOps {
+  def shingles3(toks: Column): Column =
+    Interop.column(Shingles3K(Interop.expression(toks)))
+  def polyHash(c: Column): Column =
+    Interop.column(PolyHash(Interop.expression(c)))
   def dotF(a: Column, b: Column): Column =
     Interop.column(DotProductF(Interop.expression(a), Interop.expression(b)))
   def minhashSig(hashes: Column, k: Int): Column =
     Interop.column(MinHashSig(Interop.expression(hashes), k))
   def simhash32(hashes: Column): Column =
     Interop.column(SimHash32(Interop.expression(hashes)))
+}
+
+/** Distinct 3-word shingles of a token array (first-occurrence order).
+  * The HOF form re-evaluates the tokenisation inside every per-shingle
+  * lambda iteration (`slice(toks, i, 3)` re-splits the full text per
+  * index); this kernel reads the token array once. Codegen dispatches to
+  * the interpreted loop (`CodegenFallback`) — the loop body is plain JVM
+  * code, so only the dispatch is uncompiled and surrounding stages keep
+  * whole-stage codegen.
+  */
+case class Shingles3K(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles3"
+
+  private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i <= n - 3) {
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space,
+        toks.getUTF8String(i), toks.getUTF8String(i + 1), toks.getUTF8String(i + 2)))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray[AnyRef](Array.empty[AnyRef]))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles3K =
+    copy(child = newChild)
+}
+
+/** Polynomial rolling hash over a string's codepoints, mod 1e9+7 —
+  * kernel form of [[graft.ext.Portable.sqlFingerprint]] (the per-position
+  * `substr` HOF copies O(len) bytes per character, O(len^2) per row).
+  */
+case class PolyHash(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
 }

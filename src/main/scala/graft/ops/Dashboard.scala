@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Q
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,21 +21,100 @@ import org.apache.spark.sql.functions._
 object Dashboard {
   import Rolling._
 
+  /** The fused cascade, computed in explicit dependency layers so every
+    * same-depth window expression lands in one `select` and
+    * ExtractWindowExpressions emits ONE Window operator per layer (4
+    * total) instead of the ~20 a `withColumn` chain produces (interposed
+    * Projects defeat CollapseWindow). Formulas are identical to the
+    * composable single-operator builders in [[Indicators]], [[Strategies]],
+    * [[Patterns]], [[Charts]] — the oracle below checks both describe the
+    * same function.
+    */
   def cascade(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Ewma
+    val P = Seq(col("symbol"))
+    val O = Seq(col("datetime"))
+    def ema(c: Column, span: Int) = Ewma.span(c, span, P, O)
+    def emaA(c: Column, a: Double) = Ewma.alpha(c, a, P, O)
+    val whole = W.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
     val scored = Core.scored(spark, dir)
-    val b = Indicators.withIndicatorCols(scored)
-    val s1 = Strategies.scalping(b).withColumnRenamed("signal", "scalping_signal")
-    val s2 = Strategies.rangeTrading(s1).withColumnRenamed("signal", "range_signal")
-    val s3 = Strategies.momentum(s2).withColumnRenamed("signal", "momentum_signal")
-      .drop("momentum")
-    val s4 = Strategies.breakout(s3).withColumnRenamed("signal", "breakout_signal")
-    val p = Patterns.roundingBottom(Patterns.descendingTriangle(Patterns.ascendingTriangle(s4)))
-    val c = Charts.colorFlag(p)
-    val whole = Window.partitionBy("symbol").orderBy("datetime")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    c.withColumn("trend",
-      when(last("close").over(whole) > first("close").over(whole), "Uptrend")
-        .otherwise("Downtrend"))
+
+    // L1: depth-0 windows (over scan columns only)
+    val l1 = scored.select(col("*"),
+      ema(col("close"), 5).as("ema5"), ema(col("close"), 15).as("ema15"),
+      mean(col("close"), 20).as("sma"),
+      (col("close") - lag1(col("close"))).as("delta"),
+      lag1(col("close")).as("pc"),
+      (col("high") - lag1(col("high"))).as("hd"),
+      (col("low") - lag1(col("low"))).as("ld"),
+      diff(col("close"), 5).as("mom"),
+      rmax(col("high"), 5).as("h5"), rmin(col("low"), 5).as("l5"),
+      rmax(col("close"), 5).as("c5max"), rmin(col("close"), 5).as("c5min"),
+      rmax(col("close"), 20).as("c20max"), rmin(col("close"), 20).as("c20min"),
+      ema(col("close"), 12).as("e12"), ema(col("close"), 26).as("e26"),
+      min(col("low")).over(whole).as("support"),
+      max(col("high")).over(whole).as("resistance"),
+      first(col("close")).over(whole).as("firstc"),
+      last(col("close")).over(whole).as("lastc"))
+
+    // L2: windows over L1-derived row expressions
+    val gain = when(col("delta") > 0, col("delta")).otherwise(0.0)
+    val loss = when(col("delta") < 0, -col("delta")).otherwise(0.0)
+    val pdm = when(col("hd") > col("ld") && col("hd") > 0, col("hd")).otherwise(0.0)
+    val mdm = when(col("ld") > col("hd") && col("ld") > 0, col("ld")).otherwise(0.0)
+    val tr = when(col("pc").isNull, col("high") - col("low"))
+      .otherwise(greatest(col("high") - col("low"),
+        abs(col("high") - col("pc")), abs(col("low") - col("pc"))))
+    val l2 = l1.select(col("*"),
+      ema(col("delta"), 25).as("te1"), ema(abs(col("delta")), 25).as("ta1"),
+      (col("e12") - col("e26")).as("macd"),
+      emaA(pdm, 1.0 / 14).as("epdm"), emaA(mdm, 1.0 / 14).as("emdm"),
+      mean(gain, 14).as("ag"), mean(loss, 14).as("al"),
+      mean(tr, 14).as("atr"),
+      lag1(col("h5")).as("prev_h5"), lag1(col("l5")).as("prev_l5"),
+      lag1(col("c20max")).as("prev_c20max"), lag1(col("c20min")).as("prev_c20min"),
+      (col("sma") - lag1(col("sma"))).as("rm_slope"))
+
+    // L3: third window depth (incl. macd_signal: ewma over macd)
+    val pdi = when(col("atr") === 0, lit(null))
+      .otherwise(lit(100.0) * (col("epdm") / col("atr")))
+    val mdi = when(col("atr") === 0, lit(null))
+      .otherwise(lit(100.0) * (col("emdm") / col("atr")))
+    val dxin = when(pdi + mdi === 0, lit(null))
+      .otherwise(lit(100.0) * abs(pdi - mdi) / (pdi + mdi))
+    val l3 = l2.select(col("*"),
+      ema(col("te1"), 13).as("te2"), ema(col("ta1"), 13).as("ta2"),
+      ema(col("macd"), 9).as("macd_signal"),
+      mean(dxin, 14).as("dx"),
+      mean(col("rm_slope"), 5).as("bottom"))
+
+    // L4: final window depth + all row-level outputs
+    l3.select(col("*"), emaA(col("dx"), 1.0 / 14).as("adx"))
+      .select(col("symbol"), col("datetime"), col("open"), col("high"),
+        col("low"), col("close"), col("volume"), col("indicator"),
+        col("ema5"), col("ema15"), col("sma"),
+        when(col("al") === 0 && col("ag") === 0, lit(null))
+          .when(col("al") === 0, 100.0)
+          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("ag") / col("al")))
+          .as("rsi"),
+        when(col("ta2") === 0, lit(null))
+          .otherwise(lit(100.0) * (col("te2") / col("ta2"))).as("tsi"),
+        col("macd"), col("macd_signal"), col("adx"),
+        when(col("close") < col("c5min"), 1)
+          .when(col("close") > col("c5max"), -1).otherwise(0).as("scalping_signal"),
+        when(col("close") >= col("resistance") * 0.95, -1)
+          .when(col("close") <= col("support") * 1.05, 1).otherwise(0).as("range_signal"),
+        when(col("mom") > 0, 1).when(col("mom") < 0, -1).otherwise(0).as("momentum_signal"),
+        when(col("close") > col("prev_c20max"), 1)
+          .when(col("close") < col("prev_c20min"), -1).otherwise(0).as("breakout_signal"),
+        coalesce(col("prev_h5") < col("h5") && col("prev_l5") > col("l5"), lit(false))
+          .as("ascending_triangle"),
+        coalesce(col("prev_h5") > col("h5") && col("prev_l5") < col("l5"), lit(false))
+          .as("descending_triangle"),
+        coalesce(col("bottom") > 0, lit(false)).as("rounding_bottom"),
+        when(col("delta") > 0, "green").otherwise("red").as("color"),
+        when(col("lastc") > col("firstc"), "Uptrend").otherwise("Downtrend").as("trend"))
   }
 
   // one CTE stage per dependency depth; each stage SELECT *-extends the
