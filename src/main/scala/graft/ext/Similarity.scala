@@ -37,6 +37,22 @@ object Similarity {
 
   private val cosAB = sqlCosine("q.embedding", "c.embedding")
 
+  // --- SRP-LSH (e4): sign-random-projection hyperplanes, ±1 Rademacher
+  // coefficients derived deterministically from sha256 so the SAME
+  // constant matrix is embedded in the Spark plan and the oracle SQL.
+  val SrpBits = 16
+  val SrpBands = 4
+  val SrpRows = 4
+  lazy val planes: Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    (0 until SrpBits).map { j =>
+      (0 until 64).map { d =>
+        val h = md.digest(s"srp-$j-$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1 else -1
+      }
+    }
+  }
+
   def queries: Seq[Q] = Seq(
 
     // e2: exact brute-force top-k cosine for queries vec_id < 5.
@@ -139,6 +155,74 @@ object Similarity {
           .select(col("query_id"), col("neighbor_id"), col("rk"),
             round(col("cos"), 6).as("cos"))
           .orderBy("query_id", "rk")
+      }
+    },
+
+    // e4: SRP-LSH bucketed near-dup — the scale path for e1. Signature
+    // bit j = [dot(v, h_j) >= 0] over the ±1 hyperplanes; 4 bands of 4
+    // bits; candidates collide in >= 1 band; verified with exact cosine.
+    // At 100 TB this replaces e1's all-pairs join with a bucket join
+    // whose cost tracks the collision rate, not n^2.
+    Q("e4_srp_lsh", {
+      def dotSql(j: Int): String =
+        sqlDot("embedding", planes(j).map(v => s"$v.0").mkString("[", ",", "]"))
+      val bitsSql = (0 until SrpBits)
+        .map(j => s"CASE WHEN ${dotSql(j)} >= 0 THEN 1 ELSE 0 END AS b$j")
+        .mkString(",\n       ")
+      val bandSql = (0 until SrpBands).map { b =>
+        val key = (0 until SrpRows).map(r => s"b${b * SrpRows + r} * ${1 << r}").mkString(" + ")
+        s"SELECT vec_id, embedding, $b AS band, $key AS bkey FROM sig"
+      }.mkString("\nUNION ALL ")
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding,
+         |       $bitsSql
+         |  FROM embeddings),
+         |bands AS ($bandSql),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+         |n AS (SELECT vec_id, sqrt(${sqlDot("embedding", "embedding")}) AS nrm,
+         |             embedding FROM embeddings),
+         |v AS (SELECT vec_a, vec_b,
+         |             CASE WHEN na.nrm = 0.0 OR nb.nrm = 0.0 THEN NULL
+         |                  ELSE ${sqlDot("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm)
+         |             END AS cos
+         |      FROM cand JOIN n na ON na.vec_id = cand.vec_a
+         |                JOIN n nb ON nb.vec_id = cand.vec_b)
+         |SELECT vec_a, vec_b, round(cos, 6) AS cos
+         |FROM v WHERE cos >= $NearDupThreshold ORDER BY vec_a, vec_b""".stripMargin
+    }) {
+      (s, dir) => {
+        val e = emb(s, dir)
+        val bitCols = (0 until SrpBits).map { j =>
+          val h = typedLit(planes(j).map(_.toFloat))
+          when(dot(col("embedding"), h) >= 0, 1).otherwise(0).as(s"b$j")
+        }
+        val sig = e.select(Seq(col("vec_id"), col("embedding")) ++ bitCols: _*)
+        val bandRows = (0 until SrpBands).map { b =>
+          val key = (0 until SrpRows)
+            .map(r => col(s"b${b * SrpRows + r}") * (1 << r))
+            .reduce(_ + _)
+          sig.select(col("vec_id"), lit(b).as("band"), key.as("bkey"))
+        }
+        val bands = bandRows.reduce(_ unionAll _)
+        val cand = bands.as("a").join(bands.as("b").hint("shuffle_hash"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+          .distinct()
+        val n = e.select(col("vec_id"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"), col("embedding"))
+        cand
+          .join(n.as("na"), col("vec_a") === col("na.vec_id"))
+          .join(n.as("nb"), col("vec_b") === col("nb.vec_id"))
+          .select(col("vec_a"), col("vec_b"),
+            when(col("na.nrm") === 0.0 || col("nb.nrm") === 0.0, lit(null))
+              .otherwise(dot(col("na.embedding"), col("nb.embedding")) /
+                (col("na.nrm") * col("nb.nrm"))).as("cos"))
+          .where(col("cos") >= NearDupThreshold)
+          .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+          .orderBy("vec_a", "vec_b")
       }
     })
 }

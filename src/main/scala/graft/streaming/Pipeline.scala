@@ -116,4 +116,29 @@ object Pipeline {
     import spark.implicits._
     score(decode(jsonLines.toDF("value")))
   }
+
+  /** Streaming re-bar: tumbling event-time window OHLC aggregation — the
+    * windowed-agg the reference lists as future work (`README.md:343-347`)
+    * and the batch `Bars` derivation's streaming twin. Works on any
+    * DataFrame with (symbol, ts-like event time, price, qty); watermark
+    * bounds state so closed windows emit and their state is dropped.
+    *
+    * Scale: one keyed stateful aggregation; state is O(open windows x
+    * symbols), partial aggregation happens before the shuffle, and the
+    * watermark guarantees eviction — the standard production shape for
+    * continuous bar building.
+    */
+  def rebar(events: DataFrame, window: String = "1 minute",
+      watermark: String = "1 second"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("symbol"), org.apache.spark.sql.functions.window(col("ts"), window))
+      .agg(
+        min_by(col("price"), col("ts")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("ts")).as("close"),
+        count(lit(1)).as("volume"))
+      .select(col("symbol"), col("window.start").as("datetime"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
 }

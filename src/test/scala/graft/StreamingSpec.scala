@@ -90,4 +90,36 @@ class StreamingSpec extends SparkTestBase {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in ingest plan:\n$plan")
   }
+
+  test("streaming re-bar: tumbling OHLC windows close on watermark advance") {
+    val input = MemoryStream[(String, java.sql.Timestamp, Double, Long)](spark)
+    val events = input.toDF().toDF("symbol", "ts", "price", "qty")
+    val q = Pipeline.rebar(events, "1 minute", "1 second")
+      .writeStream.format("memory").queryName("rebar").outputMode("append").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      ("AAPL", ts("2024-01-01 10:00:05"), 10.0, 1L),
+      ("AAPL", ts("2024-01-01 10:00:30"), 12.0, 1L),
+      ("AAPL", ts("2024-01-01 10:00:50"), 11.0, 1L))
+    q.processAllAvailable()
+    // window [10:00, 10:01) not closed yet -> nothing emitted in append mode
+    assert(spark.table("rebar").count() == 0)
+
+    // advance event time past the watermark: closes the first window
+    input.addData(("AAPL", ts("2024-01-01 10:01:30"), 20.0, 1L))
+    q.processAllAvailable()
+    input.addData(("AAPL", ts("2024-01-01 10:02:30"), 30.0, 1L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("rebar").orderBy("datetime").collect()
+    assert(rows.length >= 1)
+    val first = rows.head
+    assert(first.getAs[Double]("open") == 10.0)
+    assert(first.getAs[Double]("high") == 12.0)
+    assert(first.getAs[Double]("low") == 10.0)
+    assert(first.getAs[Double]("close") == 11.0)
+    assert(first.getAs[Long]("volume") == 3L)
+  }
 }
