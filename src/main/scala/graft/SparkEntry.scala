@@ -18,6 +18,7 @@ object SparkEntry {
       ops.Charts.queries ++
       ops.Dashboard.queries ++
       ops.RowOps.queries ++
+      ops.Cube.queries ++
       ext.Fundamentals.queries ++
       ext.TextStats.queries ++
       ext.Dedup.queries ++
