@@ -111,6 +111,43 @@ object Pipeline {
       }
   }
 
+  /** S13 on the modern `transformWithState` API (Spark 4): same bounded
+    * 20-row per-symbol buffer, with engine-managed `ListState` instead of
+    * a whole-value `GroupState`. Requires the RocksDB state store
+    * provider (`spark.sql.streaming.stateStore.providerClass`).
+    *
+    * Scale: ListState appends are incremental writes to the state store
+    * (no read-modify-write of the whole buffer on every batch, unlike
+    * [[boundedBuffer]]'s GroupState), which is the point of the new API
+    * for large keyed state.
+    */
+  class BoundedBufferProcessor(cap: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Bar, Bar] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[Bar] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buf = getHandle.getListState[Bar]("buf",
+        org.apache.spark.sql.Encoders.product[Bar],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Bar],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Bar] = {
+      val next = (buf.get().toList ++ rows.toList).takeRight(cap)
+      buf.put(next.toArray)
+      next.iterator
+    }
+  }
+
+  def boundedBufferTws(scored: Dataset[Bar], cap: Int = 20): Dataset[Bar] = {
+    import scored.sparkSession.implicits._
+    scored.groupByKey(_.symbol)
+      .transformWithState(new BoundedBufferProcessor(cap),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Batch twin of the full ingest for the dry-run/console path (S10). */
   def batchIngest(spark: SparkSession, jsonLines: Seq[String]): DataFrame = {
     import spark.implicits._

@@ -122,4 +122,31 @@ class StreamingSpec extends SparkTestBase {
     assert(first.getAs[Double]("close") == 11.0)
     assert(first.getAs[Long]("volume") == 3L)
   }
+
+  test("S13 transformWithState variant: same bounded-buffer semantics on ListState") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Bar](spark)
+      val out = Pipeline.boundedBufferTws(input.toDS(), cap = 20)
+      val q = out.writeStream.format("memory").queryName("buftws")
+        .outputMode("append").start()
+
+      def bar(sym: String, i: Int): Bar =
+        Bar(sym, java.sql.Timestamp.valueOf(f"2024-01-01 10:${i / 60}%02d:${i % 60}%02d"),
+          i, i + 1, i - 1, i, 10L, "HOLD")
+
+      input.addData((0 until 30).map(i => bar("AAPL", i)): _*)
+      q.processAllAvailable()
+      input.addData((30 until 35).map(i => bar("AAPL", i)): _*)
+      q.processAllAvailable()
+      q.stop()
+
+      val t = spark.table("buftws").where($"symbol" === "AAPL")
+      assert(t.count() == 40) // 20 (batch 1) + 20 (batch 2 re-emission)
+      assert(t.agg(max("open")).as[Double].head() == 34.0)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
