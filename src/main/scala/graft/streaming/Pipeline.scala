@@ -3,7 +3,7 @@ package graft.streaming
 import graft.ops.Core
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig}
 import org.apache.spark.sql.types._
 
 /** The reference pipeline's streaming half, Spark-first (SURVEY.md §2.8,
@@ -116,36 +116,44 @@ object Pipeline {
     * a whole-value `GroupState`. Requires the RocksDB state store
     * provider (`spark.sql.streaming.stateStore.providerClass`).
     *
-    * Scale: ListState appends are incremental writes to the state store
-    * (no read-modify-write of the whole buffer on every batch, unlike
-    * [[boundedBuffer]]'s GroupState), which is the point of the new API
-    * for large keyed state.
+    * Scale: new rows land via `appendList` — an incremental state-store
+    * write — and only an overflowing batch rewrites state (trim + put).
+    * The `get()` here serves the EMISSION contract (this operator
+    * re-emits the whole buffer, matching the provider's consumer-visible
+    * behavior), not state maintenance; a delta-emitting variant would
+    * drop it and never read state on the happy path. A whole-value
+    * `GroupState` ([[boundedBuffer]]) must read+rewrite everything every
+    * batch regardless, which is what this API exists to avoid.
     */
   class BoundedBufferProcessor(cap: Int)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Bar, Bar] {
-    @transient private var buf: org.apache.spark.sql.streaming.ListState[Bar] = _
+      extends StatefulProcessor[String, Bar, Bar] {
+    @transient private var buf: ListState[Bar] = _
 
-    override def init(outputMode: OutputMode,
-        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       buf = getHandle.getListState[Bar]("buf",
-        org.apache.spark.sql.Encoders.product[Bar],
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.product[Bar], TTLConfig.NONE)
     }
 
     override def handleInputRows(key: String, rows: Iterator[Bar],
-        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Bar] = {
-      val next = (buf.get().toList ++ rows.toList).takeRight(cap)
-      buf.put(next.toArray)
-      next.iterator
+        timers: TimerValues): Iterator[Bar] = {
+      val incoming = rows.toArray
+      if (incoming.nonEmpty) buf.appendList(incoming)
+      val all = buf.get().toList
+      if (all.length <= cap) all.iterator
+      else {
+        val next = all.takeRight(cap)
+        buf.put(next.toArray) // ListState.put rejects empty arrays; cap >= 1 guarantees non-empty
+        next.iterator
+      }
     }
   }
 
   def boundedBufferTws(scored: Dataset[Bar], cap: Int = 20): Dataset[Bar] = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
     import scored.sparkSession.implicits._
     scored.groupByKey(_.symbol)
       .transformWithState(new BoundedBufferProcessor(cap),
-        org.apache.spark.sql.streaming.TimeMode.None(),
-        OutputMode.Append())
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Batch twin of the full ingest for the dry-run/console path (S10). */

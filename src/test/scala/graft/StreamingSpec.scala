@@ -14,6 +14,10 @@ import scala.collection.mutable
 class StreamingSpec extends SparkTestBase {
   import spark.implicits._
 
+  private def bar(sym: String, i: Int): Bar =
+    Bar(sym, java.sql.Timestamp.valueOf(f"2024-01-01 10:${i / 60}%02d:${i % 60}%02d"),
+      i, i + 1, i - 1, i, 10L, "HOLD")
+
   private def rec(sym: String, dt: String, o: Double, c: Double): String =
     s"""{"symbol":"$sym","Datetime":"$dt","Open":$o,"High":${math.max(o, c)},"Low":${math.min(o, c)},"Close":$c,"Volume":10,"Dividends":0.0,"Stock_Splits":0.0}"""
 
@@ -56,10 +60,6 @@ class StreamingSpec extends SparkTestBase {
     val out = Pipeline.boundedBuffer(input.toDS(), cap = 20)
     val q = out.writeStream.format("memory").queryName("buf")
       .outputMode("append").start()
-
-    def bar(sym: String, i: Int): Bar =
-      Bar(sym, java.sql.Timestamp.valueOf(f"2024-01-01 10:${i / 60}%02d:${i % 60}%02d"),
-        i, i + 1, i - 1, i, 10L, "HOLD")
 
     input.addData((0 until 30).map(i => bar("AAPL", i)): _*)
     input.addData((0 until 5).map(i => bar("MSFT", i)): _*)
@@ -132,10 +132,6 @@ class StreamingSpec extends SparkTestBase {
       val q = out.writeStream.format("memory").queryName("buftws")
         .outputMode("append").start()
 
-      def bar(sym: String, i: Int): Bar =
-        Bar(sym, java.sql.Timestamp.valueOf(f"2024-01-01 10:${i / 60}%02d:${i % 60}%02d"),
-          i, i + 1, i - 1, i, 10L, "HOLD")
-
       input.addData((0 until 30).map(i => bar("AAPL", i)): _*)
       q.processAllAvailable()
       input.addData((30 until 35).map(i => bar("AAPL", i)): _*)
@@ -146,6 +142,7 @@ class StreamingSpec extends SparkTestBase {
       assert(t.count() == 40) // 20 (batch 1) + 20 (batch 2 re-emission)
       assert(t.agg(max("open")).as[Double].head() == 34.0)
     } finally {
+      spark.streams.active.foreach(_.stop())
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
