@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.Q
-import graft.sources.{Flatten, Tables}
+import graft.sources.{Bars, Flatten, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -28,8 +28,6 @@ import org.apache.spark.sql.functions._
   */
 object Fundamentals {
 
-  val symbols: Seq[String] = Seq("AAPL", "GOOGL", "MSFT")
-
   /** Nested per-symbol fundamentals: income + activity datasets. */
   def nested(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
@@ -37,8 +35,7 @@ object Fundamentals {
     val orders = Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
     val joined = orders.join(cust, col("o_custkey") === col("c_custkey"))
-      .withColumn("symbol",
-        element_at(array(symbols.map(lit): _*), (col("c_custkey") % 3).cast("int") + 1))
+      .withColumn("symbol", Bars.symbolFor(col("c_custkey")))
     joined.groupBy("symbol").agg(
       struct(
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
@@ -51,8 +48,8 @@ object Fundamentals {
   }
 
   private val nestedCte =
-    """j AS (
-      |  SELECT ['AAPL','GOOGL','MSFT'][CAST(c_custkey % 3 AS INT) + 1] AS symbol,
+    s"""j AS (
+      |  SELECT ${Bars.sqlSymbolFor("c_custkey")} AS symbol,
       |         o_totalprice, o_orderdate, o_custkey, c_acctbal
       |  FROM orders JOIN customer ON o_custkey = c_custkey
       |), f AS (

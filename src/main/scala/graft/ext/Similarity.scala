@@ -138,12 +138,15 @@ object Similarity {
             row_number().over(Window.partitionBy("label").orderBy("vec_id")))
           .where(col("rn") === 1)
           .select(col("label").as("cl"), col("embedding").as("ce"))
+        // cached: the crossJoin + per-row argmax-cosine assignment feeds
+        // both sides of the probe join below (same recompute d2 documents)
         val assign = e.crossJoin(broadcast(cent))
           .withColumn("ccos", cosine(col("embedding"), col("ce")))
           .withColumn("rn", row_number().over(
             Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cl"))))
           .where(col("rn") === 1)
           .select(col("vec_id"), col("cl"), col("embedding"))
+          .cache()
         val q = assign.where(col("vec_id") < NQueries)
           .select(col("vec_id").as("query_id"), col("cl"), col("embedding").as("qe"))
         val scored = q.join(assign.as("c"),
@@ -194,18 +197,21 @@ object Similarity {
     }) {
       (s, dir) => {
         val e = emb(s, dir)
+        // one projection computes all band keys as an array, then
+        // posexplode — one scan, one signature evaluation per row (a
+        // 4-way union would re-run the SRP dot products once per band)
         val bitCols = (0 until SrpBits).map { j =>
           val h = typedLit(planes(j).map(_.toFloat))
           when(dot(col("embedding"), h) >= 0, 1).otherwise(0).as(s"b$j")
         }
         val sig = e.select(Seq(col("vec_id"), col("embedding")) ++ bitCols: _*)
-        val bandRows = (0 until SrpBands).map { b =>
-          val key = (0 until SrpRows)
+        val bandKeyArr = array((0 until SrpBands).map { b =>
+          (0 until SrpRows)
             .map(r => col(s"b${b * SrpRows + r}") * (1 << r))
             .reduce(_ + _)
-          sig.select(col("vec_id"), lit(b).as("band"), key.as("bkey"))
-        }
-        val bands = bandRows.reduce(_ unionAll _)
+        }: _*)
+        val bands = sig.select(col("vec_id"),
+          posexplode(bandKeyArr).as(Seq("band", "bkey")))
         val cand = bands.as("a").join(bands.as("b").hint("shuffle_hash"),
             col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
               col("a.vec_id") < col("b.vec_id"))

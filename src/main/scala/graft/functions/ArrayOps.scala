@@ -32,11 +32,17 @@ case class DotProductF(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product_f"
+  // NULL on length mismatch (below), regardless of child nullability
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // length mismatch -> NULL, mirroring the oracle's list_zip padding
+    // (zip pads with NULL, NULL poisons the fold) — not a silent
+    // truncated dot product
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -49,12 +55,16 @@ case class DotProductF(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |int n = $a.numElements();
+         |if ($b.numElements() != n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double acc = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |  }
+         |  ${ev.value} = acc;
          |}
-         |${ev.value} = acc;
        """.stripMargin
     })
 

@@ -123,7 +123,7 @@ object Dashboard {
     val ctes =
       s"""c1 AS (SELECT *,
          |  ${Sql.ewmaSpan("close", 5)} AS ema5, ${Sql.ewmaSpan("close", 15)} AS ema15,
-         |  ${Sql.rollMean("close", 20)} AS sma, ${Sql.rollMean("close", 20)} AS rm20,
+         |  ${Sql.rollMean("close", 20)} AS sma,
          |  ${Sql.diff("close")} AS delta, ${Sql.lag("close")} AS pc,
          |  ${Sql.diff("high")} AS hd, ${Sql.diff("low")} AS ld,
          |  ${Sql.diffK("close", 5)} AS mom,
@@ -149,7 +149,7 @@ object Dashboard {
          |       ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END AS tr,
          |  ${Sql.lag("h5")} AS prev_h5, ${Sql.lag("l5")} AS prev_l5,
          |  ${Sql.lag("c20max")} AS prev_c20max, ${Sql.lag("c20min")} AS prev_c20min,
-         |  (rm20 - ${Sql.lag("rm20")}) AS rm_slope
+         |  (sma - ${Sql.lag("sma")}) AS rm_slope
          |  FROM c1),
          |c3 AS (SELECT *,
          |  ${Sql.rollMean("gain", 14)} AS ag, ${Sql.rollMean("loss", 14)} AS al,

@@ -22,13 +22,21 @@ import org.apache.spark.sql.functions._
 object Bars {
   val symbols: Seq[String] = Seq("AAPL", "GOOGL", "MSFT")
 
+  /** `symbols[key % 3]` as a Column — the single definition of the
+    * key->symbol mapping (also used by the fundamentals tables). */
+  def symbolFor(key: Column): Column =
+    element_at(array(symbols.map(lit): _*), (key % symbols.size).cast("int") + 1)
+
+  /** DuckDB mirror of [[symbolFor]]. */
+  def sqlSymbolFor(key: String): String =
+    s"[${symbols.map(s => s"'$s'").mkString(",")}][CAST($key % ${symbols.size} AS INT) + 1]"
+
   /** (symbol, datetime) deterministic tie-break ordering key for open/close. */
   private def ord: Column = struct(col("ts"), col("event_id"))
 
   def apply(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-      .withColumn("symbol",
-        element_at(array(symbols.map(lit): _*), (col("user_id") % 3).cast("int") + 1))
+      .withColumn("symbol", symbolFor(col("user_id")))
       .withColumn("datetime", date_trunc("minute", col("ts")))
     e.groupBy("symbol", "datetime")
       .agg(
@@ -43,8 +51,8 @@ object Bars {
     * bars-based oracle in `SparkEntry.oracleSql`.
     */
   val cte: String =
-    """e AS (
-      |  SELECT ['AAPL','GOOGL','MSFT'][CAST(user_id % 3 AS INT) + 1] AS symbol,
+    s"""e AS (
+      |  SELECT ${sqlSymbolFor("user_id")} AS symbol,
       |         date_trunc('minute', ts) AS datetime, ts, event_id, value
       |  FROM events
       |), bars AS (
