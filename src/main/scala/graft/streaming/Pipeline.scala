@@ -45,6 +45,30 @@ object Pipeline {
     StructField("Dividends", DoubleType),
     StructField("Stock_Splits", DoubleType)))
 
+  /** S5/S6 Kafka wiring (no broker in this environment — the transforms
+    * are exercised through MemoryStream/batch twins; this is the
+    * production source): value bytes -> string for [[decode]].
+    */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String,
+      startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
+  /** S5: keyed JSON producer sink (`yahoo_finance_producer.py:107-108`). */
+  def kafkaSink(scored: DataFrame, bootstrap: String, topic: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    scored
+      .select(col("symbol").cast("string").as("key"),
+        to_json(struct(col("*"))).as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
   /** S6: schema-first JSON decode with silent malformed-row drop
     * (`'json.ignore-parse-errors' = 'True'`, `flink_processor.py:72`).
     * Works on both batch and streaming DataFrames with a `value` string

@@ -88,4 +88,12 @@ class ExtSpec extends SparkTestBase {
     assert(flat.columns.toSeq == Seq("a", "nest_b", "nest_in_deep"))
     assert(flat.collect().head.toSeq == Seq(1, 2, 3))
   }
+
+  test("e4 SRP-LSH results are a subset of e1 exhaustive near-dup pairs") {
+    val e1 = graft.ext.Similarity.queries.find(_.name == "e1_cosine_neardup").get
+      .build(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val e4 = graft.ext.Similarity.queries.find(_.name == "e4_srp_lsh").get
+      .build(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(e4.subsetOf(e1), s"LSH found pairs brute force did not: ${e4 -- e1}")
+  }
 }
