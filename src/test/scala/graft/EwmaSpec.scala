@@ -69,4 +69,25 @@ class EwmaSpec extends SparkTestBase {
       .orderBy("g", "i").select("ema").as[Double].collect().toSeq
     assert(df == Seq(10.0, 20.0, 100.0, 200.0))
   }
+
+  test("EwmaScan: distributed prefix scan agrees with the window fold across partition boundaries") {
+    import graft.sources.Bars
+    val bars = Bars(spark, sf)
+    val alpha = 2.0 / 6.0 // span 5
+    val ref = bars.withColumn("ema",
+        Ewma.span(col("close"), 5, Seq(col("symbol")), Seq(col("datetime"))))
+      .select("symbol", "datetime", "ema")
+      .orderBy("symbol", "datetime").collect()
+    // 7 range partitions: symbol runs are forced to span boundaries
+    val scan = graft.functions.EwmaScan(bars, alpha, "symbol", "datetime", "close",
+        numPartitions = 7)
+      .select("symbol", "datetime", "ema")
+      .orderBy("symbol", "datetime").collect()
+    assert(ref.length == scan.length && ref.nonEmpty)
+    ref.zip(scan).foreach { case (a, b) =>
+      val (x, y) = (a.getDouble(2), b.getDouble(2))
+      assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)),
+        s"${a.get(0)}/${a.get(1)}: window=$x scan=$y")
+    }
+  }
 }
