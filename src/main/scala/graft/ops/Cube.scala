@@ -40,6 +40,83 @@ object Cube {
           "symbol", "day")
     },
 
+    // Gap-based sessionization of the event stream (30-min inactivity
+    // boundary): the canonical large-scale clickstream op. One window
+    // pass computes session breaks + running session numbers; the
+    // aggregation groups on (user, session). Second-granularity gap on
+    // both engines: epoch-floor on the Spark side, second-boundary count
+    // in DuckDB (equivalent definitions).
+    Q("a6_sessionize",
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS session_no
+        |      FROM g)
+        |SELECT user_id, session_no, min(ts) AS session_start,
+        |       max(ts) AS session_end, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin) {
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val run = w.rowsBetween(Long.MinValue, 0)
+        val e = Tables.events(s, dir)
+        val prev = lag(col("ts"), 1).over(w)
+        val sess = e
+          .withColumn("brk",
+            when(prev.isNull ||
+              col("ts").cast("long") - prev.cast("long") > 1800, 1).otherwise(0))
+          .withColumn("session_no", sum(col("brk")).over(run))
+        sess.groupBy("user_id", "session_no")
+          .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id", "session_no")
+      }
+    },
+
+    // Exact distributed Pearson correlation: all five sufficient
+    // statistics as DECIMAL sums (order-independent across shuffles),
+    // converted to double only in the final scalar formula — engine-native
+    // corr() would flap on float accumulation order.
+    Q("a7_exact_corr",
+      barsQ(
+        """x AS (SELECT symbol,
+          |              count(*) AS n,
+          |              CAST(sum(CAST(close AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+          |              CAST(sum(CAST(volume AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+          |              CAST(sum(CAST(close AS DECIMAL(28,4)) * CAST(close AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+          |              CAST(sum(CAST(volume AS DECIMAL(28,4)) * CAST(volume AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+          |              CAST(sum(CAST(close AS DECIMAL(28,4)) * CAST(volume AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+          |       FROM bars GROUP BY symbol)""".stripMargin,
+        """SELECT symbol,
+          |       round(CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) <= 0 THEN NULL
+          |             ELSE (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+          |             END, 6) AS close_volume_corr
+          |FROM x ORDER BY symbol""".stripMargin)) {
+      (s, dir) => {
+        val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(28,4)")
+        val x = Bars(s, dir).groupBy("symbol").agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("close"))).cast("double").as("sx"),
+          sum(dec(col("volume"))).cast("double").as("sy"),
+          sum(dec(col("close")) * dec(col("close"))).cast("double").as("sxx"),
+          sum(dec(col("volume")) * dec(col("volume"))).cast("double").as("syy"),
+          sum(dec(col("close")) * dec(col("volume"))).cast("double").as("sxy"))
+        val varProd = (col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))
+        x.select(col("symbol"),
+          round(when(varProd <= 0, lit(null))
+            .otherwise((col("n") * col("sxy") - col("sx") * col("sy")) / sqrt(varProd)), 6)
+            .as("close_volume_corr"))
+          .orderBy("symbol")
+      }
+    },
+
     // Deterministic hash sampling: stable ~10% sample keyed on doc_id —
     // the production-correct way to sample reproducibly across engines
     // and runs (engine-native random samples are not comparable).
