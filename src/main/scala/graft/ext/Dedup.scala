@@ -128,6 +128,50 @@ object Dedup {
       }
     },
 
+    // d5: edit-distance verification of the n-gram candidates — the last
+    // rung of the near-dup ladder (cheap signatures -> set overlap ->
+    // exact character distance on the few surviving pairs). Levenshtein
+    // is integer DP, identical in both engines; the expensive O(len^2)
+    // compare runs only on pairs that already passed the Jaccard gate.
+    Q("d5_edit_distance",
+      s"""WITH $shingledCte,
+         |n AS (SELECT doc_id, len(sh) AS ns FROM shingled),
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b,
+         |             inter * 1.0 / (na.ns + nb.ns - inter) AS jaccard
+         |      FROM p JOIN n na ON na.doc_id = p.doc_a
+         |             JOIN n nb ON nb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard,
+         |       levenshtein(da.text, db.text) AS edit_dist
+         |FROM j JOIN documents da ON da.doc_id = j.doc_a
+         |       JOIN documents db ON db.doc_id = j.doc_b
+         |WHERE jaccard >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin) {
+      (s, dir) => {
+        val sh = shingled(s, dir)
+        val n = sh.select(col("doc_id"), size(col("sh")).as("ns"))
+        val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+        val p = e.as("a").join(e.as("b").hint("shuffle_hash"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        val j = p.join(n.as("na"), col("doc_a") === col("na.doc_id"))
+          .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            (col("inter") * 1.0 / (col("na.ns") + col("nb.ns") - col("inter"))).as("jaccard"))
+          .where(col("jaccard") >= JaccardThreshold)
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        j.join(docs.as("da"), col("doc_a") === col("da.doc_id"))
+          .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"),
+            levenshtein(col("da.text"), col("db.text")).as("edit_dist"))
+          .orderBy("doc_a", "doc_b")
+      }
+    },
+
     // d3: SimHash 32-bit signatures (token multiset, occurrence-weighted).
     Q("d3_simhash",
       s"""SELECT doc_id, ${sqlSimhash32(sqlTokens("text"))} AS simhash

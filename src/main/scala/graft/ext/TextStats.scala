@@ -123,6 +123,23 @@ object TextStats {
           .orderBy("doc_id")
     },
 
+    // Pivot: doc counts by source x language (wide shape). The oracle
+    // expresses the same pivot as conditional aggregation, which is what
+    // Spark's pivot plans to internally.
+    Q("x_pivot", {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val cells = langs.map(l => s"count(*) FILTER (lang = '$l') AS $l").mkString(", ")
+      s"SELECT source, $cells FROM documents GROUP BY source ORDER BY source"
+    }) {
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy("source")
+          .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+          .count()
+          .na.fill(0L)
+          .orderBy("source")
+    },
+
     // Exact dedup: group identical texts by content hash, keep min doc_id.
     // (The synthetic corpus has no exact dups — every group has size 1 —
     // but the operator is the standard exact-dedup shape: hash groupBy
