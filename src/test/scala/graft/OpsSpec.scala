@@ -70,4 +70,23 @@ class OpsSpec extends SparkTestBase {
       .where(col("rn") === 1).select(col("symbol"), col("close").as("price"))
     assert(snap.except(manual).count() == 0 && manual.except(snap).count() == 0)
   }
+
+  test("sessionize: sessions are disjoint, gap-separated, and cover all events") {
+    val sess = graft.ops.Cube.queries.find(_.name == "a6_sessionize").get
+      .build(spark, sf).collect()
+    assert(sess.nonEmpty)
+    val events = graft.sources.Tables.events(spark, sf).count()
+    assert(sess.map(_.getAs[Long]("n_events")).sum == events)
+    // within a user, consecutive sessions are separated by > 1800s
+    sess.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("session_no"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val gap = (b.getAs[java.sql.Timestamp]("session_start").getTime -
+            a.getAs[java.sql.Timestamp]("session_end").getTime) / 1000
+          assert(gap > 1800, s"gap $gap between sessions")
+        case _ =>
+      }
+    }
+  }
 }
