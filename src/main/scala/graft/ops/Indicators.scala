@@ -50,9 +50,8 @@ object Indicators {
     val delta = diff(col("close"))
     val gain = when(delta > 0, delta).otherwise(0.0)
     val loss = when(delta < 0, -delta).otherwise(0.0)
-    val withGl = df
-      .withColumn("rsi_gain", mean(gain, n))
-      .withColumn("rsi_loss", mean(loss, n))
+    val withGl = df.select(col("*"),
+      mean(gain, n).as("rsi_gain"), mean(loss, n).as("rsi_loss"))
     withGl.withColumn("rsi",
         when(col("rsi_loss") === 0 && col("rsi_gain") === 0, lit(null))
           .when(col("rsi_loss") === 0, 100.0)
@@ -62,11 +61,11 @@ object Indicators {
 
   /** W4: TSI(25,13) — double-smoothed momentum (:178-184). */
   def withTsi(df: DataFrame, longW: Int = 25, shortW: Int = 13): DataFrame =
-    df.withColumn("tsi_d", diff(col("close")))
-      .withColumn("tsi_e1", ema(col("tsi_d"), longW))
-      .withColumn("tsi_a1", ema(abs(col("tsi_d")), longW))
-      .withColumn("tsi_e2", ema(col("tsi_e1"), shortW))
-      .withColumn("tsi_a2", ema(col("tsi_a1"), shortW))
+    df.select(col("*"), diff(col("close")).as("tsi_d"))
+      .select(col("*"),
+        ema(col("tsi_d"), longW).as("tsi_e1"), ema(abs(col("tsi_d")), longW).as("tsi_a1"))
+      .select(col("*"),
+        ema(col("tsi_e1"), shortW).as("tsi_e2"), ema(col("tsi_a1"), shortW).as("tsi_a2"))
       .withColumn("tsi",
         when(col("tsi_a2") === 0, lit(null))
           .otherwise(lit(100.0) * (col("tsi_e2") / col("tsi_a2"))))
@@ -74,17 +73,18 @@ object Indicators {
 
   /** W5: MACD(12,26,9) (:186-191). */
   def withMacd(df: DataFrame): DataFrame =
-    df.withColumn("macd_e12", ema(col("close"), 12))
-      .withColumn("macd_e26", ema(col("close"), 26))
-      .withColumn("macd", col("macd_e12") - col("macd_e26"))
-      .withColumn("macd_signal", ema(col("macd"), 9))
-      .drop("macd_e12", "macd_e26")
+    df.select(col("*"),
+        (ema(col("close"), 12) - ema(col("close"), 26)).as("macd"))
+      .select(col("*"), ema(col("macd"), 9).as("macd_signal"))
 
   /** W6: ADX(14) with the author's as-written -DM sign convention
     * (`low_diff.where((low_diff > high_diff) & (low_diff > 0), 0)`,
     * :193-204 — standard ADX uses -low.diff()).
     */
   def withAdx(df: DataFrame, n: Int = 14): DataFrame = {
+    // layered selects: same-depth window expressions share one select so
+    // ExtractWindowExpressions emits one Window operator per layer (a
+    // withColumn chain planned ~8 — see Dashboard.cascade for the pattern)
     val hd = diff(col("high"))
     val ld = diff(col("low"))
     val pc = lag1(col("close"))
@@ -94,22 +94,19 @@ object Indicators {
     val tr = when(pc.isNull, col("high") - col("low"))
       .otherwise(greatest(col("high") - col("low"), abs(col("high") - pc), abs(col("low") - pc)))
     // ewm(alpha=1/n) directly (not span form) per reference :200-201
-    val stage2 = df
-      .withColumn("adx_epdm", Ewma.alpha(pdm, 1.0 / n, P, O))
-      .withColumn("adx_emdm", Ewma.alpha(mdm, 1.0 / n, P, O))
-      .withColumn("adx_atr", mean(tr, n))
-      .withColumn("adx_pdi",
-        when(col("adx_atr") === 0, lit(null))
-          .otherwise(lit(100.0) * (col("adx_epdm") / col("adx_atr"))))
-      .withColumn("adx_mdi",
-        when(col("adx_atr") === 0, lit(null))
-          .otherwise(lit(100.0) * (col("adx_emdm") / col("adx_atr"))))
-      .withColumn("adx_dxin",
-        when(col("adx_pdi") + col("adx_mdi") === 0, lit(null))
-          .otherwise(lit(100.0) * abs(col("adx_pdi") - col("adx_mdi")) / (col("adx_pdi") + col("adx_mdi"))))
-      .withColumn("adx_dx", mean(col("adx_dxin"), n))
-      .withColumn("adx", Ewma.alpha(col("adx_dx"), 1.0 / n, P, O))
-    stage2.drop("adx_epdm", "adx_emdm", "adx_atr", "adx_pdi", "adx_mdi", "adx_dxin", "adx_dx")
+    val l1 = df.select(col("*"),
+      Ewma.alpha(pdm, 1.0 / n, P, O).as("adx_epdm"),
+      Ewma.alpha(mdm, 1.0 / n, P, O).as("adx_emdm"),
+      mean(tr, n).as("adx_atr"))
+    val pdi = when(col("adx_atr") === 0, lit(null))
+      .otherwise(lit(100.0) * (col("adx_epdm") / col("adx_atr")))
+    val mdi = when(col("adx_atr") === 0, lit(null))
+      .otherwise(lit(100.0) * (col("adx_emdm") / col("adx_atr")))
+    val dxin = when(pdi + mdi === 0, lit(null))
+      .otherwise(lit(100.0) * abs(pdi - mdi) / (pdi + mdi))
+    val l2 = l1.select(col("*"), mean(dxin, n).as("adx_dx"))
+    l2.select(col("*"), Ewma.alpha(col("adx_dx"), 1.0 / n, P, O).as("adx"))
+      .drop("adx_epdm", "adx_emdm", "adx_atr", "adx_dx")
   }
 
   // --- oracle CTE chains (DuckDB) mirroring the above bit-for-bit ---
