@@ -167,7 +167,7 @@ object Dedup {
         j.join(docs.as("da"), col("doc_a") === col("da.doc_id"))
           .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
           .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"),
-            levenshtein(col("da.text"), col("db.text")).as("edit_dist"))
+            levenshtein(col("da.text"), col("db.text")).cast("long").as("edit_dist"))
           .orderBy("doc_a", "doc_b")
       }
     },

@@ -32,20 +32,35 @@ object Multimodal {
     * contract is only this signature.
     */
   trait MediaDecoder extends Serializable {
-    /** (n_bytes, byte_sum) — stand-ins for (decoded size, luminance). */
+    /** (n_bytes, cp_sum) — stand-ins for (decoded size, luminance). */
     def features(payload: Array[Byte]): (Int, Long)
   }
 
-  /** Deterministic fake decode: byte count + unsigned byte sum. */
+  /** Deterministic fake decode: byte count + sum of decoded codepoints.
+    * It actually DECODES the payload (UTF-8 -> codepoints) rather than
+    * folding raw octets, so the oracle's per-character `ord` fold matches
+    * for any corpus, not just ASCII (round-1 review finding).
+    */
   object FakeDecoder extends MediaDecoder {
-    def features(payload: Array[Byte]): (Int, Long) =
-      (payload.length, payload.foldLeft(0L)((s, b) => s + (b & 0xff)))
+    def features(payload: Array[Byte]): (Int, Long) = {
+      val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+      var sum = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        sum += cp
+        i += Character.charCount(cp)
+      }
+      (payload.length, sum)
+    }
   }
 
   final case class MediaRec(
       doc_id: Long, payload: Array[Byte], width: Int, height: Int, format: String)
+  // all-int64 feature row: DuckDB arithmetic yields BIGINT, and exact
+  // arrow-type parity with the oracle keeps the driver's value hash stable
   final case class MediaFeat(
-      doc_id: Long, width: Int, height: Int, n_bytes: Int, byte_sum: Long,
+      doc_id: Long, width: Long, height: Long, n_bytes: Long, cp_sum: Long,
       aspect_milli: Long)
 
   /** The media table: documents' text bytes standing in for an image
@@ -66,23 +81,25 @@ object Multimodal {
         // one decoder per partition — where a real codec loads its libs
         val d = decoder
         it.map { r =>
-          val (nBytes, byteSum) = d.features(r.payload)
-          MediaFeat(r.doc_id, r.width, r.height, nBytes, byteSum,
-            r.width.toLong * 1000L / r.height)
+          val (nBytes, cpSum) = d.features(r.payload)
+          MediaFeat(r.doc_id, r.width.toLong, r.height.toLong, nBytes.toLong,
+            cpSum, r.width.toLong * 1000L / r.height)
         }
       }(Encoders.product[MediaFeat])
       .toDF()
 
-  // Oracle mirror of the fake decode. byte_sum == codepoint sum only for
-  // ASCII corpora (true for the synthetic testdata); documented stub.
+  // Oracle mirror of the fake decode: per-character `ord` fold == UTF-8
+  // decode + codepoint sum on any corpus. COALESCE pins the empty-text
+  // edge (list_sum over an empty list is NULL in DuckDB, 0 in the
+  // decoder); CAST collapses HUGEINT -> BIGINT for arrow-type parity.
   def queries: Seq[Q] = Seq(
     Q("m1_media_features",
       """SELECT doc_id,
         |       (n_chars % 640) + 32 AS width,
         |       ((n_chars * 7) % 480) + 32 AS height,
         |       octet_length(encode(text)) AS n_bytes,
-        |       list_sum(list_transform(range(1, length(text) + 1),
-        |                i -> ord(substr(text, i, 1)))) AS byte_sum,
+        |       CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+        |                i -> ord(substr(text, i, 1)))), 0) AS BIGINT) AS cp_sum,
         |       (((n_chars % 640) + 32) * 1000) // (((n_chars * 7) % 480) + 32) AS aspect_milli
         |FROM documents ORDER BY doc_id""".stripMargin) {
       (s, dir) => features(s, dir).orderBy("doc_id")

@@ -97,11 +97,14 @@ object Portable {
   // kernel's (v >> j) & 1 for non-negative v.
   def simhash32(toks: Column): Column =
     graft.functions.ArrayOps.simhash32(transform(toks, t => hash32(t)))
+  // outer CAST: DuckDB list_sum yields HUGEINT -> arrow decimal128, which
+  // the driver's value hash formats differently from Spark's int64 even
+  // when numerically equal (round-1 d3 hash-red root cause)
   def sqlSimhash32(toks: String): String =
-    s"list_sum(list_transform(range(0, 32), j -> CASE WHEN " +
+    s"CAST(list_sum(list_transform(range(0, 32), j -> CASE WHEN " +
       s"list_sum(list_transform(list_transform($toks, t -> ${sqlHash32("t")}), " +
       s"v -> (CAST(floor(v / power(2.0, j)) AS BIGINT) % 2) * 2 - 1)) >= 0 " +
-      s"THEN CAST(power(2.0, j) AS BIGINT) ELSE 0 END))"
+      s"THEN CAST(power(2.0, j) AS BIGINT) ELSE 0 END)) AS BIGINT)"
 
   // --- Embedding math (sequential double folds, identical order) ---
 

@@ -74,7 +74,7 @@ object Similarity {
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             cosine(col("qe"), col("embedding")).as("cos"))
         val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-        scored.withColumn("rk", row_number().over(w)).where(col("rk") <= K)
+        scored.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= K)
           .select(col("query_id"), col("neighbor_id"), col("rk"),
             round(col("cos"), 6).as("cos"))
           .orderBy("query_id", "rk")
@@ -154,7 +154,7 @@ object Similarity {
           .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
             cosine(col("qe"), col("c.embedding")).as("cos"))
         val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-        scored.withColumn("rk", row_number().over(w)).where(col("rk") <= K)
+        scored.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= K)
           .select(col("query_id"), col("neighbor_id"), col("rk"),
             round(col("cos"), 6).as("cos"))
           .orderBy("query_id", "rk")

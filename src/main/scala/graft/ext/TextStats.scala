@@ -51,8 +51,8 @@ object TextStats {
         |FROM documents ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
         docs(s, dir).select(col("doc_id"),
-          size(tokens(col("text"))).as("n_tokens"),
-          size(regexp_extract_all(col("text"), lit("[a-z0-9]{1,4}"), lit(0))).as("n_subtokens"))
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]{1,4}"), lit(0))).cast("long").as("n_subtokens"))
           .orderBy("doc_id")
     },
 
@@ -78,7 +78,7 @@ object TextStats {
           markerCount(col("toks"), Stopwords).as("nstop"),
           aggregate(transform(col("toks"), x => length(x).cast("long")),
             lit(0L), (a, v) => a + v).as("chars_in_toks"))
-        f.select(col("doc_id"), col("nt").as("n_tokens"),
+        f.select(col("doc_id"), col("nt").cast("long").as("n_tokens"),
           round(col("nstop") * 1.0 / col("nt"), 6).as("stopword_ratio"),
           round(col("chars_in_toks") * 1.0 / col("nt"), 6).as("mean_token_len"),
           round(log(lit(1) + col("n_chars")) * (lit(1.0) - col("nstop") * 1.0 / col("nt")), 6)

@@ -54,16 +54,22 @@ case class DotProductF(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // every local freshName'd: several kernel instances can share one
+      // generated function (cosine = three DotProductF in one projection),
+      // and fixed names are a janino "Redefinition of local variable" error
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |int n = $a.numElements();
-         |if ($b.numElements() != n) {
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double acc = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
-         |  ${ev.value} = acc;
+         |  ${ev.value} = $acc;
          |}
        """.stripMargin
     })
@@ -109,20 +115,28 @@ case class MinHashSig(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, hv => {
       val arrCls = classOf[GenericArrayData].getName
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
       s"""
-         |int n = $hv.numElements();
-         |Object[] out = new Object[$k];
-         |for (int i = 0; i < $k; i++) {
-         |  long a = 2L * i + 1L;
-         |  long b = (2654435761L * (i + 1L)) % ${P}L;
-         |  long m = Long.MAX_VALUE;
-         |  for (int j = 0; j < n; j++) {
-         |    long h = (a * $hv.getLong(j) + b) % ${P}L;
-         |    if (h < m) m = h;
+         |int $n = $hv.numElements();
+         |Object[] $out = new Object[$k];
+         |for (int $i = 0; $i < $k; $i++) {
+         |  long $a = 2L * $i + 1L;
+         |  long $b = (2654435761L * ($i + 1L)) % ${P}L;
+         |  long $m = Long.MAX_VALUE;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $h = ($a * $hv.getLong($j) + $b) % ${P}L;
+         |    if ($h < $m) $m = $h;
          |  }
-         |  out[i] = (n == 0) ? null : (Object) m;
+         |  $out[$i] = ($n == 0) ? null : (Object) $m;
          |}
-         |${ev.value} = new $arrCls(out);
+         |${ev.value} = new $arrCls($out);
        """.stripMargin
     })
 
@@ -144,6 +158,10 @@ case class SimHash32(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val th = input.asInstanceOf[ArrayData]
     val n = th.numElements()
+    // empty multiset -> 0, matching the oracle (DuckDB list_sum over an
+    // empty list is NULL, so every bit's CASE lands in ELSE 0); without
+    // this the s=0 >= 0 rule would set all 32 bits
+    if (n == 0) return 0L
     var sig = 0L
     var j = 0
     while (j < 32) {
@@ -161,17 +179,24 @@ case class SimHash32(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, th => {
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
       s"""
-         |int n = $th.numElements();
-         |long sig = 0L;
-         |for (int j = 0; j < 32; j++) {
-         |  long s = 0L;
-         |  for (int i = 0; i < n; i++) {
-         |    s += (($th.getLong(i) >> j) & 1L) * 2L - 1L;
+         |int $n = $th.numElements();
+         |long $sig = 0L;
+         |if ($n > 0) {
+         |  for (int $j = 0; $j < 32; $j++) {
+         |    long $s = 0L;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += ((($th.getLong($i)) >> $j) & 1L) * 2L - 1L;
+         |    }
+         |    if ($s >= 0) $sig += (1L << $j);
          |  }
-         |  if (s >= 0) sig += (1L << j);
          |}
-         |${ev.value} = sig;
+         |${ev.value} = $sig;
        """.stripMargin
     })
 

@@ -57,8 +57,9 @@ object Cube {
         |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                               ROWS UNBOUNDED PRECEDING) AS session_no
         |      FROM g)
-        |SELECT user_id, session_no, min(ts) AS session_start,
-        |       max(ts) AS session_end, count(*) AS n_events
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |       CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |       CAST(max(ts) AS TIMESTAMP) AS session_end, count(*) AS n_events
         |FROM s GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin) {
       (s, dir) => {

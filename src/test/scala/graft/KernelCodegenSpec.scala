@@ -1,0 +1,117 @@
+package graft
+
+import graft.ext.Portable
+import graft.functions.ArrayOps
+import org.apache.spark.sql.functions._
+
+/** Proves the ArrayOps kernels actually COMPILE under codegen — not just
+  * that they produce right answers interpreted. Round-1 bench ran every
+  * dedup/similarity query interpreted because two kernel instances in one generated
+  * function redefined fixed local names (janino "Redefinition of local
+  * variable"); with `spark.sql.codegen.fallback=false` and
+  * `factoryMode=CODEGEN_ONLY` any such compile failure throws here
+  * instead of silently degrading.
+  */
+class KernelCodegenSpec extends SparkTestBase {
+
+  private def withCodegenOnly[A](body: => A): A = {
+    val conf = spark.conf
+    val prevFallback = conf.getOption("spark.sql.codegen.fallback")
+    val prevFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    conf.set("spark.sql.codegen.fallback", "false")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try body
+    finally {
+      prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(v =>
+        conf.set("spark.sql.codegen.fallback", v))
+      prevFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(v =>
+        conf.set("spark.sql.codegen.factoryMode", v))
+    }
+  }
+
+  test("cosine (3 DotProductF in one projection) compiles and is exact") {
+    withCodegenOnly {
+      val s = spark
+      import s.implicits._
+      val df = Seq(
+        (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+        (Array(0.5f, -1.5f, 2.25f), Array(-2.0f, 0.0f, 1.0f)),
+        (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f)) // zero norm -> NULL
+      ).toDF("a", "b")
+      // two cosines in ONE select = six DotProductF instances sharing a
+      // generated function — the exact shape that used to fail janino
+      val rows = df.select(
+        Portable.cosine(col("a"), col("b")).as("c1"),
+        Portable.cosine(col("b"), col("a")).as("c2")
+      ).collect()
+
+      def cos(a: Array[Float], b: Array[Float]): Option[Double] = {
+        def d(x: Array[Float], y: Array[Float]) =
+          x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+        val na = math.sqrt(d(a, a)); val nb = math.sqrt(d(b, b))
+        if (na == 0.0 || nb == 0.0) None else Some(d(a, b) / (na * nb))
+      }
+      val exp = Seq(
+        cos(Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+        cos(Array(0.5f, -1.5f, 2.25f), Array(-2.0f, 0.0f, 1.0f)),
+        None)
+      rows.zip(exp).foreach { case (r, e) =>
+        e match {
+          case Some(v) =>
+            assert(!r.isNullAt(0) && r.getDouble(0) == v, s"c1 $r vs $e")
+            assert(!r.isNullAt(1) && r.getDouble(1) == v)
+          case None =>
+            assert(r.isNullAt(0) && r.isNullAt(1))
+        }
+      }
+    }
+  }
+
+  test("minhash + simhash kernels co-compiled in one projection are exact") {
+    withCodegenOnly {
+      val s = spark
+      import s.implicits._
+      val df = Seq(
+        Tuple1(Array(7L, 99L, 4096L, 123456789L)),
+        Tuple1(Array(0L)),
+        Tuple1(Array.empty[Long]) // empty multiset edge
+      ).toDF("h")
+      val rows = df.select(
+        ArrayOps.minhashSig(col("h"), 8).as("sig"),
+        ArrayOps.simhash32(col("h")).as("sh"),
+        // second instance of each kernel in the same generated function
+        ArrayOps.minhashSig(col("h"), 4).as("sig2"),
+        ArrayOps.simhash32(col("h")).as("sh2")
+      ).collect()
+
+      val P = 4294967311L
+      def mh(hv: Array[Long], k: Int): Seq[Option[Long]] =
+        (0 until k).map { i =>
+          if (hv.isEmpty) None
+          else {
+            val a = 2L * i + 1L
+            val b = (2654435761L * (i + 1L)) % P
+            Some(hv.map(v => (a * v + b) % P).min)
+          }
+        }
+      def sh32(hv: Array[Long]): Long = {
+        if (hv.isEmpty) return 0L // empty multiset pinned to oracle's ELSE-0
+        var sig = 0L
+        for (j <- 0 until 32) {
+          val sum = hv.map(v => ((v >> j) & 1L) * 2L - 1L).sum
+          if (sum >= 0) sig += (1L << j)
+        }
+        sig
+      }
+      val inputs = Seq(Array(7L, 99L, 4096L, 123456789L), Array(0L), Array.empty[Long])
+      rows.zip(inputs).foreach { case (r, in) =>
+        val sig = r.getSeq[Any](0).map(Option(_).map(_.asInstanceOf[Long]))
+        assert(sig == mh(in, 8), s"minhash k=8 for ${in.toSeq}")
+        val sig2 = r.getSeq[Any](2).map(Option(_).map(_.asInstanceOf[Long]))
+        assert(sig2 == mh(in, 4), s"minhash k=4 for ${in.toSeq}")
+        assert(r.getLong(1) == sh32(in), s"simhash for ${in.toSeq}")
+        assert(r.getLong(3) == sh32(in))
+      }
+    }
+  }
+}

@@ -68,6 +68,17 @@ def main():
             print(f"FAIL {name}: columns want={list(want.columns)} got={list(got.columns)}")
             n_fail += 1
             continue
+        # arrow-type parity: the driver hashes FORMATTED values, so
+        # decimal128 vs int64 (DuckDB HUGEINT sums) or ns vs us timestamps
+        # hash-diverge even when numerically equal (round-1 a6/d3/m1).
+        wt = {f.name: str(f.type) for f in con.execute(sql).arrow().schema}
+        gt = {f.name: str(f.type)
+              for f in con.execute(f"SELECT * FROM '{spath}/*.parquet'").arrow().schema}
+        tdiff = {c: (wt.get(c), gt.get(c)) for c in wt if wt.get(c) != gt.get(c)}
+        if tdiff:
+            print(f"FAIL {name}: arrow dtype mismatch {tdiff}")
+            n_fail += 1
+            continue
         if len(want) != len(got):
             print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
             n_fail += 1
