@@ -4,16 +4,25 @@ import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: one JSON line with total + per-query seconds.
   *
-  * Methodology:
+  * Methodology (hardened after the round-1 instability finding):
   *   - Queries materialize through the `noop` sink, not `.count()`:
   *     count lets ColumnPruning delete unused Window/project operators
   *     and would time a skeleton of the real plan.
   *   - One warmup pass (bars derivation + a window query) absorbs JVM
   *     JIT, codegen, and parquet-footer costs so per-query numbers are
   *     comparable instead of the first query eating ~10s of warmup.
-  *   - Queries run in sorted name order, timings are per-query wall.
+  *   - Each query runs ITERS times; the reported number is the MEDIAN,
+  *     so a one-off GC/JIT storm can't masquerade as a slow operator
+  *     (round-1 runs disagreed 4x on individual queries at n=1).
+  *   - Generated-code compile failures are COUNTED via a log4j2 appender
+  *     on the janino compiler logger and reported as `codegen_errors`.
+  *     Round 1 silently ran every kernel query interpreted; a nonzero
+  *     count here means the timings measure fallback eval, not the
+  *     engine, and must not be trusted as a perf signal.
   */
 object Bench {
+  val Iters = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,8 +33,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val codegenErrors = installCodegenErrorCounter()
 
-    def materialize(name: String): Double = {
+    def once(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -39,12 +49,17 @@ object Bench {
       dt
     }
 
-    // warmup: bar derivation (shared by the ops surface) + one window query
-    Seq("bars_rebar", "w2_sma20", "x_tokens").foreach { n =>
-      if (SparkEntry.queries.contains(n)) materialize(n)
+    def median(name: String): Double = {
+      val ts = (1 to Iters).map(_ => once(name)).sorted
+      ts(ts.length / 2)
     }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> materialize(n))
+    // warmup: bar derivation (shared by the ops surface) + one window query
+    Seq("bars_rebar", "w2_sma20", "x_tokens").foreach { n =>
+      if (SparkEntry.queries.contains(n)) once(n)
+    }
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> median(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // SURVEY.md §2 reference-parity set (BASELINE.md's <60s envelope was
@@ -53,10 +68,38 @@ object Bench {
     val core = results.filterNot { case (k, _) =>
       k.startsWith("d") && k != "dashboard_cascade" ||
         k.startsWith("e1") || k.startsWith("e2") || k.startsWith("e3") ||
+        k.startsWith("e4") ||
         k.startsWith("x_") || k.startsWith("f1") || k.startsWith("f2") ||
         k.startsWith("m1")
     }.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","core_survey2_sec":$core,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","core_survey2_sec":$core,"iters":$Iters,"codegen_errors":${codegenErrors.get()},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Counts ERROR events on Spark's generated-code compiler logger.
+    * Spark logs the janino CompileException at ERROR there right before
+    * falling back to interpreted eval — the exact signature that made
+    * round-1 numbers meaningless.
+    */
+  private def installCodegenErrorCounter(): java.util.concurrent.atomic.AtomicLong = {
+    val count = new java.util.concurrent.atomic.AtomicLong(0)
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    val app = new AbstractAppender("graft-codegen-errors", null, null, true,
+        Array.empty[org.apache.logging.log4j.core.config.Property]) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        if (e.getLevel.isMoreSpecificThan(Level.ERROR) &&
+            e.getLoggerName.contains("codegen")) count.incrementAndGet()
+    }
+    app.start()
+    cfg.addAppender(app)
+    // root logger sees every codegen ERROR via additivity; the appender
+    // filters on the codegen package so task-level errors don't count
+    cfg.getRootLogger.addAppender(app, Level.ERROR, null)
+    ctx.updateLoggers()
+    count
   }
 }

@@ -19,6 +19,7 @@ object SparkEntry {
       ops.Dashboard.queries ++
       ops.RowOps.queries ++
       ops.Cube.queries ++
+      ops.Joins.queries ++
       ext.Fundamentals.queries ++
       ext.TextStats.queries ++
       ext.Dedup.queries ++

@@ -180,5 +180,56 @@ object Dedup {
         spread(Tables.documents(s, dir), "doc_id")
           .select(col("doc_id"), simhash32(tokens(col("text"))).as("simhash"))
           .orderBy("doc_id")
+    },
+
+    // d6: the df-capped inverted index — the production skew guard for
+    // d4/d5 at 100 TB. A shingle shared by millions of documents (a
+    // boilerplate header, a licence line) is (a) the classic join-skew
+    // key that strands one reducer with df^2 pair work and (b) carries
+    // no dedup signal. Dropping index postings with df > cap bounds
+    // per-key join fan-out at cap^2 while touching only candidate
+    // RECALL; the reported jaccard stays exact because verification
+    // recomputes it from the FULL shingle sets, not the capped index.
+    Q("d6_jaccard_dfcap",
+      s"""WITH $shingledCte,
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
+         |df AS (SELECT g, count(*) AS df FROM e GROUP BY 1),
+         |ek AS (SELECT e.doc_id, e.g FROM e JOIN df USING (g) WHERE df <= $DfCap),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM ek a JOIN ek b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |verified AS (SELECT doc_a, doc_b,
+         |    len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+         |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+         |  FROM cand JOIN shingled sa ON sa.doc_id = cand.doc_a
+         |            JOIN shingled sb ON sb.doc_id = cand.doc_b)
+         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+         |FROM verified WHERE jaccard >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin) {
+      (s, dir) => {
+        val sh = shingled(s, dir).cache() // index AND both verify sides
+        val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+        val dfG = e.groupBy("g").agg(count(lit(1)).as("df"))
+        // the df join shuffles on g — the SAME key as the index self-join,
+        // so the exchange is reused, not added
+        val ek = e.join(dfG.where(col("df") <= DfCap).hint("shuffle_hash"), Seq("g"))
+          .select(col("doc_id"), col("g"))
+        val cand = ek.as("a").join(ek.as("b").hint("shuffle_hash"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val verified = cand
+          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            (size(array_intersect(col("sa.sh"), col("sb.sh"))) * 1.0 /
+              (size(col("sa.sh")) + size(col("sb.sh")) -
+                size(array_intersect(col("sa.sh"), col("sb.sh"))))).as("jaccard"))
+        verified.where(col("jaccard") >= JaccardThreshold)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      }
     })
+
+  /** Hot-shingle document-frequency cap for the d6 inverted index. */
+  val DfCap = 50
 }

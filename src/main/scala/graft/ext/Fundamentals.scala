@@ -10,16 +10,20 @@ import org.apache.spark.sql.functions._
   * the reference builds them from yfinance — nested dataset -> flattened
   * wide row (`yahoo_finance_producer.py:26-50,72-80`) -> long format.
   *
-  * The reference's 20 yfinance datasets become nested structs aggregated
-  * from customer x orders (symbol = c_custkey % 3, FIXTURES.md mapping);
-  * f1 flattens them with [[Flatten]] (P3), f2 unpivots to the long
+  * The reference fetches ~20 yfinance datasets per ticker
+  * (`yahoo_finance_producer.py:26-50`: income_stmt, balance_sheet,
+  * cashflow, holders, actions, shares, recommendations, ...). This models
+  * the same shape over the star schema: EIGHT nested datasets per symbol,
+  * each aggregated from its own source table, joined on symbol; f1
+  * flattens them with [[Flatten]] (P3), f2 unpivots to the long
   * `(symbol, field, value)` shape (§1.1's exploded fundamentals mapping).
   *
   * Scale/determinism notes:
-  *   - The customer->orders join is a broadcast-free shuffle join on
-  *     o_custkey; at 100 TB the dimension side (customer) buckets or
-  *     broadcasts per AQE. Symbol derivation happens AFTER the join so the
-  *     join key keeps its native cardinality (no 3-key skew join).
+  *   - Each dataset is ONE hash aggregation (map-side partial agg) over
+  *     its own table; the per-symbol results are 3 rows each, so the
+  *     final assembly joins are broadcast-trivial at any scale. Symbol
+  *     derivation happens per-row BEFORE the agg (native key cardinality
+  *     only matters inside the partial agg, which combines map-side).
   *   - Money sums go through DECIMAL(18,2): exact, order-independent —
   *     a double SUM across a shuffle has nondeterministic accumulation
   *     order and would flap against the oracle.
@@ -28,23 +32,86 @@ import org.apache.spark.sql.functions._
   */
 object Fundamentals {
 
-  /** Nested per-symbol fundamentals: income + activity datasets. */
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** Nested per-symbol fundamentals: eight datasets, one struct each. */
   def nested(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_acctbal"))
     val orders = Tables.orders(spark, dir)
-      .select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderstatus"))
     val joined = orders.join(cust, col("o_custkey") === col("c_custkey"))
       .withColumn("symbol", Bars.symbolFor(col("c_custkey")))
-    joined.groupBy("symbol").agg(
+
+    // income_stmt + activity: the orders x customer join (reference
+    // income_stmt / insider_transactions analogs)
+    val incomeActivity = joined.groupBy("symbol").agg(
       struct(
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
         count(lit(1)).as("n_orders"),
         countDistinct(col("o_custkey")).as("n_customers")).as("income"),
       struct(
         date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("first_order"),
         date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("last_order"),
-        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("acctbal_sum")).as("activity"))
+        sum(dec(col("c_acctbal"))).cast("double").as("acctbal_sum")).as("activity"))
+
+    // balance_sheet: customer account balances split by sign
+    val balance = Tables.customer(spark, dir)
+      .withColumn("symbol", Bars.symbolFor(col("c_custkey")))
+      .groupBy("symbol").agg(
+        struct(
+          sum(when(col("c_acctbal") > 0, dec(col("c_acctbal")))
+            .otherwise(dec(lit(0)))).cast("double").as("assets"),
+          sum(when(col("c_acctbal") < 0, -dec(col("c_acctbal")))
+            .otherwise(dec(lit(0)))).cast("double").as("liabilities"),
+          count(lit(1)).as("n_accounts")).as("balance_sheet"))
+
+    // cashflow: order totals by status (reference cashflow analog)
+    val cashflow = Tables.orders(spark, dir)
+      .withColumn("symbol", Bars.symbolFor(col("o_custkey")))
+      .groupBy("symbol").agg(
+        struct(
+          sum(dec(col("o_totalprice"))).cast("double").as("inflow"),
+          max(col("o_totalprice")).as("max_order"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"))
+          .as("cashflow"))
+
+    // shares + actions: lineitem volumes and discount/tax flows
+    // (reference shares / actions-dividends-splits analogs)
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("symbol", Bars.symbolFor(col("l_suppkey")))
+    val sharesActions = li.groupBy("symbol").agg(
+      struct(
+        sum(dec(col("l_quantity"))).cast("double").as("volume"),
+        count(lit(1)).as("n_lines")).as("shares"),
+      struct(
+        sum(dec(col("l_discount"))).cast("double").as("dividends"),
+        sum(dec(col("l_tax"))).cast("double").as("splits")).as("actions"))
+
+    // holders: supplier side (reference major/institutional holders)
+    val holders = Tables.supplier(spark, dir)
+      .withColumn("symbol", Bars.symbolFor(col("s_suppkey")))
+      .groupBy("symbol").agg(
+        struct(
+          count(lit(1)).as("n_suppliers"),
+          sum(dec(col("s_acctbal"))).cast("double").as("acctbal")).as("holders"))
+
+    // recommendations: part catalog stats (reference recommendations)
+    val recs = Tables.part(spark, dir)
+      .withColumn("symbol", Bars.symbolFor(col("p_partkey")))
+      .groupBy("symbol").agg(
+        struct(
+          count(lit(1)).as("n_parts"),
+          (sum(dec(col("p_retailprice"))).cast("double") / count(lit(1)))
+            .as("avg_retail")).as("recommendations"))
+
+    incomeActivity
+      .join(balance, Seq("symbol"))
+      .join(cashflow, Seq("symbol"))
+      .join(sharesActions, Seq("symbol"))
+      .join(holders, Seq("symbol"))
+      .join(recs, Seq("symbol"))
   }
 
   private val nestedCte =
@@ -52,7 +119,7 @@ object Fundamentals {
       |  SELECT ${Bars.sqlSymbolFor("c_custkey")} AS symbol,
       |         o_totalprice, o_orderdate, o_custkey, c_acctbal
       |  FROM orders JOIN customer ON o_custkey = c_custkey
-      |), f AS (
+      |), f0 AS (
       |  SELECT symbol,
       |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS income_revenue,
       |         count(*) AS income_n_orders,
@@ -61,7 +128,57 @@ object Fundamentals {
       |         strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS activity_last_order,
       |         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS activity_acctbal_sum
       |  FROM j GROUP BY symbol
+      |), fb AS (
+      |  SELECT ${Bars.sqlSymbolFor("c_custkey")} AS symbol,
+      |         CAST(sum(CASE WHEN c_acctbal > 0 THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS balance_sheet_assets,
+      |         CAST(sum(CASE WHEN c_acctbal < 0 THEN -CAST(c_acctbal AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS balance_sheet_liabilities,
+      |         count(*) AS balance_sheet_n_accounts
+      |  FROM customer GROUP BY 1
+      |), fc AS (
+      |  SELECT ${Bars.sqlSymbolFor("o_custkey")} AS symbol,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS cashflow_inflow,
+      |         max(o_totalprice) AS cashflow_max_order,
+      |         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cashflow_n_open
+      |  FROM orders GROUP BY 1
+      |), fl AS (
+      |  SELECT ${Bars.sqlSymbolFor("l_suppkey")} AS symbol,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS shares_volume,
+      |         count(*) AS shares_n_lines,
+      |         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS actions_dividends,
+      |         CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS actions_splits
+      |  FROM lineitem GROUP BY 1
+      |), fh AS (
+      |  SELECT ${Bars.sqlSymbolFor("s_suppkey")} AS symbol,
+      |         count(*) AS holders_n_suppliers,
+      |         CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS holders_acctbal
+      |  FROM supplier GROUP BY 1
+      |), fp AS (
+      |  SELECT ${Bars.sqlSymbolFor("p_partkey")} AS symbol,
+      |         count(*) AS recommendations_n_parts,
+      |         CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS recommendations_avg_retail
+      |  FROM part GROUP BY 1
+      |), f AS (
+      |  SELECT f0.*,
+      |         balance_sheet_assets, balance_sheet_liabilities, balance_sheet_n_accounts,
+      |         cashflow_inflow, cashflow_max_order, cashflow_n_open,
+      |         shares_volume, shares_n_lines, actions_dividends, actions_splits,
+      |         holders_n_suppliers, holders_acctbal,
+      |         recommendations_n_parts, recommendations_avg_retail
+      |  FROM f0
+      |  JOIN fb USING (symbol) JOIN fc USING (symbol) JOIN fl USING (symbol)
+      |  JOIN fh USING (symbol) JOIN fp USING (symbol)
       |)""".stripMargin
+
+  // every numeric field of the long format; doubles and counts unify to
+  // DOUBLE exactly like the reference's wide-JSON-to-series unpivot
+  private val longFields = Seq(
+    "income_revenue", "income_n_orders", "income_n_customers",
+    "activity_acctbal_sum",
+    "balance_sheet_assets", "balance_sheet_liabilities", "balance_sheet_n_accounts",
+    "cashflow_inflow", "cashflow_max_order", "cashflow_n_open",
+    "shares_volume", "shares_n_lines", "actions_dividends", "actions_splits",
+    "holders_n_suppliers", "holders_acctbal",
+    "recommendations_n_parts", "recommendations_avg_retail")
 
   def queries: Seq[Q] = Seq(
 
@@ -70,7 +187,19 @@ object Fundamentals {
       s"""WITH $nestedCte
          |SELECT symbol, round(income_revenue, 6) AS income_revenue, income_n_orders,
          |       income_n_customers, activity_first_order, activity_last_order,
-         |       round(activity_acctbal_sum, 6) AS activity_acctbal_sum
+         |       round(activity_acctbal_sum, 6) AS activity_acctbal_sum,
+         |       round(balance_sheet_assets, 6) AS balance_sheet_assets,
+         |       round(balance_sheet_liabilities, 6) AS balance_sheet_liabilities,
+         |       balance_sheet_n_accounts,
+         |       round(cashflow_inflow, 6) AS cashflow_inflow,
+         |       round(cashflow_max_order, 6) AS cashflow_max_order,
+         |       cashflow_n_open,
+         |       round(shares_volume, 6) AS shares_volume, shares_n_lines,
+         |       round(actions_dividends, 6) AS actions_dividends,
+         |       round(actions_splits, 6) AS actions_splits,
+         |       holders_n_suppliers, round(holders_acctbal, 6) AS holders_acctbal,
+         |       recommendations_n_parts,
+         |       round(recommendations_avg_retail, 6) AS recommendations_avg_retail
          |FROM f ORDER BY symbol""".stripMargin) {
       (s, dir) =>
         Q.norm(Flatten(nested(s, dir)), "symbol")
@@ -80,20 +209,17 @@ object Fundamentals {
     Q("f2_fundamentals_long",
       s"""WITH $nestedCte,
          |u AS (
-         |  SELECT symbol, 'income_revenue' AS field, income_revenue AS value FROM f
-         |  UNION ALL SELECT symbol, 'income_n_orders', CAST(income_n_orders AS DOUBLE) FROM f
-         |  UNION ALL SELECT symbol, 'income_n_customers', CAST(income_n_customers AS DOUBLE) FROM f
-         |  UNION ALL SELECT symbol, 'activity_acctbal_sum', activity_acctbal_sum FROM f
+         |  ${longFields.map(f =>
+              s"SELECT symbol, '$f' AS field, CAST($f AS DOUBLE) AS value FROM f")
+              .mkString("\n  UNION ALL ")}
          |)
          |SELECT symbol, field, round(value, 6) AS value
          |FROM u ORDER BY symbol, field""".stripMargin) {
       (s, dir) => {
         val flat = Flatten(nested(s, dir))
-        val numeric = Seq("income_revenue", "income_n_orders",
-          "income_n_customers", "activity_acctbal_sum")
         val stacked = flat.select(col("symbol"),
-          expr(s"stack(${numeric.size}, " +
-            numeric.map(f => s"'$f', CAST($f AS DOUBLE)").mkString(", ") +
+          expr(s"stack(${longFields.size}, " +
+            longFields.map(f => s"'$f', CAST($f AS DOUBLE)").mkString(", ") +
             ") AS (field, value)"))
         Q.norm(stacked, "symbol", "field")
       }

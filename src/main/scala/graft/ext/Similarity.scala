@@ -70,7 +70,10 @@ object Similarity {
         val e = emb(s, dir)
         val q = e.where(col("vec_id") < NQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-        val scored = q.join(e, col("vec_id") =!= col("query_id"))
+        // corpus STREAMS, tiny query set is the broadcast build side: a
+        // BroadcastNestedLoopJoin that builds the corpus would OOM the
+        // moment the corpus outgrows one executor (round-1 review #5)
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             cosine(col("qe"), col("embedding")).as("cos"))
         val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))

@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** The join surface over the shipped star schema — broadcast-dim,
+  * big-big sort-merge with AQE skew handling, and semi/anti joins. The
+  * reference has no joins (every query is per-symbol pandas), so these
+  * are engine-capability queries: what a user points a 100 TB warehouse
+  * schema at.
+  *
+  * Scale design, per query:
+  *   - j1: the classic star join. Dimensions (supplier, nation, region)
+  *     are broadcast explicitly — the fact scan streams once, zero
+  *     fact-side shuffle before the final 1-key aggregate. At 100 TB the
+  *     same plan holds as long as dims fit the broadcast threshold;
+  *     beyond that AQE demotes to shuffle joins per side independently.
+  *   - j2: the big-big join no broadcast can save. Both sides shuffle on
+  *     the join key once (sort-merge); AQE's skew-join splitter
+  *     (`spark.sql.adaptive.skewJoin.enabled`, on by default) re-splits
+  *     oversized partitions at runtime, so a hot orderkey cannot strand
+  *     one task with the whole key's data.
+  *   - j3: existence tests as LEFT SEMI / LEFT ANTI — the planner prunes
+  *     the probe payload to the join key (no row widening, no dedup
+  *     aggregation the way an IN-subquery rewrite would need).
+  */
+object Joins {
+
+  def queries: Seq[Q] = Seq(
+
+    // j1: per-region revenue through the supplier->nation->region star.
+    Q("j1_star_broadcast",
+      """SELECT r.r_name AS region,
+        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+          .select(col("l_suppkey"), col("l_extendedprice"))
+        val sup = broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey")))
+        val nat = broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_regionkey")))
+        val reg = broadcast(Tables.region(s, dir)
+          .select(col("r_regionkey"), col("r_name")))
+        Q.norm(
+          l.join(sup, col("l_suppkey") === col("s_suppkey"))
+            .join(nat, col("s_nationkey") === col("n_nationkey"))
+            .join(reg, col("n_regionkey") === col("r_regionkey"))
+            .groupBy(col("r_name").as("region"))
+            .agg(
+              sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                .as("revenue"),
+              count(lit(1)).as("n_lines")),
+          "region")
+      }
+    },
+
+    // j2: lineitem x orders big-big sort-merge join + priority rollup.
+    Q("j2_bigjoin_smj",
+      """SELECT o.o_orderpriority AS priority,
+        |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |       count(*) AS n_lines,
+        |       count(DISTINCT l.l_orderkey) AS n_orders
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+        Q.norm(
+          l.hint("SHUFFLE_MERGE")
+            .join(o, col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("o_orderpriority").as("priority"))
+            .agg(
+              sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+              count(lit(1)).as("n_lines"),
+              countDistinct(col("l_orderkey")).as("n_orders")),
+          "priority")
+      }
+    },
+
+    // j3: per-segment customer counts with (semi) and without (anti)
+    // open orders.
+    Q("j3_semi_anti",
+      """WITH o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT c_mktsegment AS segment,
+        |       CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM o WHERE o.o_custkey = c.c_custkey)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS with_open,
+        |       CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM o WHERE o.o_custkey = c.c_custkey)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS without_open
+        |FROM customer c GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, dir) => {
+        val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+        val open = Tables.orders(s, dir)
+          .where(col("o_orderstatus") === "O").select(col("o_custkey"))
+        val withOpen = c.join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("with_open"))
+        val withoutOpen = c.join(open, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("without_open"))
+        Q.norm(
+          withOpen.join(withoutOpen, Seq("segment"), "full_outer")
+            .select(col("segment"),
+              coalesce(col("with_open"), lit(0L)).as("with_open"),
+              coalesce(col("without_open"), lit(0L)).as("without_open")),
+          "segment")
+      }
+    })
+}

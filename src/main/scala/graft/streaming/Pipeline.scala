@@ -93,6 +93,8 @@ object Pipeline {
         col("Open").as("open"), col("High").as("high"),
         col("Low").as("low"), col("Close").as("close"),
         col("Volume").as("volume"),
+        col("Dividends").as("dividends"),
+        col("Stock_Splits").as("stock_splits"),
         Core.indicator(col("Close"), col("Open")).as("indicator"))
 
   /** S9: streaming upsert keyed (symbol, datetime) — Flink's JDBC upsert
@@ -112,9 +114,11 @@ object Pipeline {
       }
       .start()
 
+  // one field per init.sql column, in sink order (postgres/init.sql:1-13)
   final case class Bar(symbol: String, datetime: java.sql.Timestamp,
       open: Double, high: Double, low: Double, close: Double,
-      volume: Long, indicator: String)
+      volume: Long, dividends: Double, stock_splits: Double,
+      indicator: String)
 
   /** S13: the provider's bounded per-symbol buffer (cap 20,
     * `provider.py:111-112`) as a stateful streaming op. Emits the full

@@ -96,4 +96,17 @@ class ExtSpec extends SparkTestBase {
       .build(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(e4.subsetOf(e1), s"LSH found pairs brute force did not: ${e4 -- e1}")
   }
+
+  test("e2 kNN broadcasts the tiny QUERY side, streams the corpus") {
+    // building the corpus side would OOM at scale — pin the plan shape
+    val df = graft.ext.Similarity.queries.find(_.name == "e2_knn_brute").get
+      .build(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val bIdx = plan.indexOf("BroadcastExchange")
+    assert(bIdx >= 0, s"no broadcast in plan:\n$plan")
+    // the broadcast subtree (printed below the exchange) must be the
+    // filtered 5-row query side, not the full corpus scan
+    assert(plan.substring(bIdx).contains("< 5"),
+      s"broadcast side is not the query filter:\n$plan")
+  }
 }

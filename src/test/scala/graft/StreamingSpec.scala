@@ -16,7 +16,7 @@ class StreamingSpec extends SparkTestBase {
 
   private def bar(sym: String, i: Int): Bar =
     Bar(sym, java.sql.Timestamp.valueOf(f"2024-01-01 10:${i / 60}%02d:${i % 60}%02d"),
-      i, i + 1, i - 1, i, 10L, "HOLD")
+      i, i + 1, i - 1, i, 10L, 0.0, 0.0, "HOLD")
 
   private def rec(sym: String, dt: String, o: Double, c: Double): String =
     s"""{"symbol":"$sym","Datetime":"$dt","Open":$o,"High":${math.max(o, c)},"Low":${math.min(o, c)},"Close":$c,"Volume":10,"Dividends":0.0,"Stock_Splits":0.0}"""
