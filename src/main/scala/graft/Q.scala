@@ -29,6 +29,18 @@ object Q {
     val cols = df.schema.fields.map { f =>
       if (f.dataType == DoubleType) round(col(f.name), 6).as(f.name) else col(f.name)
     }
-    df.select(cols.toSeq: _*).orderBy(keys.map(col): _*)
+    sorted(df.select(cols.toSeq: _*), keys: _*)
   }
+
+  /** Deterministic total order for the output dump WITHOUT `orderBy`:
+    * global `orderBy` plans a RangePartitioning exchange whose bounds
+    * sampling RE-EXECUTES the entire upstream plan — every query paid
+    * ~2x its own cost for a sort that exists only so the DuckDB compare
+    * is order-stable. One shuffled partition + an in-partition sort gives
+    * the same total order in one pass; verification outputs are dump-
+    * sized, so the single reducer is irrelevant. (A production sink
+    * would keep the natural partitioning and skip the sort entirely.)
+    */
+  def sorted(df: DataFrame, keys: String*): DataFrame =
+    df.repartition(1).sortWithinPartitions(keys.map(col): _*)
 }

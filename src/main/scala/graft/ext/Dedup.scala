@@ -58,13 +58,16 @@ object Dedup {
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
          |FROM j WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin) {
       (s, dir) => {
-        val sh = shingled(s, dir)
+        // cached: the tokenize+shingle projection (interpreted kernel,
+        // the most expensive per-row step) feeds the index explode AND
+        // the two size-lookup joins — 3 consumers, one computation
+        val sh = shingled(s, dir).cache()
         val n = sh.select(col("doc_id"), size(col("sh")).as("ns"))
         val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
         // shuffle-hash, not broadcast: the exploded index is O(corpus) —
         // at scale it cannot broadcast, and here the two identical
         // hashpartitioning(g) exchanges collapse into one ReusedExchange
-        // so the shingle pipeline runs once instead of twice
+        // so the explode pipeline runs once instead of twice
         val p = e.as("a").join(e.as("b").hint("shuffle_hash"),
             col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -75,7 +78,7 @@ object Dedup {
             (col("inter") * 1.0 / (col("na.ns") + col("nb.ns") - col("inter"))).as("jaccard"))
         j.where(col("jaccard") >= JaccardThreshold)
           .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-          .orderBy("doc_a", "doc_b")
+          .transform(d => graft.Q.sorted(d, "doc_a", "doc_b"))
       }
     },
 
@@ -124,7 +127,7 @@ object Dedup {
         verified.where(col("jaccard") >= JaccardThreshold)
           .select(col("doc_a"), col("doc_b"),
             round(col("sim_est"), 6).as("sim_est"), round(col("jaccard"), 6).as("jaccard"))
-          .orderBy("doc_a", "doc_b")
+          .transform(d => graft.Q.sorted(d, "doc_a", "doc_b"))
       }
     },
 
@@ -151,7 +154,7 @@ object Dedup {
          |WHERE jaccard >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin) {
       (s, dir) => {
-        val sh = shingled(s, dir)
+        val sh = shingled(s, dir).cache() // 3 consumers, as in d4
         val n = sh.select(col("doc_id"), size(col("sh")).as("ns"))
         val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
         val p = e.as("a").join(e.as("b").hint("shuffle_hash"),
@@ -168,7 +171,7 @@ object Dedup {
           .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
           .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"),
             levenshtein(col("da.text"), col("db.text")).cast("long").as("edit_dist"))
-          .orderBy("doc_a", "doc_b")
+          .transform(d => graft.Q.sorted(d, "doc_a", "doc_b"))
       }
     },
 
@@ -179,7 +182,7 @@ object Dedup {
       (s, dir) =>
         spread(Tables.documents(s, dir), "doc_id")
           .select(col("doc_id"), simhash32(tokens(col("text"))).as("simhash"))
-          .orderBy("doc_id")
+          .transform(d => graft.Q.sorted(d, "doc_id"))
     },
 
     // d6: the df-capped inverted index — the production skew guard for
@@ -187,37 +190,58 @@ object Dedup {
     // boilerplate header, a licence line) is (a) the classic join-skew
     // key that strands one reducer with df^2 pair work and (b) carries
     // no dedup signal. Dropping index postings with df > cap bounds
-    // per-key join fan-out at cap^2 while touching only candidate
-    // RECALL; the reported jaccard stays exact because verification
-    // recomputes it from the FULL shingle sets, not the capped index.
+    // per-key join fan-out at cap^2. Two-stage, same ladder as d2:
+    // candidates are GATED on the capped-index jaccard (pure counting,
+    // no array payloads in the wide join), and only gate survivors pay
+    // the exact verification against the FULL shingle sets — so the
+    // REPORTED jaccard is exact, and the cap costs recall only (a pair
+    // whose similarity rests on hot shingles can miss the gate;
+    // documented tradeoff of every production df cap).
     Q("d6_jaccard_dfcap",
       s"""WITH $shingledCte,
          |e AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
-         |df AS (SELECT g, count(*) AS df FROM e GROUP BY 1),
-         |ek AS (SELECT e.doc_id, e.g FROM e JOIN df USING (g) WHERE df <= $DfCap),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM ek a JOIN ek b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |ek AS (SELECT doc_id, g FROM (
+         |         SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM e)
+         |       WHERE df <= $DfCap),
+         |nk AS (SELECT doc_id, count(*) AS nks FROM ek GROUP BY 1),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM ek a JOIN ek b ON a.g = b.g AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |gated AS (SELECT doc_a, doc_b
+         |      FROM p JOIN nk na ON na.doc_id = p.doc_a
+         |             JOIN nk nb ON nb.doc_id = p.doc_b
+         |      WHERE inter * 1.0 / (na.nks + nb.nks - inter) >= $JaccardThreshold),
          |verified AS (SELECT doc_a, doc_b,
          |    len(list_intersect(sa.sh, sb.sh)) * 1.0 /
          |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
-         |  FROM cand JOIN shingled sa ON sa.doc_id = cand.doc_a
-         |            JOIN shingled sb ON sb.doc_id = cand.doc_b)
+         |  FROM gated JOIN shingled sa ON sa.doc_id = gated.doc_a
+         |             JOIN shingled sb ON sb.doc_id = gated.doc_b)
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
          |FROM verified WHERE jaccard >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin) {
       (s, dir) => {
         val sh = shingled(s, dir).cache() // index AND both verify sides
         val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-        val dfG = e.groupBy("g").agg(count(lit(1)).as("df"))
-        // the df join shuffles on g — the SAME key as the index self-join,
-        // so the exchange is reused, not added
-        val ek = e.join(dfG.where(col("df") <= DfCap).hint("shuffle_hash"), Seq("g"))
+        // df as a WINDOW count over g, not a groupBy+join: one shuffle on
+        // g produces postings WITH their df, already hash-partitioned on
+        // the self-join key — the twin join subtrees then collapse into a
+        // ReusedExchange instead of paying a df-lookup join per side
+        val ek = e
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("g")))
+          .where(col("df") <= DfCap)
           .select(col("doc_id"), col("g"))
-        val cand = ek.as("a").join(ek.as("b").hint("shuffle_hash"),
+        val nk = ek.groupBy("doc_id").agg(count(lit(1)).as("nks"))
+        val p = ek.as("a").join(ek.as("b").hint("shuffle_hash"),
             col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        val verified = cand
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        val gated = p.join(nk.as("na"), col("doc_a") === col("na.doc_id"))
+          .join(nk.as("nb"), col("doc_b") === col("nb.doc_id"))
+          .where(col("inter") * 1.0 /
+            (col("na.nks") + col("nb.nks") - col("inter")) >= JaccardThreshold)
+          .select(col("doc_a"), col("doc_b"))
+        val verified = gated
           .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
           .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
           .select(col("doc_a"), col("doc_b"),
@@ -226,7 +250,7 @@ object Dedup {
                 size(array_intersect(col("sa.sh"), col("sb.sh"))))).as("jaccard"))
         verified.where(col("jaccard") >= JaccardThreshold)
           .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-          .orderBy("doc_a", "doc_b")
+          .transform(d => graft.Q.sorted(d, "doc_a", "doc_b"))
       }
     })
 

@@ -102,6 +102,6 @@ object Multimodal {
         |                i -> ord(substr(text, i, 1)))), 0) AS BIGINT) AS cp_sum,
         |       (((n_chars % 640) + 32) * 1000) // (((n_chars * 7) % 480) + 32) AS aspect_milli
         |FROM documents ORDER BY doc_id""".stripMargin) {
-      (s, dir) => features(s, dir).orderBy("doc_id")
+      (s, dir) => features(s, dir).transform(d => graft.Q.sorted(d, "doc_id"))
     })
 }

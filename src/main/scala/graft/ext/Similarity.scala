@@ -80,7 +80,7 @@ object Similarity {
         scored.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= K)
           .select(col("query_id"), col("neighbor_id"), col("rk"),
             round(col("cos"), 6).as("cos"))
-          .orderBy("query_id", "rk")
+          .transform(d => graft.Q.sorted(d, "query_id", "rk"))
       }
     },
 
@@ -106,7 +106,7 @@ object Similarity {
               .otherwise(dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
           .where(col("cos") >= NearDupThreshold)
           .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
-          .orderBy("vec_a", "vec_b")
+          .transform(d => graft.Q.sorted(d, "vec_a", "vec_b"))
       }
     },
 
@@ -160,7 +160,7 @@ object Similarity {
         scored.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= K)
           .select(col("query_id"), col("neighbor_id"), col("rk"),
             round(col("cos"), 6).as("cos"))
-          .orderBy("query_id", "rk")
+          .transform(d => graft.Q.sorted(d, "query_id", "rk"))
       }
     },
 
@@ -231,7 +231,7 @@ object Similarity {
                 (col("na.nrm") * col("nb.nrm"))).as("cos"))
           .where(col("cos") >= NearDupThreshold)
           .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
-          .orderBy("vec_a", "vec_b")
+          .transform(d => graft.Q.sorted(d, "vec_a", "vec_b"))
       }
     })
 }

@@ -53,7 +53,7 @@ object TextStats {
         docs(s, dir).select(col("doc_id"),
           size(tokens(col("text"))).cast("long").as("n_tokens"),
           size(regexp_extract_all(col("text"), lit("[a-z0-9]{1,4}"), lit(0))).cast("long").as("n_subtokens"))
-          .orderBy("doc_id")
+          .transform(d => graft.Q.sorted(d, "doc_id"))
     },
 
     // Quality scoring: length/stopword-ratio/mean-token-length features.
@@ -83,7 +83,7 @@ object TextStats {
           round(col("chars_in_toks") * 1.0 / col("nt"), 6).as("mean_token_len"),
           round(log(lit(1) + col("n_chars")) * (lit(1.0) - col("nstop") * 1.0 / col("nt")), 6)
             .as("quality"))
-          .orderBy("doc_id")
+          .transform(d => graft.Q.sorted(d, "doc_id"))
       }
     },
 
@@ -110,7 +110,7 @@ object TextStats {
         val pred = LangMarkers.foldLeft(when(lit(false), lit(""))) {
           case (acc, (l, _)) => acc.when(col(s"c_$l") === best, l)
         }
-        f.select(col("doc_id"), col("lang"), pred.as("predicted")).orderBy("doc_id")
+        f.select(col("doc_id"), col("lang"), pred.as("predicted")).transform(d => graft.Q.sorted(d, "doc_id"))
       }
     },
 
@@ -120,7 +120,7 @@ object TextStats {
          |FROM documents ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
         docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp"))
-          .orderBy("doc_id")
+          .transform(d => graft.Q.sorted(d, "doc_id"))
     },
 
     // Pivot: doc counts by source x language (wide shape). The oracle
@@ -137,7 +137,7 @@ object TextStats {
           .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
           .count()
           .na.fill(0L)
-          .orderBy("source")
+          .transform(d => graft.Q.sorted(d, "source"))
     },
 
     // Exact dedup: group identical texts by content hash, keep min doc_id.
@@ -151,6 +151,6 @@ object TextStats {
         docs(s, dir).groupBy(sha2(col("text"), 256).as("content_hash"))
           .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
           .select("keeper", "n_copies", "content_hash")
-          .orderBy("keeper")
+          .transform(d => graft.Q.sorted(d, "keeper"))
     })
 }

@@ -76,7 +76,7 @@ object Cube {
         sess.groupBy("user_id", "session_no")
           .agg(min("ts").as("session_start"), max("ts").as("session_end"),
             count(lit(1)).as("n_events"))
-          .orderBy("user_id", "session_no")
+          .transform(d => graft.Q.sorted(d, "user_id", "session_no"))
       }
     },
 
@@ -114,7 +114,7 @@ object Cube {
           round(when(varProd <= 0, lit(null))
             .otherwise((col("n") * col("sxy") - col("sx") * col("sy")) / sqrt(varProd)), 6)
             .as("close_volume_corr"))
-          .orderBy("symbol")
+          .transform(d => graft.Q.sorted(d, "symbol"))
       }
     },
 
@@ -130,6 +130,6 @@ object Cube {
         Tables.documents(s, dir)
           .where(Portable.hash60(col("doc_id").cast("string")) % 10 === 0)
           .select("doc_id", "lang")
-          .orderBy("doc_id")
+          .transform(d => graft.Q.sorted(d, "doc_id"))
     })
 }

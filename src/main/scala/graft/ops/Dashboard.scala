@@ -31,6 +31,12 @@ object Dashboard {
     * same function.
     */
   def cascade(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(_, _, l3) = layers(spark, dir)
+    finalSelect(l3)
+  }
+
+  /** The three intermediate window layers, exposed for plan probing. */
+  def layers(spark: SparkSession, dir: String): Seq[DataFrame] = {
     import graft.functions.Ewma
     val P = Seq(col("symbol"))
     val O = Seq(col("datetime"))
@@ -88,8 +94,14 @@ object Dashboard {
       ema(col("macd"), 9).as("macd_signal"),
       mean(dxin, 14).as("dx"),
       mean(col("rm_slope"), 5).as("bottom"))
+    Seq(l1, l2, l3)
+  }
 
-    // L4: final window depth + all row-level outputs
+  // L4: final window depth + all row-level outputs
+  private def finalSelect(l3: DataFrame): DataFrame = {
+    import graft.functions.Ewma
+    def emaA(c: Column, a: Double) =
+      Ewma.alpha(c, a, Seq(col("symbol")), Seq(col("datetime")))
     l3.select(col("*"), emaA(col("dx"), 1.0 / 14).as("adx"))
       .select(col("symbol"), col("datetime"), col("open"), col("high"),
         col("low"), col("close"), col("volume"), col("indicator"),

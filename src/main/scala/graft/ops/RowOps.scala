@@ -32,6 +32,6 @@ object RowOps {
           date_format(col("ts") - expr("INTERVAL 5 HOURS"), "yyyy-MM-dd HH:mm:ss")
             .as("display_str"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
-          .orderBy("event_id")
+          .transform(d => graft.Q.sorted(d, "event_id"))
     })
 }
