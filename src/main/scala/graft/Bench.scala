@@ -70,9 +70,14 @@ object Bench {
         k.startsWith("e1") || k.startsWith("e2") || k.startsWith("e3") ||
         k.startsWith("e4") ||
         k.startsWith("x_") || k.startsWith("f1") || k.startsWith("f2") ||
-        k.startsWith("m1")
+        k.startsWith("m1") || k.startsWith("j")
     }.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","core_survey2_sec":$core,"iters":$Iters,"codegen_errors":${codegenErrors.get()},"queries":$qs,"sf":"$sfDir"}""")
+    // 1-min load average (this box has noisy neighbors; round-1 runs
+    // disagreed 4x — a high loadavg in the artifact explains a slow run)
+    val loadavg = try {
+      scala.io.Source.fromFile("/proc/loadavg").getLines().next().split(" ")(0)
+    } catch { case _: Throwable => "-1" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","core_survey2_sec":$core,"iters":$Iters,"codegen_errors":${codegenErrors.get()},"loadavg_1m":$loadavg,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 
