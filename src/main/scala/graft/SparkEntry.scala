@@ -20,6 +20,7 @@ object SparkEntry {
       ops.RowOps.queries ++
       ops.Cube.queries ++
       ops.Joins.queries ++
+      ops.AsOf.queries ++
       ext.Fundamentals.queries ++
       ext.TextStats.queries ++
       ext.Dedup.queries ++

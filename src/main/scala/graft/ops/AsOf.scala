@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.Q
+import graft.sources.{Bars, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — the canonical market-data operator (each left row picks
+  * the latest right row at-or-before its timestamp, per key) that Spark
+  * has no native operator for.
+  *
+  * Implementation is the scalable union trick, NOT a range join:
+  * tag both sides, union, and take `last(payload, ignoreNulls)` over a
+  * running row window ordered by (time, side). One shuffle on the key +
+  * one sort — the same cost as a single sort-merge join — where a naive
+  * `l.ts >= r.ts` theta-join is O(|L|x|R|) per key and a per-left-row
+  * `max_by` subquery is O(|L|x|R|) again. At 100 TB both sides shuffle
+  * once on the key; the window is per-key sequential, which is exactly
+  * the operator's semantics (time order within key).
+  *
+  * The right side's payload must be a known column list; rows from the
+  * right act as "state updates" and left rows read the running state —
+  * the batch analog of a stream-table temporal join.
+  */
+object AsOf {
+
+  /** Left rows + `last right payload at-or-before leftTs` per key.
+    * Left rows with no preceding right row are DROPPED (inner as-of,
+    * DuckDB `ASOF JOIN` semantics).
+    *
+    * @param payload right-side columns to carry (everything except key
+    *                and time); emitted with their own names
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lType = left.schema.map(f => f.name -> f.dataType).toMap
+    val rType = right.schema.map(f => f.name -> f.dataType).toMap
+    // one unioned schema: key, t, side (0=right first at equal t), left
+    // cols, right payload; absent-side columns are typed nulls so the
+    // union needs no coercion
+    val rightTagged = right.select(
+      (col(key) +: col(rightTs).as("_t") +: lit(0).as("_side") +:
+        (leftCols.filterNot(c => c == key)
+          .map(c => lit(null).cast(lType(c)).as(c)) ++
+          payload.map(col))): _*)
+    val leftTagged = left.select(
+      (col(key) +: col(leftTs).as("_t") +: lit(1).as("_side") +:
+        (leftCols.filterNot(c => c == key).map(col) ++
+          payload.map(c => lit(null).cast(rType(c)).as(c)))): _*)
+    val w = Window.partitionBy(key).orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightTagged.unionByName(leftTagged)
+      .select(col("*") +: payload.map(c =>
+        last(col(c), ignoreNulls = true).over(w).as(s"_asof_$c")): _*)
+    filled.where(col("_side") === 1 && payload.map(c =>
+        col(s"_asof_$c").isNotNull).reduce(_ || _))
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"_asof_$c").as(c)): _*)
+  }
+
+  def queries: Seq[Q] = Seq(
+
+    // a8: each event joined to the latest bar at-or-before its ts for
+    // its symbol. Oracle uses DuckDB's native ASOF JOIN — two engines,
+    // two completely different operator implementations, same rows.
+    Q("a8_asof_join",
+      s"""WITH ${Bars.cte},
+         |ev AS (SELECT event_id, ${Bars.sqlSymbolFor("user_id")} AS symbol,
+         |              ts, value
+         |       FROM events),
+         |b AS (SELECT symbol, datetime, close FROM bars)
+         |SELECT ev.event_id, ev.symbol, ev.ts, round(ev.value, 6) AS value,
+         |       b.datetime AS bar_time, round(b.close, 6) AS bar_close
+         |FROM ev ASOF JOIN b
+         |  ON ev.symbol = b.symbol AND ev.ts >= b.datetime
+         |ORDER BY ev.event_id""".stripMargin) {
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("event_id"), Bars.symbolFor(col("user_id")).as("symbol"),
+          col("ts"), col("value"))
+        val b = Bars(s, dir)
+          .select(col("symbol"), col("datetime"), col("close"))
+          .withColumnRenamed("datetime", "bar_time")
+          .withColumnRenamed("close", "bar_close")
+        Q.norm(
+          asofJoin(ev, b, "symbol", "ts", "bar_time",
+            payload = Seq("bar_time", "bar_close")),
+          "event_id")
+      }
+    })
+}

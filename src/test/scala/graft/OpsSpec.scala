@@ -89,4 +89,24 @@ class OpsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("asofJoin: picks the LATEST right row at-or-before each left ts, per key") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val quotes = Seq( // (sym, t, px)
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+      ("B", 15L, 9.0)).toDF("sym", "qt", "px")
+    val trades = Seq( // (sym, t, id)
+      ("A", 5L, 1), // before first quote -> dropped (inner as-of)
+      ("A", 10L, 2), // exactly at quote -> inclusive match
+      ("A", 25L, 3), // between 20 and 30 -> 20
+      ("A", 99L, 4), // after last -> 30
+      ("B", 14L, 5), // before B's only quote -> dropped
+      ("B", 16L, 6)).toDF("sym", "tt", "id")
+    val got = graft.ops.AsOf.asofJoin(trades, quotes, "sym", "tt", "qt",
+        payload = Seq("qt", "px"))
+      .orderBy("id").select("id", "qt", "px").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((2, 10L, 1.0), (3, 20L, 2.0), (4, 30L, 3.0), (6, 15L, 9.0)))
+  }
 }
