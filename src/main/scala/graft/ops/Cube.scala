@@ -40,6 +40,60 @@ object Cube {
           "symbol", "day")
     },
 
+    // CUBE (symbol, event_type): all four grouping-set combinations in
+    // one pass — Spark plans a single Expand + one hash aggregation, so
+    // the input is scanned once however many sets there are. Integer
+    // counts + decimal sums stay exact across the expanded shuffle.
+    Q("a9_cube",
+      s"""WITH e AS (SELECT event_type,
+        |                  ${Bars.sqlSymbolFor("user_id")} AS symbol,
+        |                  value
+        |           FROM events),
+        |x AS (SELECT coalesce(symbol, 'ALL') AS symbol,
+        |             coalesce(event_type, 'ALL') AS event_type,
+        |             count(*) AS n,
+        |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |      FROM e GROUP BY CUBE (symbol, event_type))
+        |SELECT symbol, event_type, n, round(value_sum, 6) AS value_sum
+        |FROM x ORDER BY symbol, event_type""".stripMargin) {
+      (s, dir) =>
+        Q.norm(
+          Tables.events(s, dir)
+            .select(Bars.symbolFor(col("user_id")).as("symbol"),
+              col("event_type"), col("value"))
+            .cube(col("symbol"), col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+            .select(coalesce(col("symbol"), lit("ALL")).as("symbol"),
+              coalesce(col("event_type"), lit("ALL")).as("event_type"),
+              col("n"), col("value_sum")),
+          "symbol", "event_type")
+    },
+
+    // Exact linear-interpolated quantiles per event_type: Spark
+    // `percentile` and DuckDB `quantile_cont` implement the same
+    // definition (sorted order statistics + linear interpolation), so
+    // the values are cell-exact — no approx sketch mismatch. At scale
+    // exact percentile is a sort-based aggregate per group; for a
+    // 100 TB untyped stream you'd switch to approx_percentile and lose
+    // the oracle, which is why the exact op is the checked one.
+    Q("a10_quantiles",
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.95), 6) AS p95,
+        |       round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        Q.norm(
+          Tables.events(s, dir)
+            .groupBy("event_type")
+            .agg(
+              expr("percentile(value, 0.5)").as("p50"),
+              expr("percentile(value, 0.95)").as("p95"),
+              expr("percentile(value, 0.99)").as("p99")),
+          "event_type")
+    },
+
     // Gap-based sessionization of the event stream (30-min inactivity
     // boundary): the canonical large-scale clickstream op. One window
     // pass computes session breaks + running session numbers; the
