@@ -60,6 +60,27 @@ object AsOf {
         payload.map(c => col(s"_asof_$c").as(c)): _*)
   }
 
+  /** Range (interval) join: left rows matched to right rows with
+    * rightTs in [leftTs, leftTs + width). A raw inequality join is a
+    * per-key cartesian; this bucketizes BOTH sides to `width`-sized time
+    * buckets (each left row probes its own and the next bucket — every
+    * interval of length `width` spans at most 2 buckets), turning the
+    * range predicate into an equi-join Catalyst can hash/sort-merge plan
+    * and AQE can re-balance, with the exact predicate re-checked after.
+    * Join cost scales with per-bucket density, not per-key row count.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, widthSec: Long): DataFrame = {
+    val lb = (unix_timestamp(col(leftTs)) / widthSec).cast("long")
+    val rb = (unix_timestamp(col(rightTs)) / widthSec).cast("long")
+    val l = left.withColumn("_lb", explode(array(lb, lb + 1)))
+    val r = right.withColumn("_rb", rb)
+    l.join(r, l(key) === r(key) && col("_lb") === col("_rb") &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) < col(leftTs) + expr(s"INTERVAL $widthSec SECONDS"))
+      .drop("_lb", "_rb").drop(r(key))
+  }
+
   def queries: Seq[Q] = Seq(
 
     // a8: each event joined to the latest bar at-or-before its ts for
@@ -88,6 +109,32 @@ object AsOf {
           asofJoin(ev, b, "symbol", "ts", "bar_time",
             payload = Seq("bar_time", "bar_close")),
           "event_id")
+      }
+    },
+
+    // a11: per-bar activity in the 5 minutes from bar open — a range
+    // join (bars x events on a time interval) through the bucketized
+    // equi-join, checked against DuckDB's plain inequality join.
+    Q("a11_range_join",
+      s"""WITH ${Bars.cte},
+         |ev AS (SELECT ${Bars.sqlSymbolFor("user_id")} AS symbol, ts, value
+         |       FROM events)
+         |SELECT b.symbol, b.datetime, count(*) AS n_events,
+         |       CAST(sum(CAST(ev.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+         |FROM bars b JOIN ev
+         |  ON ev.symbol = b.symbol AND ev.ts >= b.datetime
+         | AND ev.ts < b.datetime + INTERVAL 5 MINUTE
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      (s, dir) => {
+        val b = Bars(s, dir).select(col("symbol"), col("datetime"))
+        val ev = Tables.events(s, dir).select(
+          Bars.symbolFor(col("user_id")).as("symbol"), col("ts"), col("value"))
+        Q.norm(
+          rangeJoin(b, ev, "symbol", "datetime", "ts", widthSec = 300L)
+            .groupBy("symbol", "datetime")
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum")),
+          "symbol", "datetime")
       }
     })
 }

@@ -109,4 +109,23 @@ class OpsSpec extends SparkTestBase {
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq((2, 10L, 1.0), (3, 20L, 2.0), (4, 30L, 3.0), (6, 15L, 9.0)))
   }
+
+  test("rangeJoin: [t, t+w) boundaries exact, matches across bucket edges") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      ("A", ts("2024-01-01 10:04:00"), 1)) // bucket straddle: window crosses 10:05
+      .toDF("sym", "lt", "lid")
+    val right = Seq(
+      ("A", ts("2024-01-01 10:03:59"), 10), // before window -> out
+      ("A", ts("2024-01-01 10:04:00"), 11), // inclusive lower bound
+      ("A", ts("2024-01-01 10:06:30"), 12), // next 5-min bucket, inside window
+      ("A", ts("2024-01-01 10:09:00"), 13), // exclusive upper bound (lt+300s) -> out
+      ("B", ts("2024-01-01 10:04:30"), 14)) // other key -> out
+      .toDF("sym", "rt", "rid")
+    val got = graft.ops.AsOf.rangeJoin(left, right, "sym", "lt", "rt", widthSec = 300L)
+      .select("rid").as[Int].collect().sorted
+    assert(got.toSeq == Seq(11, 12))
+  }
 }

@@ -123,6 +123,30 @@ class StreamingSpec extends SparkTestBase {
     assert(first.getAs[Long]("volume") == 3L)
   }
 
+  test("streaming dedup within watermark: exact duplicates collapse, state is bounded") {
+    // the streaming-native half of the S9 upsert contract: duplicates
+    // arriving within the watermark horizon drop in-engine (bounded
+    // keyed state), so the foreachBatch store sees each PK once even
+    // before its own dedup
+    val input = MemoryStream[String](spark)
+    val deduped = Pipeline.score(Pipeline.decode(input.toDF()), watermark = "10 seconds")
+      .dropDuplicatesWithinWatermark("symbol", "datetime")
+    val q = deduped.writeStream.format("memory").queryName("dedupwm")
+      .outputMode("append").start()
+
+    input.addData(
+      rec("AAPL", "2024-01-01 10:00:00", 1.0, 2.0),
+      rec("AAPL", "2024-01-01 10:00:00", 1.0, 2.0), // same batch dup
+      rec("MSFT", "2024-01-01 10:00:01", 5.0, 4.0))
+    q.processAllAvailable()
+    input.addData(rec("AAPL", "2024-01-01 10:00:00", 1.0, 2.0)) // cross-batch dup inside horizon
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("dedupwm").collect()
+    assert(rows.length == 2, s"expected 2 deduped rows, got ${rows.length}")
+  }
+
   test("S13 transformWithState variant: same bounded-buffer semantics on ListState") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
