@@ -1,0 +1,67 @@
+package graft
+
+/** Pins the physical-plan shapes that carry the 100 TB scale arguments —
+  * a regression here means a scale property silently broke even though
+  * results stay correct at test size.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("dashboard_cascade: one agg shuffle + one symbol shuffle, 4 fused Window ops") {
+    val p = plan("dashboard_cascade")
+    // exchanges: bars (symbol,minute) agg, windows' (symbol), final
+    // single-partition determinism sort — adding an indicator column
+    // must NOT add an exchange
+    assert(count(p, "Exchange") <= 3, s"exchange count grew:\n$p")
+    // every same-depth window expression fused into one Window op per
+    // dependency layer (withColumn chains would produce ~20)
+    assert(count(p, "Window ") + count(p, "Window\n") <= 5, s"window ops not fused:\n$p")
+  }
+
+  test("d4 inverted index: the shingle self-join is shuffle-hash, never broadcast") {
+    val p = plan("d4_ngram_jaccard")
+    // the O(sum df^2) join on the exploded index key g — the one join
+    // here that CANNOT broadcast at scale. (The per-doc size lookups
+    // broadcast at test size by Catalyst's stats; AQE demotes those
+    // automatically when the corpus outgrows the threshold.)
+    val gJoin = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("[g#"))
+    assert(gJoin.forall(_.contains("ShuffledHashJoin")),
+      s"index self-join not shuffle-hash:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"no shuffled-hash join found:\n$p")
+  }
+
+  test("j1 star join: every dimension broadcast, fact side streams") {
+    val p = plan("j1_star_broadcast")
+    assert(count(p, "BroadcastHashJoin") == 3, s"expected 3 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact side must not shuffle for dims:\n$p")
+  }
+
+  test("j2 big-big join: sort-merge, not broadcast") {
+    val p = plan("j2_bigjoin_smj")
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+  }
+
+  test("j3: planner uses semi/anti joins, not row-widening inner joins") {
+    val p = plan("j3_semi_anti")
+    assert(p.contains("LeftSemi"), s"expected LeftSemi:\n$p")
+    assert(p.contains("LeftAnti"), s"expected LeftAnti:\n$p")
+  }
+
+  test("a8 as-of join: single shuffle+sort per side, no nested-loop join") {
+    val p = plan("a8_asof_join")
+    assert(!p.contains("NestedLoop"), s"as-of must not plan a nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"as-of must not plan a cartesian:\n$p")
+  }
+
+  test("a11 range join: equi-join on buckets, no nested-loop join") {
+    val p = plan("a11_range_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"bucketized range join must stay an equi-join:\n$p")
+  }
+}
