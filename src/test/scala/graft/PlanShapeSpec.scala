@@ -6,8 +6,13 @@ package graft
   */
 class PlanShapeSpec extends SparkTestBase {
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // other suites may have cached subtrees (e.g. OpsSpec caches bars);
+    // the CacheManager would substitute InMemoryRelations whose stored
+    // plans print their own exchanges — snapshot the pristine plan
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  }
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
