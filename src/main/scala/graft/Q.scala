@@ -1,7 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, round}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, round}
 import org.apache.spark.sql.types.DoubleType
 
 /** One named engine query: the Spark plan builder plus (when ANSI-SQL
@@ -27,10 +27,24 @@ object Q {
     */
   def norm(df: DataFrame, keys: String*): DataFrame = {
     val cols = df.schema.fields.map { f =>
-      if (f.dataType == DoubleType) round(col(f.name), 6).as(f.name) else col(f.name)
+      if (f.dataType == DoubleType) r6(col(f.name)).as(f.name) else col(f.name)
     }
     sorted(df.select(cols.toSeq: _*), keys: _*)
   }
+
+  /** Portable 6-dp rounding: round(x * 1e6) / 1e6 computed in doubles —
+    * the SAME arithmetic DuckDB's `round(x, 6)` performs, so both
+    * engines resolve round-half ties on the identical product double.
+    * Spark's own `round(x, 6)` instead HALF_UPs the double's SHORTEST
+    * DECIMAL REPR: a value whose shortest repr is exactly "…5" but whose
+    * binary value sits below the tie (e.g. the sf0.1 ema15 cell
+    * 32.8309375 = 32.83093749999999744…) rounds UP in Spark and DOWN in
+    * DuckDB — a one-in-~1e5-cells hash-red lottery at scale. Routing
+    * through the product double removes the decimal-string tie entirely
+    * (Spark's round at scale 0 and C++ round() agree everywhere:
+    * half-away-from-zero on the same double).
+    */
+  def r6(c: Column): Column = round(c * lit(1e6), 0) / lit(1e6)
 
   /** Deterministic total order for the output dump WITHOUT `orderBy`:
     * global `orderBy` plans a RangePartitioning exchange whose bounds

@@ -24,6 +24,7 @@ object SparkEntry {
       ext.Fundamentals.queries ++
       ext.TextStats.queries ++
       ext.Dedup.queries ++
+      ext.Dedup.pipelineQueries ++
       ext.Similarity.queries ++
       ext.Multimodal.queries
 

@@ -77,7 +77,7 @@ object Dedup {
           .select(col("doc_a"), col("doc_b"),
             (col("inter") * 1.0 / (col("na.ns") + col("nb.ns") - col("inter"))).as("jaccard"))
         j.where(col("jaccard") >= JaccardThreshold)
-          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+          .select(col("doc_a"), col("doc_b"), graft.Q.r6(col("jaccard")).as("jaccard"))
           .transform(d => graft.Q.sorted(d, "doc_a", "doc_b"))
       }
     },
@@ -126,7 +126,7 @@ object Dedup {
               b => b)) / lit(MinhashK.toDouble)).as("sim_est"))
         verified.where(col("jaccard") >= JaccardThreshold)
           .select(col("doc_a"), col("doc_b"),
-            round(col("sim_est"), 6).as("sim_est"), round(col("jaccard"), 6).as("jaccard"))
+            graft.Q.r6(col("sim_est")).as("sim_est"), graft.Q.r6(col("jaccard")).as("jaccard"))
           .transform(d => graft.Q.sorted(d, "doc_a", "doc_b"))
       }
     },
@@ -169,7 +169,7 @@ object Dedup {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         j.join(docs.as("da"), col("doc_a") === col("da.doc_id"))
           .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
-          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"),
+          .select(col("doc_a"), col("doc_b"), graft.Q.r6(col("jaccard")).as("jaccard"),
             levenshtein(col("da.text"), col("db.text")).cast("long").as("edit_dist"))
           .transform(d => graft.Q.sorted(d, "doc_a", "doc_b"))
       }
@@ -249,11 +249,72 @@ object Dedup {
               (size(col("sa.sh")) + size(col("sb.sh")) -
                 size(array_intersect(col("sa.sh"), col("sb.sh"))))).as("jaccard"))
         verified.where(col("jaccard") >= JaccardThreshold)
-          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+          .select(col("doc_a"), col("doc_b"), graft.Q.r6(col("jaccard")).as("jaccard"))
           .transform(d => graft.Q.sorted(d, "doc_a", "doc_b"))
       }
     })
 
   /** Hot-shingle document-frequency cap for the d6 inverted index. */
   val DfCap = 50
+
+  /** Quality floor for the composed keep-pipeline (x_keep_pipeline). */
+  val QualityFloor = 3.5
+
+  /** The end-use composition every piece above exists for: one query
+    * that decides which documents SURVIVE a training-data sweep —
+    * quality-score floor AND not the losing side of a near-dup pair
+    * (higher doc_id of each >= 0.5 Jaccard pair drops; keep-lowest is
+    * the standard deterministic tie-break). Shape at 100 TB: the narrow
+    * per-row quality scan, the d4 inverted-index pair join, and one
+    * LEFT ANTI join — no new operator classes, pure composition.
+    */
+  def pipelineQueries: Seq[Q] = Seq(
+    Q("x_keep_pipeline", {
+      val nstop = TextStats.sqlMarkerCountPublic("toks", TextStats.Stopwords)
+      s"""WITH $shingledCte,
+         |n AS (SELECT doc_id, len(sh) AS ns FROM shingled),
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |losers AS (SELECT DISTINCT doc_b
+         |      FROM p JOIN n na ON na.doc_id = p.doc_a
+         |             JOIN n nb ON nb.doc_id = p.doc_b
+         |      WHERE inter * 1.0 / (na.ns + nb.ns - inter) >= $JaccardThreshold),
+         |t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks FROM documents),
+         |q AS (SELECT doc_id, lang,
+         |             ln(1 + n_chars) * (1.0 - $nstop * 1.0 / len(toks)) AS quality
+         |      FROM t)
+         |SELECT doc_id, lang, round(quality, 6) AS quality
+         |FROM q
+         |WHERE quality >= $QualityFloor
+         |  AND doc_id NOT IN (SELECT doc_b FROM losers)
+         |ORDER BY doc_id""".stripMargin
+    }) {
+      (s, dir) => {
+        val sh = shingled(s, dir).cache()
+        val n = sh.select(col("doc_id"), size(col("sh")).as("ns"))
+        val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+        val p = e.as("a").join(e.as("b").hint("shuffle_hash"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        val losers = p.join(n.as("na"), col("doc_a") === col("na.doc_id"))
+          .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+          .where(col("inter") * 1.0 /
+            (col("na.ns") + col("nb.ns") - col("inter")) >= JaccardThreshold)
+          .select(col("doc_b")).distinct()
+        val t = Portable.spread(Tables.documents(s, dir), "doc_id")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            tokens(col("text")).as("toks"))
+        val q = t.select(col("doc_id"), col("lang"),
+          (log(lit(1) + col("n_chars")) *
+            (lit(1.0) - TextStats.markerCountPublic(col("toks"), TextStats.Stopwords) * 1.0 /
+              size(col("toks")))).as("quality"))
+        q.where(col("quality") >= QualityFloor)
+          .join(losers, q("doc_id") === losers("doc_b"), "left_anti")
+          .select(col("doc_id"), col("lang"), graft.Q.r6(col("quality")).as("quality"))
+          .transform(d => graft.Q.sorted(d, "doc_id"))
+      }
+    })
 }

@@ -79,7 +79,7 @@ object Similarity {
         val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
         scored.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= K)
           .select(col("query_id"), col("neighbor_id"), col("rk"),
-            round(col("cos"), 6).as("cos"))
+            graft.Q.r6(col("cos")).as("cos"))
           .transform(d => graft.Q.sorted(d, "query_id", "rk"))
       }
     },
@@ -105,7 +105,7 @@ object Similarity {
             when(col("na") === 0.0 || col("nb") === 0.0, lit(null))
               .otherwise(dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
           .where(col("cos") >= NearDupThreshold)
-          .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+          .select(col("vec_a"), col("vec_b"), graft.Q.r6(col("cos")).as("cos"))
           .transform(d => graft.Q.sorted(d, "vec_a", "vec_b"))
       }
     },
@@ -159,7 +159,7 @@ object Similarity {
         val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
         scored.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= K)
           .select(col("query_id"), col("neighbor_id"), col("rk"),
-            round(col("cos"), 6).as("cos"))
+            graft.Q.r6(col("cos")).as("cos"))
           .transform(d => graft.Q.sorted(d, "query_id", "rk"))
       }
     },
@@ -230,7 +230,7 @@ object Similarity {
               .otherwise(dot(col("na.embedding"), col("nb.embedding")) /
                 (col("na.nrm") * col("nb.nrm"))).as("cos"))
           .where(col("cos") >= NearDupThreshold)
-          .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+          .select(col("vec_a"), col("vec_b"), graft.Q.r6(col("cos")).as("cos"))
           .transform(d => graft.Q.sorted(d, "vec_a", "vec_b"))
       }
     })

@@ -42,6 +42,12 @@ object TextStats {
   private def sqlMarkerCount(toks: String, markers: Seq[String]): String =
     s"len(list_filter($toks, t -> list_contains([${markers.map(m => s"'$m'").mkString(",")}], t)))"
 
+  // shared with the composed keep-pipeline (Dedup.pipelineQueries)
+  def markerCountPublic(toks: Column, markers: Seq[String]): Column =
+    markerCount(toks, markers)
+  def sqlMarkerCountPublic(toks: String, markers: Seq[String]): String =
+    sqlMarkerCount(toks, markers)
+
   def queries: Seq[Q] = Seq(
 
     // Token counting: whitespace tokens + BPE-ish greedy <=4-char chunks.
@@ -79,9 +85,9 @@ object TextStats {
           aggregate(transform(col("toks"), x => length(x).cast("long")),
             lit(0L), (a, v) => a + v).as("chars_in_toks"))
         f.select(col("doc_id"), col("nt").cast("long").as("n_tokens"),
-          round(col("nstop") * 1.0 / col("nt"), 6).as("stopword_ratio"),
-          round(col("chars_in_toks") * 1.0 / col("nt"), 6).as("mean_token_len"),
-          round(log(lit(1) + col("n_chars")) * (lit(1.0) - col("nstop") * 1.0 / col("nt")), 6)
+          graft.Q.r6(col("nstop") * 1.0 / col("nt")).as("stopword_ratio"),
+          graft.Q.r6(col("chars_in_toks") * 1.0 / col("nt")).as("mean_token_len"),
+          graft.Q.r6(log(lit(1) + col("n_chars")) * (lit(1.0) - col("nstop") * 1.0 / col("nt")))
             .as("quality"))
           .transform(d => graft.Q.sorted(d, "doc_id"))
       }

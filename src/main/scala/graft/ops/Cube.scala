@@ -165,8 +165,8 @@ object Cube {
         val varProd = (col("n") * col("sxx") - col("sx") * col("sx")) *
           (col("n") * col("syy") - col("sy") * col("sy"))
         x.select(col("symbol"),
-          round(when(varProd <= 0, lit(null))
-            .otherwise((col("n") * col("sxy") - col("sx") * col("sy")) / sqrt(varProd)), 6)
+          graft.Q.r6(when(varProd <= 0, lit(null))
+            .otherwise((col("n") * col("sxy") - col("sx") * col("sy")) / sqrt(varProd)))
             .as("close_volume_corr"))
           .transform(d => graft.Q.sorted(d, "symbol"))
       }
