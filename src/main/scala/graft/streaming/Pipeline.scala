@@ -184,6 +184,27 @@ object Pipeline {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Streaming gap sessionization — the streaming twin of the batch
+    * `a6_sessionize` operator, on Spark's native session windows: each
+    * user's events merge into sessions separated by >= `gap` of
+    * inactivity; a session closes (and emits, in append mode) once the
+    * watermark passes its end.
+    *
+    * Scale: state per OPEN session only (watermark-bounded), merged
+    * incrementally — the unbounded-history window pass of the batch
+    * formulation never materializes.
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 second"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Batch twin of the full ingest for the dry-run/console path (S10). */
   def batchIngest(spark: SparkSession, jsonLines: Seq[String]): DataFrame = {
     import spark.implicits._

@@ -147,6 +147,36 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.length == 2, s"expected 2 deduped rows, got ${rows.length}")
   }
 
+  test("streaming session windows: gap-merged sessions close on watermark, match batch semantics") {
+    val input = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val events = input.toDF().toDF("user_id", "ts")
+    val q = Pipeline.sessionize(events, gap = "30 minutes", watermark = "1 second")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:10:00")), // same session (10 min gap)
+      (1L, ts("2024-01-01 11:00:00")), // > 30 min after previous -> new session
+      (2L, ts("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    // advance the watermark far past every session end to close them all
+    input.addData((9L, ts("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    input.addData((9L, ts("2024-01-03 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sessions")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3)))
+    val u1 = rows.filter(_._1 == 1L).sortBy(_._2.getTime)
+    assert(u1.length == 2, s"expected 2 sessions for user 1: ${rows.mkString(", ")}")
+    assert(u1(0)._2 == ts("2024-01-01 10:00:00") && u1(0)._3 == 2L) // merged pair
+    assert(u1(1)._2 == ts("2024-01-01 11:00:00") && u1(1)._3 == 1L)
+    val u2 = rows.filter(_._1 == 2L)
+    assert(u2.length == 1 && u2(0)._3 == 1L)
+  }
+
   test("S13 transformWithState variant: same bounded-buffer semantics on ListState") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
