@@ -31,6 +31,7 @@ object Similarity {
   val K = 3                  // neighbors per query
   val NQueries = 5           // queries = vec_id < 5
   val NearDupThreshold = 0.45
+  val NProbe = 2             // clusters probed per query in e5
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Portable.spread(Tables.embeddings(spark, dir), "vec_id")
@@ -154,6 +155,73 @@ object Similarity {
           .select(col("vec_id").as("query_id"), col("cl"), col("embedding").as("qe"))
         val scored = q.join(assign.as("c"),
             col("c.cl") === q("cl") && col("c.vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+            cosine(col("qe"), col("c.embedding")).as("cos"))
+        val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+        scored.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= K)
+          .select(col("query_id"), col("neighbor_id"), col("rk"),
+            graft.Q.r6(col("cos")).as("cos"))
+          .transform(d => graft.Q.sorted(d, "query_id", "rk"))
+      }
+    },
+
+    // e5: IVF with multi-probe (nprobe=2) — the recall knob every IVF
+    // deployment turns. Data vectors stay assigned to ONE cluster;
+    // each query probes its 2 nearest centroids, so a true neighbor
+    // sitting just across a Voronoi boundary (the classic IVF recall
+    // failure) is searched. Cost: O(nprobe * n / n_clusters) per query,
+    // still a cluster-pruned join, never a full scan.
+    Q("e5_knn_ivf_nprobe2",
+      s"""WITH cent AS (
+         |  SELECT label AS cl, embedding FROM (
+         |    SELECT label, embedding,
+         |           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |assign AS (
+         |  SELECT vec_id, cl, embedding FROM (
+         |    SELECT e.vec_id, cent.cl, e.embedding,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqlCosine("e.embedding", "cent.embedding")} DESC, cent.cl) AS rn
+         |    FROM embeddings e CROSS JOIN cent) WHERE rn = 1),
+         |qprobe AS (
+         |  SELECT vec_id AS query_id, cl, embedding AS qe FROM (
+         |    SELECT e.vec_id, cent.cl, e.embedding,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqlCosine("e.embedding", "cent.embedding")} DESC, cent.cl) AS rn
+         |    FROM embeddings e CROSS JOIN cent
+         |    WHERE e.vec_id < $NQueries) WHERE rn <= $NProbe),
+         |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |                  ${sqlCosine("q.qe", "c.embedding")} AS cos
+         |           FROM qprobe q JOIN assign c
+         |             ON c.cl = q.cl AND c.vec_id != q.query_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |             (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |           FROM scored)
+         |SELECT query_id, neighbor_id, rk, round(cos, 6) AS cos
+         |FROM ranked WHERE rk <= $K ORDER BY query_id, rk""".stripMargin) {
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cent = e.withColumn("rn",
+            row_number().over(Window.partitionBy("label").orderBy("vec_id")))
+          .where(col("rn") === 1)
+          .select(col("label").as("cl"), col("embedding").as("ce"))
+        val assign = e.crossJoin(broadcast(cent))
+          .withColumn("ccos", cosine(col("embedding"), col("ce")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cl"))))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("cl"), col("embedding"))
+        // only the 5 queries fan out x NProbe — the corpus assignment
+        // stays single-cluster, so the probe join reads nprobe clusters
+        val qprobe = e.where(col("vec_id") < NQueries)
+          .crossJoin(broadcast(cent))
+          .withColumn("ccos", cosine(col("embedding"), col("ce")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cl"))))
+          .where(col("rn") <= NProbe)
+          .select(col("vec_id").as("query_id"), col("cl"), col("embedding").as("qe"))
+        val scored = qprobe.join(assign.as("c"),
+            col("c.cl") === qprobe("cl") && col("c.vec_id") =!= col("query_id"))
           .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
             cosine(col("qe"), col("c.embedding")).as("cos"))
         val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))

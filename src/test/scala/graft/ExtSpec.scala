@@ -97,6 +97,18 @@ class ExtSpec extends SparkTestBase {
     assert(e4.subsetOf(e1), s"LSH found pairs brute force did not: ${e4 -- e1}")
   }
 
+  test("IVF multi-probe recall dominates single-probe against exact brute force") {
+    def pairs(name: String) = graft.ext.Similarity.queries.find(_.name == name).get
+      .build(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("e2_knn_brute")
+    val probe1 = pairs("e3_knn_ivf")
+    val probe2 = pairs("e5_knn_ivf_nprobe2")
+    val r1 = (probe1 & exact).size
+    val r2 = (probe2 & exact).size
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
+    assert(r2 > 0)
+  }
+
   test("e2 kNN broadcasts the tiny QUERY side, streams the corpus") {
     // building the corpus side would OOM at scale — pin the plan shape
     val df = graft.ext.Similarity.queries.find(_.name == "e2_knn_brute").get
