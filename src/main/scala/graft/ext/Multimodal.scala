@@ -88,11 +88,52 @@ object Multimodal {
       }(Encoders.product[MediaFeat])
       .toDF()
 
+  /** Frames sampled per payload in m2. */
+  val FramesPerDoc = 4
+
+  final case class FrameFeat(
+      doc_id: Long, frame_no: Long, frame_off: Long, luma: Long)
+
+  /** m2: frame sampling — decode emits MULTIPLE rows per input (the
+    * video pattern: k evenly-spaced frames per payload), so the
+    * partition-wise decode is a flatMap, not a map. The fake "frame" at
+    * slot f is the codepoint at offset floor(f * len / k) of the decoded
+    * payload; a real deployment swaps in keyframe extraction with the
+    * identical batch shape. Still a narrow operator: no shuffle, output
+    * is k x input rows with fixed-width columns.
+    */
+  def frames(spark: SparkSession, dir: String,
+      k: Int = FramesPerDoc): org.apache.spark.sql.Dataset[FrameFeat] =
+    media(spark, dir).as(Encoders.product[MediaRec])
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val s = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+          val n = s.codePointCount(0, s.length)
+          if (n == 0) Iterator.empty
+          else (0 until k).iterator.map { f =>
+            val off = f.toLong * n / k
+            val idx = s.offsetByCodePoints(0, off.toInt)
+            FrameFeat(r.doc_id, f.toLong, off, s.codePointAt(idx).toLong)
+          }
+        }
+      }(Encoders.product[FrameFeat])
+
   // Oracle mirror of the fake decode: per-character `ord` fold == UTF-8
   // decode + codepoint sum on any corpus. COALESCE pins the empty-text
   // edge (list_sum over an empty list is NULL in DuckDB, 0 in the
   // decoder); CAST collapses HUGEINT -> BIGINT for arrow-type parity.
   def queries: Seq[Q] = Seq(
+    Q("m2_frame_sample",
+      s"""SELECT doc_id, f AS frame_no,
+        |       (f * length(text)) // $FramesPerDoc AS frame_off,
+        |       CAST(ord(substr(text, CAST((f * length(text)) // $FramesPerDoc AS INT) + 1, 1)) AS BIGINT) AS luma
+        |FROM documents CROSS JOIN (SELECT unnest(range(0, $FramesPerDoc)) AS f) r
+        |WHERE length(text) > 0
+        |ORDER BY doc_id, frame_no""".stripMargin) {
+      (s, dir) =>
+        frames(s, dir).toDF().transform(d => graft.Q.sorted(d, "doc_id", "frame_no"))
+    },
+
     Q("m1_media_features",
       """SELECT doc_id,
         |       (n_chars % 640) + 32 AS width,

@@ -80,6 +80,19 @@ class ExtSpec extends SparkTestBase {
     assert(f1.nonEmpty)
   }
 
+  test("multimodal frame sampling: k rows per non-empty payload, offsets ascend") {
+    val fr = Multimodal.frames(spark, sf).collect()
+    val byDoc = fr.groupBy(_.doc_id)
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (id, rows) =>
+      assert(rows.length == Multimodal.FramesPerDoc, s"doc $id frame count")
+      val sorted = rows.sortBy(_.frame_no)
+      assert(sorted.map(_.frame_off).toSeq == sorted.map(_.frame_off).toSeq.sorted,
+        s"doc $id offsets not monotone")
+      assert(sorted.head.frame_off == 0L)
+    }
+  }
+
   test("flatten: nested structs -> underscore-joined leaf columns") {
     import org.apache.spark.sql.functions.struct
     val df = Seq((1, 2, 3)).toDF("a", "b", "c")
