@@ -134,6 +134,35 @@ object Multimodal {
         frames(s, dir).toDF().transform(d => graft.Q.sorted(d, "doc_id", "frame_no"))
     },
 
+    // m3: aspect-preserving resize planning — the metadata half of a
+    // real resize (the pixel half plugs into MediaDecoder): fit each
+    // payload's (width, height) into a 256-box, integer math only so
+    // both engines agree exactly. Pure per-row projection; at scale the
+    // plan is a narrow scan emitting resize jobs, with the byte-level
+    // work behind the partition-wise decoder.
+    Q("m3_resize_plan",
+      """SELECT doc_id,
+        |       (n_chars % 640) + 32 AS width,
+        |       ((n_chars * 7) % 480) + 32 AS height,
+        |       CASE WHEN (n_chars % 640) + 32 >= ((n_chars * 7) % 480) + 32 THEN 256
+        |            ELSE ((n_chars % 640) + 32) * 256 // (((n_chars * 7) % 480) + 32) END AS out_w,
+        |       CASE WHEN (n_chars % 640) + 32 >= ((n_chars * 7) % 480) + 32
+        |            THEN (((n_chars * 7) % 480) + 32) * 256 // ((n_chars % 640) + 32)
+        |            ELSE 256 END AS out_h
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, dir) => {
+        val m = media(s, dir).select(col("doc_id"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"))
+        val landscape = col("width") >= col("height")
+        m.select(col("doc_id"), col("width"), col("height"),
+            when(landscape, lit(256L))
+              .otherwise(col("width") * 256L / col("height")).cast("long").as("out_w"),
+            when(landscape, col("height") * 256L / col("width"))
+              .otherwise(lit(256L)).cast("long").as("out_h"))
+          .transform(d => graft.Q.sorted(d, "doc_id"))
+      }
+    },
+
     Q("m1_media_features",
       """SELECT doc_id,
         |       (n_chars % 640) + 32 AS width,
