@@ -23,6 +23,8 @@ object SparkEntry {
       ops.AsOf.queries ++
       ext.Fundamentals.queries ++
       ext.TextStats.queries ++
+      ext.Repetition.queries ++
+      ext.Embeddings.queries ++
       ext.Dedup.queries ++
       ext.Dedup.pipelineQueries ++
       ext.Similarity.queries ++

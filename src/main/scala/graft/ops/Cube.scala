@@ -185,5 +185,39 @@ object Cube {
           .where(Portable.hash60(col("doc_id").cast("string")) % 10 === 0)
           .select("doc_id", "lang")
           .transform(d => graft.Q.sorted(d, "doc_id"))
+    },
+
+    // Stratified fixed-size sampling: exactly K docs per language,
+    // chosen by deterministic hash rank — how a training mix equalizes
+    // group representation reproducibly (a random per-group sample is
+    // neither reproducible nor comparable across engines). Spark plans
+    // the rank-filter as WindowGroupLimit: the top-K per group is
+    // computed DURING the shuffle read (partial top-K map-side), so at
+    // 100 TB each reducer only ever materializes K rows per group, not
+    // the group's full membership.
+    Q("x_stratified", {
+      val h = Portable.sqlHash60("CAST(doc_id AS VARCHAR)")
+      s"""WITH h AS (SELECT doc_id, lang, $h AS hk FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |             row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rnk
+         |      FROM h)
+         |SELECT doc_id, lang, rnk FROM r WHERE rnk <= $StratifiedK
+         |ORDER BY lang, rnk""".stripMargin
+    }) {
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+          .orderBy(col("hk"), col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            Portable.hash60(col("doc_id").cast("string")).as("hk"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= StratifiedK)
+          .select(col("doc_id"), col("lang"), col("rnk").cast("long").as("rnk"))
+          .transform(d => graft.Q.sorted(d, "lang", "rnk"))
+      }
     })
+
+  /** Docs kept per language stratum in x_stratified. */
+  val StratifiedK = 20
 }
