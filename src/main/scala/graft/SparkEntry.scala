@@ -27,6 +27,7 @@ object SparkEntry {
       ext.Embeddings.queries ++
       ext.Dedup.queries ++
       ext.Dedup.pipelineQueries ++
+      ext.Dedup.ccQueries ++
       ext.Similarity.queries ++
       ext.Multimodal.queries
 

@@ -257,6 +257,97 @@ object Dedup {
   /** Hot-shingle document-frequency cap for the d6 inverted index. */
   val DfCap = 50
 
+  /** Max label-propagation rounds for d7 (bound >> real near-dup graph
+    * diameters; the loop exits on convergence well before it). */
+  val CcMaxIters = 15
+
+  /** The jaccard-gated pair list (doc_a < doc_b), shared by d7 — same
+    * inverted-index plan as d4 without the jaccard payload. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir).cache()
+    val n = sh.select(col("doc_id"), size(col("sh")).as("ns"))
+    val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val p = e.as("a").join(e.as("b").hint("shuffle_hash"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    p.join(n.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .where(col("inter") * 1.0 /
+        (col("na.ns") + col("nb.ns") - col("inter")) >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** d7: connected components over the near-dup pair graph — the step
+    * that turns PAIRS into dedup GROUPS (keep one doc per component, not
+    * one per pair: pairs (A,B),(B,C) must collapse to ONE group even
+    * though (A,C) was never emitted). Min-label propagation: every
+    * vertex starts as its own component id and repeatedly takes the min
+    * over its neighborhood until a fixpoint — O(component diameter)
+    * rounds, each one join + one min-aggregate, lineage cut per round
+    * with `localCheckpoint` so the plan doesn't grow with iterations.
+    * Convergence test is the monotone-decreasing integer sum of labels
+    * (an O(1)-row driver read per round, not a data collect). Near-dup
+    * graphs at 100 TB are overwhelmingly tiny star/path components, so
+    * rounds ~ 2-4; the O(log n) large-star/small-star variant is the
+    * upgrade path if adversarial long chains ever dominate.
+    *
+    * The oracle is DuckDB's recursive CTE computing min reachable id —
+    * a different algorithm (transitive closure) arriving at the same
+    * fixpoint, which is exactly what makes it a trustworthy oracle.
+    */
+  def ccQueries: Seq[Q] = Seq(
+    Q("d7_cc_groups",
+      s"""WITH RECURSIVE $shingledCte,
+         |n AS (SELECT doc_id, len(sh) AS ns FROM shingled),
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b
+         |      FROM p JOIN n na ON na.doc_id = p.doc_a
+         |             JOIN n nb ON nb.doc_id = p.doc_b
+         |      WHERE inter * 1.0 / (na.ns + nb.ns - inter) >= $JaccardThreshold),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+         |comp AS (SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u)
+         |SELECT doc_id, component,
+         |       count(*) OVER (PARTITION BY component) AS comp_size
+         |FROM comp ORDER BY doc_id""".stripMargin) {
+      (s, dir) => {
+        val pairs = jaccardPairs(s, dir)
+        val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+          .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+          .localCheckpoint() // pairs pipeline runs once, not once per round
+        var labels = edges.select(col("u")).distinct()
+          .select(col("u"), col("u").as("comp"))
+          .localCheckpoint()
+        var prevSum = labels.agg(sum("comp")).head().getLong(0)
+        var converged = false
+        var iters = 0
+        while (!converged && iters < CcMaxIters) {
+          val msgs = edges.as("e")
+            .join(labels.as("l"), col("e.v") === col("l.u"))
+            .select(col("e.u").as("u"), col("l.comp").as("comp"))
+          labels = labels.union(msgs).groupBy("u")
+            .agg(min("comp").as("comp"))
+            .localCheckpoint()
+          val sumNow = labels.agg(sum("comp")).head().getLong(0)
+          converged = sumNow == prevSum
+          prevSum = sumNow
+          iters += 1
+        }
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+        labels.select(col("u").as("doc_id"), col("comp").as("component"))
+          .withColumn("comp_size", count(lit(1)).over(w))
+          .transform(d => graft.Q.sorted(d, "doc_id"))
+      }
+    })
+
   /** Quality floor for the composed keep-pipeline (x_keep_pipeline). */
   val QualityFloor = 3.5
 
