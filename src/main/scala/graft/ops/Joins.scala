@@ -24,8 +24,23 @@ import org.apache.spark.sql.functions._
   *   - j3: existence tests as LEFT SEMI / LEFT ANTI — the planner prunes
   *     the probe payload to the join key (no row widening, no dedup
   *     aggregation the way an IN-subquery rewrite would need).
+  *   - j4: the salted join for keys whose cardinality is far below the
+  *     cluster's parallelism. `events.event_type` has 5 distinct values:
+  *     a plain shuffle join on it can never use more than 5 tasks — at
+  *     100 TB that strands one task with 20 TB. Salting the fact side
+  *     with `pmod(event_id, S)` and exploding the build side S ways
+  *     turns 5 join keys into 5*S, restoring parallelism at the cost of
+  *     replicating the (tiny) build rows S times. AQE's skew splitter
+  *     only re-splits oversized PARTITIONS; it cannot split a single
+  *     oversized KEY inside a sort-merge group, which is why the salt
+  *     must be in the join key itself.
   */
 object Joins {
+
+  /** Salt fan-out for j4. Sized to taskSlots/keyCount in production;
+    * fixed here so the oracle-checked output is deterministic (the salt
+    * never reaches the output — only the join parallelism). */
+  val SaltBuckets = 8
 
   def queries: Seq[Q] = Seq(
 
@@ -110,6 +125,43 @@ object Joins {
               coalesce(col("with_open"), lit(0L)).as("with_open"),
               coalesce(col("without_open"), lit(0L)).as("without_open")),
           "segment")
+      }
+    },
+
+    // j4: events enriched with their type's mean via a salted join, then
+    // counted above/below the mean. All comparisons run in exact integer
+    // arithmetic (value pre-scaled to micros, mean compared cross-
+    // multiplied) so Spark and DuckDB agree cell-exact.
+    Q("j4_salted_skew",
+      """WITH ev AS (SELECT event_type,
+        |                   CAST(round(value * 1e6, 0) AS BIGINT) AS v6
+        |            FROM events),
+        |d AS (SELECT event_type, sum(v6) AS sum_v, count(*) AS n_v
+        |      FROM ev GROUP BY 1)
+        |SELECT ev.event_type AS event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CASE WHEN ev.v6 * d.n_v > d.sum_v THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS above_mean
+        |FROM ev JOIN d USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("event_type"), col("event_id"),
+          round(col("value") * lit(1e6), 0).cast("long").as("v6"))
+        val dim = ev.groupBy("event_type")
+          .agg(sum(col("v6")).as("sum_v"), count(lit(1)).as("n_v"))
+        val salted = dim.withColumn("salt",
+          explode(array((0 until SaltBuckets).map(lit(_)): _*)))
+        val joined = ev
+          .withColumn("salt", pmod(col("event_id"), lit(SaltBuckets.toLong)).cast("int"))
+          .join(salted.hint("shuffle_hash"), Seq("event_type", "salt"))
+        Q.norm(
+          joined.groupBy("event_type")
+            .agg(
+              count(lit(1)).as("n_events"),
+              sum(when(col("v6") * col("n_v") > col("sum_v"), 1L).otherwise(0L))
+                .as("above_mean")),
+          "event_type")
       }
     })
 }
