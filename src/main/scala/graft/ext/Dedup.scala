@@ -278,73 +278,160 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
   }
 
-  /** d7: connected components over the near-dup pair graph — the step
-    * that turns PAIRS into dedup GROUPS (keep one doc per component, not
-    * one per pair: pairs (A,B),(B,C) must collapse to ONE group even
-    * though (A,C) was never emitted). Min-label propagation: every
-    * vertex starts as its own component id and repeatedly takes the min
-    * over its neighborhood until a fixpoint — O(component diameter)
-    * rounds, each one join + one min-aggregate, lineage cut per round
-    * with `localCheckpoint` so the plan doesn't grow with iterations.
-    * Convergence test is the monotone-decreasing integer sum of labels
-    * (an O(1)-row driver read per round, not a data collect). Near-dup
-    * graphs at 100 TB are overwhelmingly tiny star/path components, so
-    * rounds ~ 2-4; the O(log n) large-star/small-star variant is the
-    * upgrade path if adversarial long chains ever dominate.
-    *
-    * The oracle is DuckDB's recursive CTE computing min reachable id —
-    * a different algorithm (transitive closure) arriving at the same
-    * fixpoint, which is exactly what makes it a trustworthy oracle.
+  /** Connected components over the near-dup pair graph via min-label
+    * propagation: every vertex starts as its own component id and
+    * repeatedly takes the min over its neighborhood until a fixpoint —
+    * O(component diameter) rounds, each one join + one min-aggregate,
+    * lineage cut per round with `localCheckpoint` so the plan doesn't
+    * grow with iterations. Convergence test is the monotone-decreasing
+    * integer sum of labels (an O(1)-row driver read per round, not a
+    * data collect). Near-dup graphs at 100 TB are overwhelmingly tiny
+    * star/path components, so rounds ~ 2-4; the O(log n)
+    * large-star/small-star variant is the upgrade path if adversarial
+    * long chains ever dominate. Returns (doc_id, component) for every
+    * doc that appears in at least one near-dup pair; component = min
+    * doc_id reachable.
+    */
+  private def components(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(s, dir)
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint() // pairs pipeline runs once, not once per round
+    var labels = edges.select(col("u")).distinct()
+      .select(col("u"), col("u").as("comp"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum("comp")).head().getLong(0)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < CcMaxIters) {
+      val msgs = edges.as("e")
+        .join(labels.as("l"), col("e.v") === col("l.u"))
+        .select(col("e.u").as("u"), col("l.comp").as("comp"))
+      labels = labels.union(msgs).groupBy("u")
+        .agg(min("comp").as("comp"))
+        .localCheckpoint()
+      val sumNow = labels.agg(sum("comp")).head().getLong(0)
+      converged = sumNow == prevSum
+      prevSum = sumNow
+      iters += 1
+    }
+    labels.select(col("u").as("doc_id"), col("comp").as("component"))
+  }
+
+  /** The oracle-side mirror of [[components]]: DuckDB's recursive CTE
+    * computing min reachable id — a different algorithm (transitive
+    * closure) arriving at the same fixpoint, which is exactly what makes
+    * it a trustworthy oracle. Defines CTE `comp(doc_id, component)`;
+    * must follow `WITH RECURSIVE $shingledCte`.
+    */
+  private val compCte =
+    s"""n AS (SELECT doc_id, len(sh) AS ns FROM shingled),
+       |e AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |pairs AS (SELECT doc_a, doc_b
+       |      FROM p JOIN n na ON na.doc_id = p.doc_a
+       |             JOIN n nb ON nb.doc_id = p.doc_b
+       |      WHERE inter * 1.0 / (na.ns + nb.ns - inter) >= $JaccardThreshold),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(u, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+       |comp AS (SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u)""".stripMargin
+
+  /** d7/d8/d9 — the group/decide/decontaminate tail of the dedup
+    * pipeline: pairs -> components -> per-component keep decision, and
+    * benchmark decontamination.
     */
   def ccQueries: Seq[Q] = Seq(
+
+    // d7: the step that turns PAIRS into dedup GROUPS (keep one doc per
+    // component, not one per pair: pairs (A,B),(B,C) must collapse to
+    // ONE group even though (A,C) was never emitted).
     Q("d7_cc_groups",
       s"""WITH RECURSIVE $shingledCte,
-         |n AS (SELECT doc_id, len(sh) AS ns FROM shingled),
-         |e AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
-         |      GROUP BY 1, 2),
-         |pairs AS (SELECT doc_a, doc_b
-         |      FROM p JOIN n na ON na.doc_id = p.doc_a
-         |             JOIN n nb ON nb.doc_id = p.doc_b
-         |      WHERE inter * 1.0 / (na.ns + nb.ns - inter) >= $JaccardThreshold),
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(u, r) AS (
-         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-         |  UNION
-         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
-         |comp AS (SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u)
+         |$compCte
          |SELECT doc_id, component,
          |       count(*) OVER (PARTITION BY component) AS comp_size
          |FROM comp ORDER BY doc_id""".stripMargin) {
       (s, dir) => {
-        val pairs = jaccardPairs(s, dir)
-        val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-          .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-          .localCheckpoint() // pairs pipeline runs once, not once per round
-        var labels = edges.select(col("u")).distinct()
-          .select(col("u"), col("u").as("comp"))
-          .localCheckpoint()
-        var prevSum = labels.agg(sum("comp")).head().getLong(0)
-        var converged = false
-        var iters = 0
-        while (!converged && iters < CcMaxIters) {
-          val msgs = edges.as("e")
-            .join(labels.as("l"), col("e.v") === col("l.u"))
-            .select(col("e.u").as("u"), col("l.comp").as("comp"))
-          labels = labels.union(msgs).groupBy("u")
-            .agg(min("comp").as("comp"))
-            .localCheckpoint()
-          val sumNow = labels.agg(sum("comp")).head().getLong(0)
-          converged = sumNow == prevSum
-          prevSum = sumNow
-          iters += 1
-        }
         val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
-        labels.select(col("u").as("doc_id"), col("comp").as("component"))
+        components(s, dir)
           .withColumn("comp_size", count(lit(1)).over(w))
           .transform(d => graft.Q.sorted(d, "doc_id"))
+      }
+    },
+
+    // d8: the KEEP decision — per duplicate component retain the best
+    // member (longest in bytes, doc_id as the deterministic tie-break);
+    // docs in no component keep themselves. This is the row-level
+    // verdict a dedup sweep actually emits at 100 TB: a boolean per
+    // document, computed with one left join against the (tiny, pairs-
+    // only) component map and one per-component window — the full
+    // corpus is never shuffled except by component, whose groups are
+    // duplicate clusters (bounded, skew-free by construction).
+    Q("d8_dedup_keep",
+      s"""WITH RECURSIVE $shingledCte,
+         |$compCte,
+         |lab AS (SELECT d.doc_id,
+         |               coalesce(comp.component, d.doc_id) AS component,
+         |               strlen(d.text) AS sz
+         |        FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id),
+         |ranked AS (SELECT doc_id, component,
+         |                  row_number() OVER (PARTITION BY component
+         |                                     ORDER BY sz DESC, doc_id) AS rk
+         |           FROM lab)
+         |SELECT doc_id, component, rk = 1 AS keep
+         |FROM ranked ORDER BY doc_id""".stripMargin) {
+      (s, dir) => {
+        val comp = components(s, dir)
+        val lab = Tables.documents(s, dir)
+          .select(col("doc_id"), octet_length(col("text")).as("sz"))
+          .join(comp.withColumnRenamed("doc_id", "c_doc"),
+            col("doc_id") === col("c_doc"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"),
+            col("sz"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("component")
+          .orderBy(col("sz").desc, col("doc_id"))
+        lab.withColumn("keep", row_number().over(w) === 1)
+          .select(col("doc_id"), col("component"), col("keep"))
+          .transform(d => graft.Q.sorted(d, "doc_id"))
+      }
+    },
+
+    // d9: benchmark decontamination — flag corpus docs sharing any
+    // 3-shingle with a held-out benchmark set (here: doc_id % 97 = 0, a
+    // deterministic stand-in for an eval suite). The benchmark n-gram
+    // index is tiny by definition, so it BROADCASTS and the 100 TB
+    // corpus streams through the collision probe with zero pre-join
+    // shuffle — the only shuffle is the final per-doc aggregate.
+    Q("d9_decontaminate",
+      s"""WITH $shingledCte,
+         |c AS (SELECT doc_id, unnest(sh) AS g FROM shingled WHERE doc_id % 97 <> 0),
+         |b AS (SELECT doc_id, unnest(sh) AS g FROM shingled WHERE doc_id % 97 = 0)
+         |SELECT c.doc_id AS doc_id,
+         |       count(DISTINCT b.doc_id) AS n_bench_docs,
+         |       count(DISTINCT c.g) AS n_shared_shingles
+         |FROM c JOIN b ON c.g = b.g
+         |GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, dir) => {
+        val sh = shingled(s, dir)
+        val corpus = sh.where(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+        val bench = sh.where(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("bench_id"), explode(col("sh")).as("g"))
+        Q.norm(
+          corpus.join(broadcast(bench), Seq("g"))
+            .groupBy("doc_id")
+            .agg(
+              countDistinct(col("bench_id")).as("n_bench_docs"),
+              countDistinct(col("g")).as("n_shared_shingles")),
+          "doc_id")
       }
     })
 
