@@ -77,4 +77,41 @@ class Ext2Spec extends SparkTestBase {
       }
     }
   }
+
+  test("d7/d8: near-dup pairs land in one component; exactly one keep per component") {
+    val comp = run("d8_dedup_keep")
+      .select("doc_id", "component", "keep")
+      .as[(Long, Long, Boolean)].collect()
+    val byDoc = comp.map(r => r._1 -> r._2).toMap
+    // d8 covers the whole corpus, components are min-labels
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(comp.length == nDocs)
+    comp.foreach { case (doc, c, _) => assert(c <= doc) }
+    // every verified near-dup pair collapses into the same component
+    val pairs = run("d4_ngram_jaccard")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a) == byDoc(b), s"pair ($a,$b) split across components")
+    }
+    // the keep policy: exactly one survivor per component
+    comp.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.count(_._3) == 1, s"component $c keep count != 1")
+    }
+    // d7 (pairs-only view) agrees with d8's labels on its domain
+    val d7 = run("d7_cc_groups")
+      .select("doc_id", "component").as[(Long, Long)].collect()
+    d7.foreach { case (doc, c) => assert(byDoc(doc) == c) }
+  }
+
+  test("d9: benchmark docs excluded, collisions real") {
+    val hits = run("d9_decontaminate")
+      .select("doc_id", "n_bench_docs", "n_shared_shingles")
+      .as[(Long, Long, Long)].collect()
+    assert(hits.nonEmpty)
+    hits.foreach { case (doc, nb, ns) =>
+      assert(doc % 97 != 0, s"benchmark doc $doc flagged as corpus")
+      assert(nb >= 1 && ns >= 1)
+    }
+  }
 }
