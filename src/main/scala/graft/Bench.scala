@@ -67,8 +67,7 @@ object Bench {
     // beyond-reference extension surface.
     val core = results.filterNot { case (k, _) =>
       k.startsWith("d") && k != "dashboard_cascade" ||
-        k.startsWith("e1") || k.startsWith("e2") || k.startsWith("e3") ||
-        k.startsWith("e4") ||
+        k.startsWith("e") ||
         k.startsWith("x_") || k.startsWith("f1") || k.startsWith("f2") ||
         k.startsWith("m1") || k.startsWith("j")
     }.map(_._2).sum

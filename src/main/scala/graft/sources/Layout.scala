@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Write-side data layout — the half of a 100 TB engine that decides how
+  * the NEXT ten thousand queries run. A scan can only skip what the
+  * writer organized to be skippable:
+  *
+  *   - `writeClustered`: hive-style partition directories on the
+  *     low-cardinality predicate columns (partition pruning eliminates
+  *     whole directories before any IO), plus an in-file sort on the
+  *     range-predicate column so parquet row-group min/max statistics
+  *     prune within files. `filesPerPartition` controls the
+  *     file-explosion tradeoff: one repartition by (partition cols,
+  *     deterministic hash bucket) gives exactly that many files per
+  *     partition value instead of one-file-per-task (tiny files) or
+  *     one-giant-file (no read parallelism).
+  *
+  *   - `writeBucketed`: Spark bucketing on a join/agg key. Two tables
+  *     bucketed the same way join with ZERO exchange on either side —
+  *     at 100 TB the repeated fact⋈fact shuffle is the single biggest
+  *     recurring cost a layout decision can delete. Bucket files also
+  *     pre-sort by the key, so the join is a zip-merge of sorted runs.
+  *
+  * The reference keeps its output in Postgres tables (reference
+  * postgres/init.sql:1-13); partition/bucket layout is the Spark-native
+  * replacement for those btree indexes at warehouse scale.
+  */
+object Layout {
+
+  /** Partitioned, range-sorted parquet write.
+    *
+    * @param partitionCols hive partition columns (low cardinality:
+    *                      dates, symbols, languages)
+    * @param sortCol       range-predicate column; sorted within each
+    *                      file => row-group min/max stats become
+    *                      selective
+    * @param filesPerPartition target parquet files per partition value
+    */
+  def writeClustered(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      sortCol: String,
+      filesPerPartition: Int = 1): Unit = {
+    val bucket = org.apache.spark.sql.functions
+      .pmod(org.apache.spark.sql.functions.hash(col(sortCol)),
+        org.apache.spark.sql.functions.lit(filesPerPartition))
+    df.withColumn("__file_bucket", bucket)
+      .repartition((partitionCols :+ "__file_bucket").map(col): _*)
+      .sortWithinPartitions((partitionCols :+ sortCol).map(col): _*)
+      .drop("__file_bucket")
+      .write
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** Bucketed + sorted managed table (requires a session catalog; the
+    * bucket spec lives in table metadata, which is why this writes a
+    * TABLE, not a path).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Read back a clustered path. Plain `spark.read.parquet` — partition
+    * discovery and pruning are automatic; this exists so library users
+    * find the read path next to the write path.
+    */
+  def readClustered(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
