@@ -205,6 +205,34 @@ object Pipeline {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Watermarked stream-stream interval join: every left row is matched
+    * to right rows of the same key whose event time falls inside
+    * [lts - beforeSec, lts + afterSec] — the streaming twin of the batch
+    * range join (`ops/AsOf.rangeJoin`), e.g. live bars enriched with the
+    * news/trade events surrounding them.
+    *
+    * Scale: Spark's symmetric hash join buffers BOTH sides keyed by the
+    * join key, and the interval condition + both watermarks give the
+    * planner a state-eviction bound — a row older than
+    * watermark + interval can never match again and is dropped. Without
+    * the time bound the join state would grow forever; this shape is the
+    * only stream-stream join that survives at 100 TB/day ingest.
+    *
+    * Inputs must not share column names (rename before calling); `lts`
+    * and `rts` are the two event-time columns.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      lkey: String, rkey: String, lts: String, rts: String,
+      beforeSec: Int, afterSec: Int,
+      watermark: String = "10 seconds"): DataFrame = {
+    val l = left.withWatermark(lts, watermark)
+    val r = right.withWatermark(rts, watermark)
+    l.join(r,
+      col(lkey) === col(rkey) &&
+        col(rts) >= col(lts) - expr(s"INTERVAL $beforeSec SECONDS") &&
+        col(rts) <= col(lts) + expr(s"INTERVAL $afterSec SECONDS"))
+  }
+
   /** Batch twin of the full ingest for the dry-run/console path (S10). */
   def batchIngest(spark: SparkSession, jsonLines: Seq[String]): DataFrame = {
     import spark.implicits._

@@ -177,6 +177,41 @@ class StreamingSpec extends SparkTestBase {
     assert(u2.length == 1 && u2(0)._3 == 1L)
   }
 
+  test("stream-stream interval join: matches only inside the time band, plans stateful join") {
+    val bars = MemoryStream[(String, java.sql.Timestamp, Double)](spark)
+    val news = MemoryStream[(String, java.sql.Timestamp, String)](spark)
+    val joined = Pipeline.intervalJoin(
+      bars.toDF().toDF("symbol", "bar_ts", "close"),
+      news.toDF().toDF("n_symbol", "news_ts", "headline"),
+      "symbol", "n_symbol", "bar_ts", "news_ts",
+      beforeSec = 60, afterSec = 60, watermark = "10 seconds")
+    val q = joined.writeStream.format("memory").queryName("ivjoin")
+      .outputMode("append").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    bars.addData(
+      ("AAPL", ts("2024-01-01 10:05:00"), 10.0),
+      ("MSFT", ts("2024-01-01 10:05:00"), 20.0))
+    news.addData(
+      ("AAPL", ts("2024-01-01 10:04:30"), "inside-before"),   // -30s: match
+      ("AAPL", ts("2024-01-01 10:05:45"), "inside-after"),    // +45s: match
+      ("AAPL", ts("2024-01-01 10:07:30"), "outside"),         // +150s: no match
+      ("MSFT", ts("2024-01-01 10:05:10"), "other-key"))       // matches MSFT only
+    q.processAllAvailable()
+    // advance both watermarks so the joined rows finalize in append mode
+    bars.addData(("ZZZ", ts("2024-01-01 11:00:00"), 0.0))
+    news.addData(("ZZZ", ts("2024-01-01 11:00:00"), "wm"))
+    q.processAllAvailable()
+
+    val got = spark.table("ivjoin").select("symbol", "headline")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    q.stop()
+    assert(got == Set(
+      ("AAPL", "inside-before"), ("AAPL", "inside-after"),
+      ("MSFT", "other-key"), ("ZZZ", "wm")),
+      s"unexpected join result: $got")
+  }
+
   test("S13 transformWithState variant: same bounded-buffer semantics on ListState") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
