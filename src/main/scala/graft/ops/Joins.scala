@@ -163,5 +163,104 @@ object Joins {
                 .as("above_mean")),
           "event_type")
       }
+    },
+
+    // j5: the TPC-H Q3 shape — segment-filtered customers drive orders,
+    // orders drive lineitems, aggregate revenue per order, global top-10.
+    // Revenue is computed in EXACT integer arithmetic (price cents x
+    // discount basis points) so the top-10 cut and the output are
+    // cross-engine deterministic; Spark plans the final step as
+    // TakeOrderedAndProject (per-partition top-k + single merge), never
+    // a full global sort.
+    Q("j5_tpch_q3",
+      """WITH l AS (SELECT l_orderkey,
+        |                  CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |                  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev4,
+        |                  l_shipdate
+        |           FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT o.o_orderkey AS orderkey, o.o_orderdate AS orderdate,
+        |         round(CAST(sum(l.rev4) AS DOUBLE) / 10000, 6) AS revenue
+        |  FROM customer c
+        |  JOIN orders o ON c.c_custkey = o.o_custkey
+        |  JOIN l ON l.l_orderkey = o.o_orderkey
+        |  WHERE c.c_mktsegment = 'BUILDING'
+        |    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2
+        |  ORDER BY sum(l.rev4) DESC, orderkey LIMIT 10)
+        |ORDER BY orderkey""".stripMargin) {
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+          .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        val o = Tables.orders(s, dir)
+          .where(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val l = Tables.lineitem(s, dir)
+          .where(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+          .select(col("l_orderkey"),
+            (round(col("l_extendedprice") * 100, 0).cast("long")
+              * (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).as("rev4"))
+        val top = l
+          .join(o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey").as("orderkey"), col("o_orderdate").as("orderdate"))
+          .agg(sum(col("rev4")).as("rev4"))
+          .orderBy(col("rev4").desc, col("orderkey"))
+          .limit(10)
+          .select(col("orderkey"), col("orderdate"),
+            graft.Q.r6(col("rev4").cast("double") / 10000).as("revenue"))
+        graft.Q.sorted(top, "orderkey")
+      }
+    },
+
+    // j6: the TPC-H Q5 shape — region-filtered star where the supplier
+    // must be in the CUSTOMER's nation (the extra c_nationkey =
+    // s_nationkey edge makes this a genuine multi-way join, not a
+    // snowflake lookup). Dims broadcast; the fact-side join order is
+    // lineitem⋈orders (big-big SMJ) then customer/supplier/nation/region
+    // pruning.
+    Q("j6_tpch_q5",
+      """WITH l AS (SELECT l_orderkey, l_suppkey,
+        |                  CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |                  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev4
+        |           FROM lineitem)
+        |SELECT n.n_name AS nation,
+        |       round(CAST(sum(l.rev4) AS DOUBLE) / 10000, 6) AS revenue,
+        |       count(*) AS n_lines
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |              AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, dir) => {
+        val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+          (round(col("l_extendedprice") * 100, 0).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).as("rev4"))
+        val sup = broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey")))
+        val nat = broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_regionkey"), col("n_name")))
+        val reg = broadcast(Tables.region(s, dir)
+          .where(col("r_name").isin("ASIA", "EUROPE")).select(col("r_regionkey")))
+        Q.norm(
+          l.join(o, col("l_orderkey") === col("o_orderkey"))
+            .join(c, col("o_custkey") === col("c_custkey"))
+            .join(sup, col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+            .join(nat, col("s_nationkey") === col("n_nationkey"))
+            .join(reg, col("n_regionkey") === col("r_regionkey"))
+            .groupBy(col("n_name").as("nation"))
+            .agg(
+              graft.Q.r6(sum(col("rev4")).cast("double") / 10000).as("revenue"),
+              count(lit(1)).as("n_lines")),
+          "nation")
+      }
     })
 }
