@@ -69,4 +69,23 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       s"bucketized range join must stay an equi-join:\n$p")
   }
+
+  test("j4 salted join: salt is in the join partitioning key, build side not broadcast") {
+    val p = plan("j4_salted_skew")
+    val saltPart = p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("event_type#") && l.contains("salt#"))
+    assert(saltPart, s"join not partitioned by (event_type, salt):\n$p")
+    val typeJoin = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("event_type#"))
+    assert(typeJoin.nonEmpty && typeJoin.forall(!_.contains("Broadcast")),
+      s"salted join must not broadcast (the whole point is big-big):\n$p")
+  }
+
+  test("j5 top-k: TakeOrderedAndProject, never a global sort of the aggregate") {
+    val p = plan("j5_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"), s"expected per-partition top-k:\n$p")
+    // the only full Sort allowed is the final single-partition output
+    // determinism sort; the top-10 cut itself must not global-sort
+    assert(count(p, "Sort ") <= 1, s"unexpected extra Sort:\n$p")
+  }
 }
