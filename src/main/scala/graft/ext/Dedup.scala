@@ -257,8 +257,10 @@ object Dedup {
   /** Hot-shingle document-frequency cap for the d6 inverted index. */
   val DfCap = 50
 
-  /** Max label-propagation rounds for d7 (bound >> real near-dup graph
-    * diameters; the loop exits on convergence well before it). */
+  /** Max label-propagation rounds for d7. With the pointer-jumping step
+    * each round at least halves the remaining label depth, so 15 rounds
+    * cover components of diameter ~2^15 — far beyond any real near-dup
+    * cluster; the loop exits on convergence well before it. */
   val CcMaxIters = 15
 
   /** The jaccard-gated pair list (doc_a < doc_b), shared by d7 — same
@@ -296,7 +298,23 @@ object Dedup {
     val pairs = jaccardPairs(s, dir)
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .localCheckpoint() // pairs pipeline runs once, not once per round
+    labelPropagate(edges).select(col("u").as("doc_id"), col("comp").as("component"))
+  }
+
+  /** Min-label propagation with pointer jumping over an undirected edge
+    * list (both directions present). Each round: (1) every vertex takes
+    * the min label over its neighborhood, (2) every vertex replaces its
+    * label with its LABEL's label (pointer jumping — labels are always
+    * vertex ids, so the label vertex has a row). Step 1 alone needs
+    * O(diameter) rounds and would silently truncate on a long chain;
+    * step 2 halves the remaining depth per round, giving O(log n) —
+    * the same compression trick as the Hash-to-Min / large-star
+    * small-star MapReduce CC algorithms. Exposed for the property spec,
+    * which checks it against driver-side union-find on adversarial
+    * graphs (chains, stars, cliques).
+    */
+  def labelPropagate(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.localCheckpoint() // upstream runs once, not once per round
     var labels = edges.select(col("u")).distinct()
       .select(col("u"), col("u").as("comp"))
       .localCheckpoint()
@@ -307,15 +325,20 @@ object Dedup {
       val msgs = edges.as("e")
         .join(labels.as("l"), col("e.v") === col("l.u"))
         .select(col("e.u").as("u"), col("l.comp").as("comp"))
-      labels = labels.union(msgs).groupBy("u")
+      val viaNbr = labels.union(msgs).groupBy("u")
         .agg(min("comp").as("comp"))
+        .localCheckpoint() // also the self-join below needs distinct lineage
+      val byVertex = viaNbr.select(col("u").as("lu"), col("comp").as("lcomp"))
+      labels = viaNbr
+        .join(byVertex, col("comp") === col("lu"), "left")
+        .select(col("u"), coalesce(col("lcomp"), col("comp")).as("comp"))
         .localCheckpoint()
       val sumNow = labels.agg(sum("comp")).head().getLong(0)
       converged = sumNow == prevSum
       prevSum = sumNow
       iters += 1
     }
-    labels.select(col("u").as("doc_id"), col("comp").as("component"))
+    labels
   }
 
   /** The oracle-side mirror of [[components]]: DuckDB's recursive CTE

@@ -74,6 +74,42 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("labelPropagate equals union-find on adversarial graphs (chain/star/clique/random)") {
+    import spark.implicits._
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n.toLong.toInt)(i => i)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min vertex id per component, only for vertices touching an edge
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      touched.map(v => v -> {
+        var r = v.toInt; while (parent(r) != r) r = parent(r); r.toLong
+      }).toMap
+    }
+    def check(name: String, n: Int, undirected: Seq[(Long, Long)]): Unit = {
+      val edges = (undirected ++ undirected.map(_.swap))
+        .toDF("u", "v")
+      val got = ext.Dedup.labelPropagate(edges)
+        .as[(Long, Long)].collect().toMap
+      val want = unionFind(n, undirected)
+      assert(got == want, s"$name: got=$got want=$want")
+    }
+    // a 120-vertex chain: diameter 119 — plain propagation inside
+    // CcMaxIters=15 rounds would be wrong; pointer jumping must not be
+    check("chain", 120, (0L until 119L).map(i => (i, i + 1)))
+    check("star", 50, (1L until 50L).map(i => (0L, i)))
+    check("clique", 12,
+      (for (a <- 0L until 12L; b <- a + 1 until 12L) yield (a, b)))
+    // random sparse graph + isolated-pair islands
+    val rnd = new scala.util.Random(42)
+    val rand = (0 until 80).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    check("random", 60, rand)
+  }
+
   test("Q.r6 equals C++-style round(x*1e6)/1e6 (random + boundary doubles)") {
     val s = spark
     import s.implicits._
