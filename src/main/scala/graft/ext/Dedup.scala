@@ -325,12 +325,14 @@ object Dedup {
       val msgs = edges.as("e")
         .join(labels.as("l"), col("e.v") === col("l.u"))
         .select(col("e.u").as("u"), col("l.comp").as("comp"))
-      val viaNbr = labels.union(msgs).groupBy("u")
+      // pointer jump through the PREVIOUS round's (already checkpointed)
+      // label map — compresses label chains without materializing an
+      // extra intermediate per round; renamed projection keeps the
+      // self-referencing join unambiguous
+      val prev = labels.select(col("u").as("lu"), col("comp").as("lcomp"))
+      labels = labels.union(msgs).groupBy("u")
         .agg(min("comp").as("comp"))
-        .localCheckpoint() // also the self-join below needs distinct lineage
-      val byVertex = viaNbr.select(col("u").as("lu"), col("comp").as("lcomp"))
-      labels = viaNbr
-        .join(byVertex, col("comp") === col("lu"), "left")
+        .join(prev, col("comp") === col("lu"), "left")
         .select(col("u"), coalesce(col("lcomp"), col("comp")).as("comp"))
         .localCheckpoint()
       val sumNow = labels.agg(sum("comp")).head().getLong(0)

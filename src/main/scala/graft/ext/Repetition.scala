@@ -30,11 +30,12 @@ import org.apache.spark.sql.functions._
 object Repetition {
   import Portable._
 
-  /** count of the most frequent element of `xs` (0 for empty). */
+  /** count of the most frequent element of `xs` (0 for empty) — the
+    * [[graft.functions.TopCount]] kernel (one O(n) hashmap pass; the HOF
+    * form was O(distinct*n) interpreted lambdas and the slowest
+    * projection in the whole bench). */
   private def topCount(xs: Column): Column =
-    coalesce(
-      array_max(transform(array_distinct(xs), t => size(filter(xs, x => x === t)))),
-      lit(0))
+    graft.functions.ArrayOps.topCount(xs)
   private def sqlTopCount(xs: String): String =
     s"coalesce(list_max(list_transform(list_distinct($xs), t -> len(list_filter($xs, x -> x = t)))), 0)"
 

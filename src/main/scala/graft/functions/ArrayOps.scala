@@ -215,6 +215,8 @@ object ArrayOps {
     Interop.column(MinHashSig(Interop.expression(hashes), k))
   def simhash32(hashes: Column): Column =
     Interop.column(SimHash32(Interop.expression(hashes)))
+  def topCount(xs: Column): Column =
+    Interop.column(TopCount(Interop.expression(xs)))
 }
 
 /** Distinct 3-word shingles of a token array (first-occurrence order).
@@ -276,5 +278,69 @@ case class PolyHash(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** Max element frequency of a string array (0 for empty; null elements
+  * skipped) — kernel form of the repetition filters' top-count, which as
+  * a HOF is O(distinct * n) lambda evaluations per row
+  * (`array_max(transform(array_distinct(xs), t -> size(filter(xs, ...)))`);
+  * this is one O(n) hashmap pass. Equals DuckDB
+  * `list_max(list_transform(list_distinct(xs), t -> len(list_filter(xs, x -> x = t))))`
+  * — exact integer counts, no float drift possible.
+  */
+case class TopCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "top_count"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = new java.util.HashMap[Any, Integer]()
+    var best = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val c = m.get(s)
+        val v = if (c == null) 1 else c.intValue() + 1
+        m.put(s, Integer.valueOf(v))
+        if (v > best) best = v
+      }
+      i += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      // every local freshName'd (janino redefinition hazard when several
+      // kernel instances share one generated function)
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val best = ctx.freshName("best")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |java.util.HashMap $m = new java.util.HashMap();
+         |int $best = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    UTF8String $s = $a.getUTF8String($i);
+         |    Integer $c = (Integer) $m.get($s);
+         |    int $v = ($c == null) ? 1 : $c.intValue() + 1;
+         |    $m.put($s, Integer.valueOf($v));
+         |    if ($v > $best) $best = $v;
+         |  }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TopCount =
     copy(child = newChild)
 }

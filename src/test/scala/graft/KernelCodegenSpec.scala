@@ -67,6 +67,23 @@ class KernelCodegenSpec extends SparkTestBase {
     }
   }
 
+  test("two TopCount instances co-compiled in one projection are exact") {
+    withCodegenOnly {
+      val s = spark
+      import s.implicits._
+      val df = Seq(
+        (Seq("a", "b", "a", "c", "a"), Seq("x y", "x y")),
+        (Seq("solo"), Seq.empty[String]),
+        (Seq.empty[String], Seq.empty[String])
+      ).toDF("toks", "bg")
+      val rows = df.select(
+        ArrayOps.topCount(col("toks")).as("t"),
+        ArrayOps.topCount(col("bg")).as("b")
+      ).collect().map(r => (r.getInt(0), r.getInt(1)))
+      assert(rows.toSeq == Seq((3, 2), (1, 0), (0, 0)))
+    }
+  }
+
   test("minhash + simhash kernels co-compiled in one projection are exact") {
     withCodegenOnly {
       val s = spark
