@@ -77,6 +77,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         requireArgs("poly_hash", 1, args); PolyHash(args(0))
       }),
+    ("top_count", info("top_count", "top_count(xs) - max element frequency of a string array"),
+      (args: Seq[Expression]) => {
+        requireArgs("top_count", 1, args); TopCount(args(0))
+      }),
     ("ewma", info("ewma", "ewma(x, alpha) OVER (...) - exponentially weighted moving average"),
       (args: Seq[Expression]) => {
         requireArgs("ewma", 2, args)

@@ -23,6 +23,7 @@ class SqlSurfaceSpec extends SparkTestBase {
       """SELECT id,
         |       dot_product_f(va, vb) AS dot,
         |       poly_hash(text) AS fp,
+        |       top_count(split(text, ' ')) AS tc,
         |       simhash32(transform(shingles3(split(text, ' ')),
         |                 s -> CAST(conv(substring(sha2(s, 256), 1, 8), 16, 10) AS BIGINT))) AS sh,
         |       minhash_sig(transform(split(text, ' '),
@@ -33,6 +34,7 @@ class SqlSurfaceSpec extends SparkTestBase {
         col("id"),
         Portable.dot(col("va"), col("vb")).as("dot"),
         Portable.fingerprint(col("text")).as("fp"),
+        graft.functions.ArrayOps.topCount(split(col("text"), " ")).as("tc"),
         graft.functions.ArrayOps.simhash32(
           transform(Portable.shingles3(split(col("text"), " ")), s => Portable.hash32(s))).as("sh"),
         graft.functions.ArrayOps.minhashSig(
@@ -42,8 +44,9 @@ class SqlSurfaceSpec extends SparkTestBase {
     got.zip(want).foreach { case (g, w) =>
       assert(g.getDouble(1) == w.getDouble(1), "dot")
       assert(g.getLong(2) == w.getLong(2), "poly_hash")
-      assert(g.getLong(3) == w.getLong(3), "simhash32")
-      assert(g.getSeq[Long](4) == w.getSeq[Long](4), "minhash_sig")
+      assert(g.getInt(3) == w.getInt(3), "top_count")
+      assert(g.getLong(4) == w.getLong(4), "simhash32")
+      assert(g.getSeq[Long](5) == w.getSeq[Long](5), "minhash_sig")
     }
   }
 
