@@ -429,6 +429,82 @@ object Dedup {
       }
     },
 
+    // d10: INCREMENTAL dedup — the shape production ingestion actually
+    // runs: a new batch (here the deterministic doc_id%5=0 fifth of the
+    // corpus) is deduped against the EXISTING corpus and against
+    // earlier-id members of its own batch, via LSH band collisions
+    // verified with exact Jaccard. Nothing old-vs-old is ever recomputed
+    // — at 100 TB the old side is a stored band index (bucketed by band
+    // key via `sources/Layout`, so the probe join is co-located and
+    // shuffle-free), and per-batch cost is O(batch), not O(corpus).
+    Q("d10_incremental",
+      s"""WITH $shingledCte,
+         |sig AS (SELECT doc_id, sh, ${sqlMinhashSig("sh")} AS sig FROM shingled),
+         |bands AS (SELECT doc_id, r.bi AS bi, (${sqlBandKeys("sig")})[r.bi + 1] AS bk
+         |          FROM sig CROSS JOIN (SELECT unnest(range(0, $LshBands)) AS bi) r),
+         |bn AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+         |bo AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+         |co AS (SELECT DISTINCT a.doc_id AS nid, b.doc_id AS oid
+         |       FROM bn a JOIN bo b ON a.bi = b.bi AND a.bk = b.bk),
+         |cn AS (SELECT DISTINCT a.doc_id AS nid, b.doc_id AS oid
+         |       FROM bn a JOIN bn b ON a.bi = b.bi AND a.bk = b.bk
+         |                          AND a.doc_id > b.doc_id),
+         |vo AS (SELECT nid, count(DISTINCT oid) AS n FROM co
+         |       JOIN sig sa ON sa.doc_id = co.nid JOIN sig sb ON sb.doc_id = co.oid
+         |       WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+         |             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+         |             >= $JaccardThreshold
+         |       GROUP BY 1),
+         |vn AS (SELECT nid, count(DISTINCT oid) AS n FROM cn
+         |       JOIN sig sa ON sa.doc_id = cn.nid JOIN sig sb ON sb.doc_id = cn.oid
+         |       WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+         |             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+         |             >= $JaccardThreshold
+         |       GROUP BY 1)
+         |SELECT s.doc_id AS doc_id,
+         |       CAST(coalesce(vo.n, 0) AS BIGINT) AS n_old_dups,
+         |       CAST(coalesce(vn.n, 0) AS BIGINT) AS n_prior_new_dups,
+         |       coalesce(vo.n, 0) = 0 AND coalesce(vn.n, 0) = 0 AS keep
+         |FROM sig s LEFT JOIN vo ON vo.nid = s.doc_id
+         |           LEFT JOIN vn ON vn.nid = s.doc_id
+         |WHERE s.doc_id % 5 = 0 ORDER BY 1""".stripMargin) {
+      (s, dir) => {
+        val sig = shingled(s, dir)
+          .select(col("doc_id"), col("sh"), minhashSig(col("sh")).as("sig"))
+          .cache()
+        val bands = sig.select(col("doc_id"),
+          posexplode(bandKeys(col("sig"))).as(Seq("bi", "bk")))
+        val bNew = bands.where(col("doc_id") % 5 === 0)
+        val bOld = bands.where(col("doc_id") % 5 =!= 0)
+        val candOld = bNew.as("a").join(bOld.as("b").hint("shuffle_hash"),
+            col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk"))
+          .select(col("a.doc_id").as("nid"), col("b.doc_id").as("oid")).distinct()
+        val candNew = bNew.as("a").join(bNew.as("b").hint("shuffle_hash"),
+            col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
+              col("a.doc_id") > col("b.doc_id"))
+          .select(col("a.doc_id").as("nid"), col("b.doc_id").as("oid")).distinct()
+        def verified(cand: org.apache.spark.sql.DataFrame, out: String) = {
+          val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
+          cand.join(sig.as("sa"), col("nid") === col("sa.doc_id"))
+            .join(sig.as("sb"), col("oid") === col("sb.doc_id"))
+            .where(inter * 1.0 /
+              (size(col("sa.sh")) + size(col("sb.sh")) - inter) >= JaccardThreshold)
+            .groupBy("nid").agg(countDistinct(col("oid")).as(out))
+        }
+        val vo = verified(candOld, "n_old_dups")
+        val vn = verified(candNew, "n_prior_new_dups")
+        sig.where(col("doc_id") % 5 === 0).select(col("doc_id"))
+          .join(vo, col("doc_id") === vo("nid"), "left").drop("nid")
+          .join(vn, col("doc_id") === vn("nid"), "left").drop("nid")
+          .select(col("doc_id"),
+            coalesce(col("n_old_dups"), lit(0L)).as("n_old_dups"),
+            coalesce(col("n_prior_new_dups"), lit(0L)).as("n_prior_new_dups"),
+            (coalesce(col("n_old_dups"), lit(0L)) === 0 &&
+              coalesce(col("n_prior_new_dups"), lit(0L)) === 0).as("keep"))
+          .transform(d => graft.Q.sorted(d, "doc_id"))
+      }
+    },
+
     // d9: benchmark decontamination — flag corpus docs sharing any
     // 3-shingle with a held-out benchmark set (here: doc_id % 97 = 0, a
     // deterministic stand-in for an eval suite). The benchmark n-gram
