@@ -79,4 +79,15 @@ object Layout {
     */
   def readClustered(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Read a path whose batches were written under EVOLVING schemas
+    * (columns added over time — the normal state of a year-old 100 TB
+    * dataset). `mergeSchema` unions the per-file footers: rows from
+    * batches that predate a column read NULL for it. Kept as an explicit
+    * entry point because merging costs a footer read per file and is OFF
+    * by default — callers should opt in knowingly, and pin `schema(...)`
+    * instead once the layout stabilizes.
+    */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

@@ -48,6 +48,24 @@ class LayoutSpec extends SparkTestBase {
     } finally deleteRec(Paths.get(out).getParent)
   }
 
+  test("readEvolved: batches with added columns merge; old rows read NULL") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("graft-evolve").resolve("t").toString
+    try {
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .write.mode("append").parquet(out)
+      Seq((3L, "c", 9.5)).toDF("id", "v", "score") // column added later
+        .write.mode("append").parquet(out)
+      val df = Layout.readEvolved(spark, out)
+      assert(df.columns.sorted.toSeq == Seq("id", "score", "v"))
+      val rows = df.select("id", "v", "score").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      assert(rows.toSeq == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(9.5))))
+    } finally deleteRec(Paths.get(out).getParent)
+  }
+
   test("writeBucketed: co-bucketed join plans with zero shuffle") {
     val a = "graft_bucket_a"; val b = "graft_bucket_b"
     // broadcast would win at spec scale and hide the layout; the claim
