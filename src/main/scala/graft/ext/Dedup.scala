@@ -37,6 +37,25 @@ object Dedup {
       .where(size(tokens(col("text"))) >= 3)
       .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
 
+  /** (doc_id, sh, sig) for any (doc_id, text) frame — the signature
+    * projection shared by the batch dedup queries and the streaming
+    * ingest (`streaming/Pipeline.dedupIngest`). Docs with fewer than 3
+    * tokens have no 3-shingle signature and are passed through upstream.
+    */
+  def signatures(docs: DataFrame): DataFrame =
+    docs
+      .where(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+      .select(col("doc_id"), col("sh"), minhashSig(col("sh")).as("sig"))
+
+  /** Exploded LSH band rows (doc_id, sh, bi, bk) — the index layout the
+    * incremental probe joins against. `sh` rides along so candidate
+    * pairs verify with exact Jaccard without a second lookup join.
+    */
+  def bandRows(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("sh"),
+      posexplode(bandKeys(col("sig"))).as(Seq("bi", "bk")))
+
   private val shingledCte =
     s"""sh0 AS (SELECT doc_id, ${sqlShingles3(sqlTokens("text"))} AS sh FROM documents),
        |shingled AS (SELECT * FROM sh0 WHERE len(sh) > 0)""".stripMargin

@@ -205,6 +205,63 @@ object Pipeline {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Streaming incremental dedup ingest — the end-to-end training-data
+    * loop: each micro-batch of documents (doc_id, text) is MinHash-
+    * signed, LSH-probed against the corpus band index, exact-Jaccard
+    * verified, and only the survivors are (a) handed to `onKeep` and
+    * (b) appended to the index, so later batches dedup against them.
+    * Within a batch, a doc also drops if it matches an earlier-id
+    * batch member (same greedy rule as the batch `d10_incremental`).
+    *
+    * Scale: per batch the work is O(batch signatures) + one probe join
+    * against the index — never corpus x corpus. In production the index
+    * is a bucketed table on the band key (`sources/Layout.writeBucketed`:
+    * co-located probe join, no shuffle of the stored side) and the
+    * append is a partition add; here it's an in-memory frame with
+    * lineage cut per batch (`localCheckpoint`), which is the same plan
+    * shape. foreachBatch is the right harness because the probe is a
+    * batch join against a mutable EXTERNAL table — not stream state;
+    * Spark's stateful operators can't host a multi-GB side index.
+    */
+  def dedupIngest(docs: DataFrame, initialIndex: DataFrame,
+      onKeep: (DataFrame, Long) => Unit,
+      jaccardThreshold: Double = graft.ext.Dedup.JaccardThreshold,
+      trigger: Trigger = Trigger.ProcessingTime("0 seconds")): StreamingQuery = {
+    var index = initialIndex.localCheckpoint() // (doc_id, sh, bi, bk)
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val sig = graft.ext.Dedup.signatures(batch.toDF()).localCheckpoint()
+        val bands = graft.ext.Dedup.bandRows(sig)
+        def verifiedDrops(cand: DataFrame): DataFrame = {
+          val inter = size(array_intersect(col("nsh"), col("osh")))
+          cand.where(inter * 1.0 /
+              (size(col("nsh")) + size(col("osh")) - inter) >= jaccardThreshold)
+            .select(col("nid").as("doc_id")).distinct()
+        }
+        val vsCorpus = verifiedDrops(
+          bands.as("n").join(index.as("o"),
+              col("n.bi") === col("o.bi") && col("n.bk") === col("o.bk"))
+            .select(col("n.doc_id").as("nid"), col("n.sh").as("nsh"),
+              col("o.sh").as("osh")).distinct())
+        val vsBatch = verifiedDrops(
+          bands.as("n").join(bands.as("o"),
+              col("n.bi") === col("o.bi") && col("n.bk") === col("o.bk") &&
+                col("n.doc_id") > col("o.doc_id"))
+            .select(col("n.doc_id").as("nid"), col("n.sh").as("nsh"),
+              col("o.sh").as("osh")).distinct())
+        val drops = vsCorpus.union(vsBatch).distinct()
+        val keeps = batch.toDF().join(drops, Seq("doc_id"), "left_anti")
+          .localCheckpoint() // materialize BEFORE the index mutates
+        onKeep(keeps, id)
+        val keptBands = bands.join(drops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("sh"), col("bi"), col("bk"))
+        index = index.union(keptBands).localCheckpoint()
+      }
+      .start()
+  }
+
   /** Watermarked stream-stream interval join: every left row is matched
     * to right rows of the same key whose event time falls inside
     * [lts - beforeSec, lts + afterSec] — the streaming twin of the batch

@@ -177,6 +177,36 @@ class StreamingSpec extends SparkTestBase {
     assert(u2.length == 1 && u2(0)._3 == 1L)
   }
 
+  test("dedupIngest: drops vs corpus, within batch, and vs earlier-batch keeps") {
+    val s = spark
+    import s.implicits._
+    val seed = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val index = graft.ext.Dedup.bandRows(graft.ext.Dedup.signatures(seed))
+
+    val input = MemoryStream[(Long, String)](spark)
+    val kept = mutable.ArrayBuffer[Long]()
+    val q = Pipeline.dedupIngest(
+      input.toDF().toDF("doc_id", "text"), index,
+      (keeps, _) => kept.synchronized {
+        kept ++= keeps.select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect()
+      })
+
+    input.addData(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of corpus 1
+      (11L, "one two three four five six seven eight nine"),  // unique -> keep
+      (12L, "one two three four five six seven eight nine"))  // dup of 11 in-batch
+    q.processAllAvailable()
+    input.addData(
+      (20L, "one two three four five six seven eight nine"),  // dup of batch-1 KEEP 11
+      (21L, "red orange yellow green blue indigo violet"))    // unique -> keep
+    q.processAllAvailable()
+    q.stop()
+
+    assert(kept.sorted == Seq(11L, 21L), s"kept=$kept")
+  }
+
   test("stream-stream interval join: matches only inside the time band, plans stateful join") {
     val bars = MemoryStream[(String, java.sql.Timestamp, Double)](spark)
     val news = MemoryStream[(String, java.sql.Timestamp, String)](spark)
