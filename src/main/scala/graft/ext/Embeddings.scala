@@ -44,5 +44,46 @@ object Embeddings {
             graft.Q.r6(col("qsum") / (lit(1e6) * col("n"))).as("centroid"))
           .transform(d => graft.Q.sorted(d, "label", "pos"))
       }
+    },
+
+    // e7: symmetric int8 scalar quantization — the 4x memory compression
+    // step before an ANN index is built (float32 -> int8 at a per-vector
+    // scale). Per-row Column algebra, no shuffle; the quantized digest
+    // columns (sum/min/max over exact integers) pin the full codes
+    // cross-engine without emitting a 64-element array per row. The
+    // amax=0 guard keeps all-zero vectors at code 0 instead of NaN.
+    Q("e7_quantize_int8",
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_max(list_transform(embedding,
+        |                  x -> abs(CAST(x AS DOUBLE)))) AS amax,
+        |         embedding
+        |  FROM embeddings),
+        |c AS (SELECT vec_id, amax,
+        |             list_transform(embedding, x -> CASE WHEN amax = 0 THEN 0
+        |               ELSE CAST(round(CAST(x AS DOUBLE) / amax * 127, 0) AS BIGINT)
+        |               END) AS codes
+        |      FROM q)
+        |SELECT vec_id, round(amax / 127, 6) AS scale,
+        |       CAST(list_sum(codes) AS BIGINT) AS qsum,
+        |       CAST(list_min(codes) AS BIGINT) AS qmin,
+        |       CAST(list_max(codes) AS BIGINT) AS qmax
+        |FROM c ORDER BY vec_id""".stripMargin) {
+      (s, dir) => {
+        val amax = array_max(transform(col("embedding"),
+          x => abs(x.cast("double"))))
+        val codes = transform(col("embedding"),
+          x => when(col("amax") === 0, lit(0L))
+            .otherwise(round(x.cast("double") / col("amax") * 127, 0).cast("long")))
+        Portable.spread(Tables.embeddings(s, dir), "vec_id")
+          .select(col("vec_id"), col("embedding"), amax.as("amax"))
+          .select(col("vec_id"), col("amax"), codes.as("codes"))
+          .select(col("vec_id"),
+            graft.Q.r6(col("amax") / 127).as("scale"),
+            aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("qsum"),
+            array_min(col("codes")).as("qmin"),
+            array_max(col("codes")).as("qmax"))
+          .transform(d => graft.Q.sorted(d, "vec_id"))
+      }
     })
 }
