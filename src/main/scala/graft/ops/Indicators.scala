@@ -215,5 +215,40 @@ object Indicators {
         Q.norm(
           withAdx(Bars(s, dir)).select("symbol", "datetime", "close", "adx"),
           "symbol", "datetime")
+    },
+
+    // W11 (beyond-reference): cumulative VWAP per symbol. Price x volume
+    // and volume accumulate as EXACT integers (price quantized to
+    // micros), so the running sums are shuffle-order- and engine-proof;
+    // only the final division goes through doubles, identically on both
+    // sides. One window pass over the same (symbol, datetime) sort every
+    // other indicator shares — at scale it fuses into the existing
+    // Window operator, no extra exchange.
+    Q("w10_vwap",
+      barsWith(
+        """x AS (SELECT symbol, datetime, close,
+          |  sum(CAST(round(close * 1e6, 0) AS BIGINT) * volume)
+          |    OVER (PARTITION BY symbol ORDER BY datetime
+          |          ROWS UNBOUNDED PRECEDING) AS cq,
+          |  sum(volume) OVER (PARTITION BY symbol ORDER BY datetime
+          |                    ROWS UNBOUNDED PRECEDING) AS cv
+          |  FROM bars)""".stripMargin,
+        """SELECT symbol, datetime, round(close, 6) AS close,
+          |CASE WHEN cv = 0 THEN NULL
+          |     ELSE round(CAST(cq AS DOUBLE) / (1e6 * CAST(cv AS DOUBLE)), 6) END AS vwap
+          |FROM x ORDER BY symbol, datetime""".stripMargin)) {
+      (s, dir) => {
+        val w = Rolling.W.rowsBetween(Long.MinValue, 0)
+        Q.norm(
+          Bars(s, dir).select(col("symbol"), col("datetime"), col("close"),
+            sum(round(col("close") * 1e6, 0).cast("long") * col("volume"))
+              .over(w).as("cq"),
+            sum(col("volume")).over(w).as("cv"))
+            .select(col("symbol"), col("datetime"), col("close"),
+              when(col("cv") === 0, lit(null).cast("double"))
+                .otherwise(col("cq").cast("double") / (lit(1e6) * col("cv").cast("double")))
+                .as("vwap")),
+          "symbol", "datetime")
+      }
     })
 }
