@@ -106,5 +106,50 @@ object Strategies {
         base)) { (s, dir) =>
       Q.norm(breakout(Bars(s, dir)).select("symbol", "datetime", "close", "signal"),
         "symbol", "datetime")
-    })
+    },
+
+    // T5 (beyond-reference): the query a strategy user runs NEXT — a
+    // vectorized long/flat backtest of the momentum signal. Position =
+    // last nonzero signal (BUY holds until SELL); per-bar PnL =
+    // yesterday's position x close change, accumulated. Everything is
+    // window algebra over the one shared (symbol, datetime) sort — no
+    // driver loop over bars, which is how backtests usually go wrong at
+    // scale — and PnL accumulates in micro-quantized integers, so the
+    // running sum is exact and engine-independent.
+    Q("t5_backtest",
+      barsQ(
+        """m AS (SELECT symbol, datetime, close,
+          |  CAST(round(close * 1e6, 0) AS BIGINT) AS qc,
+          |  close - lag(close, 5) OVER (PARTITION BY symbol ORDER BY datetime) AS mom
+          |  FROM bars),
+          |sg AS (SELECT *, CASE WHEN mom > 0 THEN 1 WHEN mom < 0 THEN -1 ELSE 0 END AS signal FROM m),
+          |p AS (SELECT *, CASE WHEN last_value(CASE WHEN signal <> 0 THEN signal END IGNORE NULLS)
+          |        OVER (PARTITION BY symbol ORDER BY datetime ROWS UNBOUNDED PRECEDING) = 1
+          |      THEN 1 ELSE 0 END AS position FROM sg),
+          |pq AS (SELECT *, CASE WHEN lag(qc) OVER (PARTITION BY symbol ORDER BY datetime) IS NULL THEN 0
+          |         ELSE lag(position) OVER (PARTITION BY symbol ORDER BY datetime)
+          |              * (qc - lag(qc) OVER (PARTITION BY symbol ORDER BY datetime)) END AS qpnl
+          |       FROM p),
+          |x AS (SELECT symbol, datetime, close, position,
+          |  sum(qpnl) OVER (PARTITION BY symbol ORDER BY datetime ROWS UNBOUNDED PRECEDING) AS cq
+          |  FROM pq)""".stripMargin,
+        """SELECT symbol, datetime, round(close, 6) AS close, position,
+          |round(CAST(cq AS DOUBLE) / 1e6, 6) AS cum_pnl
+          |FROM x ORDER BY symbol, datetime""".stripMargin)) { (s, dir) => {
+      val w = Rolling.W
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sig = momentum(Bars(s, dir))
+        .withColumn("qc", round(col("close") * 1e6, 0).cast("long"))
+        .withColumn("lastsig",
+          last(when(col("signal") =!= 0, col("signal")), ignoreNulls = true).over(cum))
+        .withColumn("position", when(col("lastsig") === 1, 1).otherwise(0))
+      val pnl = sig.withColumn("qpnl",
+        when(lag(col("qc"), 1).over(w).isNull, lit(0L))
+          .otherwise(lag(col("position"), 1).over(w).cast("long")
+            * (col("qc") - lag(col("qc"), 1).over(w))))
+      Q.norm(
+        pnl.withColumn("cum_pnl", sum(col("qpnl")).over(cum).cast("double") / 1e6)
+          .select("symbol", "datetime", "close", "position", "cum_pnl"),
+        "symbol", "datetime")
+    }})
 }
