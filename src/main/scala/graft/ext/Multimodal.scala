@@ -163,6 +163,36 @@ object Multimodal {
       }
     },
 
+    // m4: audio-style chunk planning — overlapped fixed-byte windows
+    // (512-byte window, 384-byte hop) over the opaque payload, emitted
+    // as (chunk_idx, start, len) plans WITHOUT touching payload bytes:
+    // the planner runs on metadata only, and the downstream partition-
+    // wise decoder (the m1/m2 machinery) seeks to the byte ranges. Pure
+    // integer arithmetic; one explode, no shuffle.
+    Q("m4_chunk_plan",
+      """WITH m AS (SELECT doc_id, strlen(text) AS n_bytes
+        |           FROM documents WHERE strlen(text) > 0),
+        |c AS (SELECT doc_id, n_bytes,
+        |             unnest(range(0, (n_bytes + 383) // 384)) AS chunk_idx
+        |      FROM m)
+        |SELECT doc_id, chunk_idx,
+        |       chunk_idx * 384 AS start_byte,
+        |       least(512, n_bytes - chunk_idx * 384) AS chunk_bytes
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) {
+      (s, dir) => {
+        val m = media(s, dir)
+          .select(col("doc_id"), octet_length(col("payload")).cast("long").as("n_bytes"))
+          .where(col("n_bytes") > 0)
+        m.select(col("doc_id"), col("n_bytes"),
+            explode(sequence(lit(0L),
+              floor((col("n_bytes") + 383L) / 384L).cast("long") - 1L)).as("chunk_idx"))
+          .select(col("doc_id"), col("chunk_idx"),
+            (col("chunk_idx") * 384L).as("start_byte"),
+            least(lit(512L), col("n_bytes") - col("chunk_idx") * 384L).as("chunk_bytes"))
+          .transform(d => graft.Q.sorted(d, "doc_id", "chunk_idx"))
+      }
+    },
+
     Q("m1_media_features",
       """SELECT doc_id,
         |       (n_chars % 640) + 32 AS width,
