@@ -47,6 +47,36 @@ object Core {
       (s, dir) => Q.norm(Bars(s, dir), "symbol", "datetime")
     },
 
+    // a12 (beyond-reference): OHLC re-bar 1-min -> 5-min. The classic
+    // granularity rollup: open/close pick the earliest/latest member
+    // bar's own open/close (deterministic — minute datetimes are unique
+    // per symbol), extrema and volume merge associatively. One hash
+    // aggregate; Spark's `window().start` and DuckDB's `time_bucket`
+    // both align buckets to the (5-min-divisible) epoch, so the bucket
+    // keys agree exactly.
+    Q("a12_rebar5",
+      s"WITH ${Bars.cte}\n" +
+        """SELECT symbol, time_bucket(INTERVAL '5 minutes', datetime) AS bucket,
+          |       round(first(open ORDER BY datetime), 6) AS open,
+          |       round(max(high), 6) AS high,
+          |       round(min(low), 6) AS low,
+          |       round(last(close ORDER BY datetime), 6) AS close,
+          |       CAST(sum(volume) AS BIGINT) AS volume
+          |FROM bars GROUP BY 1, 2 ORDER BY symbol, bucket""".stripMargin) {
+      (s, dir) =>
+        Q.norm(
+          Bars(s, dir)
+            .groupBy(col("symbol"),
+              window(col("datetime"), "5 minutes").getField("start").as("bucket"))
+            .agg(
+              min_by(col("open"), col("datetime")).as("open"),
+              max(col("high")).as("high"),
+              min(col("low")).as("low"),
+              max_by(col("close"), col("datetime")).as("close"),
+              sum(col("volume")).as("volume")),
+          "symbol", "bucket")
+    },
+
     Q("p5_indicator",
       q(scoredCte,
         s"SELECT symbol, datetime, $allScoredCols FROM scored ORDER BY symbol, datetime")) {
