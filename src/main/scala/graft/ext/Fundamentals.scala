@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * The reference fetches ~20 yfinance datasets per ticker
   * (`yahoo_finance_producer.py:26-50`: income_stmt, balance_sheet,
   * cashflow, holders, actions, shares, recommendations, ...). This models
-  * the same shape over the star schema: EIGHT nested datasets per symbol,
+  * the same shape over the star schema: TWELVE nested datasets per symbol,
   * each aggregated from its own source table, joined on symbol; f1
   * flattens them with [[Flatten]] (P3), f2 unpivots to the long
   * `(symbol, field, value)` shape (§1.1's exploded fundamentals mapping).
@@ -34,7 +34,7 @@ object Fundamentals {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
-  /** Nested per-symbol fundamentals: eight datasets, one struct each. */
+  /** Nested per-symbol fundamentals: twelve datasets, one struct each. */
   def nested(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_acctbal"))
@@ -67,7 +67,9 @@ object Fundamentals {
             .otherwise(dec(lit(0)))).cast("double").as("liabilities"),
           count(lit(1)).as("n_accounts")).as("balance_sheet"))
 
-    // cashflow: order totals by status (reference cashflow analog)
+    // cashflow + earnings + calendar: three datasets off ONE orders agg
+    // pass (reference cashflow / earnings / calendar analogs) — widening
+    // the dataset surface costs extra columns, not extra scans or joins
     val cashflow = Tables.orders(spark, dir)
       .withColumn("symbol", Bars.symbolFor(col("o_custkey")))
       .groupBy("symbol").agg(
@@ -75,7 +77,18 @@ object Fundamentals {
           sum(dec(col("o_totalprice"))).cast("double").as("inflow"),
           max(col("o_totalprice")).as("max_order"),
           sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"))
-          .as("cashflow"))
+          .as("cashflow"),
+        struct(
+          sum(when(year(col("o_orderdate")) < 2000, dec(col("o_totalprice")))
+            .otherwise(dec(lit(0)))).cast("double").as("rev_pre2000"),
+          sum(when(year(col("o_orderdate")) >= 2000, dec(col("o_totalprice")))
+            .otherwise(dec(lit(0)))).cast("double").as("rev_post2000"),
+          countDistinct(year(col("o_orderdate"))).as("n_years")).as("earnings"),
+        struct(
+          date_format(min(when(col("o_orderstatus") === "O", col("o_orderdate"))),
+            "yyyy-MM-dd HH:mm:ss").as("first_open"),
+          date_format(max(when(col("o_orderstatus") === "O", col("o_orderdate"))),
+            "yyyy-MM-dd HH:mm:ss").as("last_open")).as("calendar"))
 
     // shares + actions: lineitem volumes and discount/tax flows
     // (reference shares / actions-dividends-splits analogs)
@@ -89,22 +102,31 @@ object Fundamentals {
         sum(dec(col("l_discount"))).cast("double").as("dividends"),
         sum(dec(col("l_tax"))).cast("double").as("splits")).as("actions"))
 
-    // holders: supplier side (reference major/institutional holders)
+    // holders + inst_holders: supplier side, one agg pass (reference
+    // major/institutional holders)
     val holders = Tables.supplier(spark, dir)
       .withColumn("symbol", Bars.symbolFor(col("s_suppkey")))
       .groupBy("symbol").agg(
         struct(
           count(lit(1)).as("n_suppliers"),
-          sum(dec(col("s_acctbal"))).cast("double").as("acctbal")).as("holders"))
+          sum(dec(col("s_acctbal"))).cast("double").as("acctbal")).as("holders"),
+        struct(
+          max(col("s_acctbal")).as("max_acctbal"),
+          min(col("s_acctbal")).as("min_acctbal")).as("inst_holders"))
 
-    // recommendations: part catalog stats (reference recommendations)
+    // recommendations + catalog: part stats, one agg pass (reference
+    // recommendations / sustainability analogs)
     val recs = Tables.part(spark, dir)
       .withColumn("symbol", Bars.symbolFor(col("p_partkey")))
       .groupBy("symbol").agg(
         struct(
           count(lit(1)).as("n_parts"),
           (sum(dec(col("p_retailprice"))).cast("double") / count(lit(1)))
-            .as("avg_retail")).as("recommendations"))
+            .as("avg_retail")).as("recommendations"),
+        struct(
+          min(col("p_size")).cast("long").as("min_size"),
+          max(col("p_size")).cast("long").as("max_size"),
+          countDistinct(col("p_brand")).as("n_brands")).as("catalog"))
 
     incomeActivity
       .join(balance, Seq("symbol"))
@@ -138,7 +160,12 @@ object Fundamentals {
       |  SELECT ${Bars.sqlSymbolFor("o_custkey")} AS symbol,
       |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS cashflow_inflow,
       |         max(o_totalprice) AS cashflow_max_order,
-      |         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cashflow_n_open
+      |         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cashflow_n_open,
+      |         CAST(sum(CASE WHEN year(o_orderdate) < 2000 THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS earnings_rev_pre2000,
+      |         CAST(sum(CASE WHEN year(o_orderdate) >= 2000 THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS earnings_rev_post2000,
+      |         count(DISTINCT year(o_orderdate)) AS earnings_n_years,
+      |         strftime(min(CASE WHEN o_orderstatus = 'O' THEN o_orderdate END), '%Y-%m-%d %H:%M:%S') AS calendar_first_open,
+      |         strftime(max(CASE WHEN o_orderstatus = 'O' THEN o_orderdate END), '%Y-%m-%d %H:%M:%S') AS calendar_last_open
       |  FROM orders GROUP BY 1
       |), fl AS (
       |  SELECT ${Bars.sqlSymbolFor("l_suppkey")} AS symbol,
@@ -150,20 +177,29 @@ object Fundamentals {
       |), fh AS (
       |  SELECT ${Bars.sqlSymbolFor("s_suppkey")} AS symbol,
       |         count(*) AS holders_n_suppliers,
-      |         CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS holders_acctbal
+      |         CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS holders_acctbal,
+      |         max(s_acctbal) AS inst_holders_max_acctbal,
+      |         min(s_acctbal) AS inst_holders_min_acctbal
       |  FROM supplier GROUP BY 1
       |), fp AS (
       |  SELECT ${Bars.sqlSymbolFor("p_partkey")} AS symbol,
       |         count(*) AS recommendations_n_parts,
-      |         CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS recommendations_avg_retail
+      |         CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS recommendations_avg_retail,
+      |         CAST(min(p_size) AS BIGINT) AS catalog_min_size,
+      |         CAST(max(p_size) AS BIGINT) AS catalog_max_size,
+      |         count(DISTINCT p_brand) AS catalog_n_brands
       |  FROM part GROUP BY 1
       |), f AS (
       |  SELECT f0.*,
       |         balance_sheet_assets, balance_sheet_liabilities, balance_sheet_n_accounts,
       |         cashflow_inflow, cashflow_max_order, cashflow_n_open,
+      |         earnings_rev_pre2000, earnings_rev_post2000, earnings_n_years,
+      |         calendar_first_open, calendar_last_open,
       |         shares_volume, shares_n_lines, actions_dividends, actions_splits,
       |         holders_n_suppliers, holders_acctbal,
-      |         recommendations_n_parts, recommendations_avg_retail
+      |         inst_holders_max_acctbal, inst_holders_min_acctbal,
+      |         recommendations_n_parts, recommendations_avg_retail,
+      |         catalog_min_size, catalog_max_size, catalog_n_brands
       |  FROM f0
       |  JOIN fb USING (symbol) JOIN fc USING (symbol) JOIN fl USING (symbol)
       |  JOIN fh USING (symbol) JOIN fp USING (symbol)
@@ -176,9 +212,12 @@ object Fundamentals {
     "activity_acctbal_sum",
     "balance_sheet_assets", "balance_sheet_liabilities", "balance_sheet_n_accounts",
     "cashflow_inflow", "cashflow_max_order", "cashflow_n_open",
+    "earnings_rev_pre2000", "earnings_rev_post2000", "earnings_n_years",
     "shares_volume", "shares_n_lines", "actions_dividends", "actions_splits",
     "holders_n_suppliers", "holders_acctbal",
-    "recommendations_n_parts", "recommendations_avg_retail")
+    "inst_holders_max_acctbal", "inst_holders_min_acctbal",
+    "recommendations_n_parts", "recommendations_avg_retail",
+    "catalog_min_size", "catalog_max_size", "catalog_n_brands")
 
   def queries: Seq[Q] = Seq(
 
@@ -197,9 +236,15 @@ object Fundamentals {
          |       round(shares_volume, 6) AS shares_volume, shares_n_lines,
          |       round(actions_dividends, 6) AS actions_dividends,
          |       round(actions_splits, 6) AS actions_splits,
+         |       round(earnings_rev_pre2000, 6) AS earnings_rev_pre2000,
+         |       round(earnings_rev_post2000, 6) AS earnings_rev_post2000,
+         |       earnings_n_years, calendar_first_open, calendar_last_open,
          |       holders_n_suppliers, round(holders_acctbal, 6) AS holders_acctbal,
+         |       round(inst_holders_max_acctbal, 6) AS inst_holders_max_acctbal,
+         |       round(inst_holders_min_acctbal, 6) AS inst_holders_min_acctbal,
          |       recommendations_n_parts,
-         |       round(recommendations_avg_retail, 6) AS recommendations_avg_retail
+         |       round(recommendations_avg_retail, 6) AS recommendations_avg_retail,
+         |       catalog_min_size, catalog_max_size, catalog_n_brands
          |FROM f ORDER BY symbol""".stripMargin) {
       (s, dir) =>
         Q.norm(Flatten(nested(s, dir)), "symbol")
