@@ -23,6 +23,24 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   val Iters = 3
 
+  /** The §2 reference-parity queries (one per SURVEY.md §2 operator row).
+    * Everything else in `SparkEntry.queries` — joins (j*), dedup (d*),
+    * similarity (e*), text/LLM-pipeline (x_*), fundamentals breadth
+    * (f*), multimodal (m*), and the beyond-reference analytics
+    * (a5-a12, w10_vwap, t5_backtest, dec_pipeline) — is extension
+    * surface reported in `total` but not in `core_survey2_sec`.
+    */
+  val CoreSurvey2: Set[String] = Set(
+    "bars_rebar", "p1_timestamps", "p5_indicator", "p9_color_flag",
+    "a1_support_resistance", "a2_symbols", "a3_latest_snapshot", "a4_trend",
+    "s11_top100", "s13_last20",
+    "w1_ema", "w2_sma20", "w3_rsi14", "w4_tsi", "w5_macd", "w6_adx",
+    "w8_rolling_extrema", "w9_shifted_extrema",
+    "t1_scalping", "t2_range_trading", "t3_momentum", "t4_breakout",
+    "g1_ascending_triangle", "g2_descending_triangle", "g3_rounding_bottom",
+    "c1_heikin_ashi", "c2_renko", "c3_raindrop",
+    "dashboard_cascade")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -63,14 +81,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // SURVEY.md §2 reference-parity set (BASELINE.md's <60s envelope was
-    // authored for this set); the d*/e*/x_*/f*/m* queries are the
-    // beyond-reference extension surface.
-    val core = results.filterNot { case (k, _) =>
-      k.startsWith("d") && k != "dashboard_cascade" ||
-        k.startsWith("e") ||
-        k.startsWith("x_") || k.startsWith("f1") || k.startsWith("f2") ||
-        k.startsWith("m1") || k.startsWith("j")
-    }.map(_._2).sum
+    // authored for this set) as an EXPLICIT whitelist — prefix filters
+    // silently absorbed new beyond-reference queries (a9-a12, w10, t5,
+    // m2-m4) into the core metric and skewed the BASELINE comparison.
+    val core = results.filter { case (k, _) => CoreSurvey2(k) }.map(_._2).sum
     // 1-min load average (this box has noisy neighbors; round-1 runs
     // disagreed 4x — a high loadavg in the artifact explains a slow run)
     val loadavg = try {
