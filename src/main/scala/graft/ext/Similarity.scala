@@ -38,6 +38,51 @@ object Similarity {
 
   private val cosAB = sqlCosine("q.embedding", "c.embedding")
 
+  /** Grid blocks for the exact near-dup join (e1). B(B+1)/2 = 36 block
+    * pairs ≈ one task per local[32] slot; a cluster run sizes B so that
+    * B(B+1)/2 ~ a few × total cores and 2n/B vectors fit one task's
+    * memory.
+    */
+  val GridB = 8
+
+  /** e1 implementation: exact blocked all-pairs cosine (see the query
+    * doc above for the plan shape). Produces bit-identical rows to the
+    * brute `a.vec_id < b.vec_id` theta-join: the same pairs are compared
+    * (each unordered pair lands in exactly one block pair), norms are
+    * per-vector `sqrt(dot(e,e))` (same IEEE value), and `dot(ea,eb)`
+    * accumulates in ascending index order on operands whose product
+    * commutes exactly.
+    */
+  def gridNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      .where(col("nrm") > 0.0) // zero-norm rows have cos NULL in the oracle
+      .withColumn("g", pmod(col("vec_id"), lit(GridB)).cast("int"))
+    val blockPairs = (for { i <- 0 until GridB; j <- i until GridB } yield (i, j))
+      .toDF("bi", "bj")
+    val aSide = e.select(col("vec_id").as("ida"), col("embedding").as("ea"),
+        col("nrm").as("na"), col("g"))
+      .join(broadcast(blockPairs), col("g") === col("bi")).drop("g")
+    val bSide = e.select(col("vec_id").as("idb"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("g"))
+      .join(broadcast(blockPairs), col("g") === col("bj")).drop("g")
+    // shuffle-hash: (bi,bj) keys are few and duplicate-heavy by design —
+    // build one block as a hash map per task, stream the other through it
+    aSide.join(bSide.hint("shuffle_hash"),
+        Seq("bi", "bj"))
+      // diagonal blocks would emit each pair twice (and self-pairs once)
+      // without the id order filter; off-diagonal pairs meet exactly once
+      .where(col("bi") < col("bj") || col("ida") < col("idb"))
+      .select(
+        least(col("ida"), col("idb")).as("vec_a"),
+        greatest(col("ida"), col("idb")).as("vec_b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= NearDupThreshold)
+      .select(col("vec_a"), col("vec_b"), graft.Q.r6(col("cos")).as("cos"))
+      .transform(d => graft.Q.sorted(d, "vec_a", "vec_b"))
+  }
+
   // --- SRP-LSH (e4): sign-random-projection hyperplanes, ±1 Rademacher
   // coefficients derived deterministically from sha256 so the SAME
   // constant matrix is embedded in the Spark plan and the oracle SQL.
@@ -85,30 +130,38 @@ object Similarity {
       }
     },
 
-    // e1: all-pairs cosine >= threshold (embedding near-dup survey).
+    // e1: all-pairs cosine >= threshold (embedding near-dup survey),
+    // EXACT — same result set as the brute oracle — but planned as a
+    // GRID-BLOCKED EQUI-JOIN instead of a theta-join:
+    //
+    //   - Vectors are assigned a deterministic block g = vec_id % B.
+    //   - The B(B+1)/2 unordered block pairs (bi <= bj) form a 36-row
+    //     driver-side table; each side broadcast-joins it to tag every
+    //     vector with the block pairs it participates in, then the two
+    //     sides meet in a SHUFFLE-HASH EQUI-JOIN on (bi, bj).
+    //   - Each task compares exactly two blocks (bounded memory ~2n/B
+    //     vectors, never the whole corpus) and the B(B+1)/2 tasks run in
+    //     parallel across executors. Shuffle volume is ~n(B+1)/2 rows per
+    //     side — replication factor (B+1)/2, the standard distributed
+    //     all-pairs layout; B scales with the executor count.
+    //
+    // Why not LSH here: this dataset's qualifying pairs sit at cos
+    // 0.45-0.60 (63-72 deg) where SRP bit-agreement is only ~0.65, and
+    // the corpus has no angular cluster structure (measured label-cluster
+    // radii ~90 deg) — at that operating point NO sub-quadratic method
+    // (banding or exact triangle-inequality cluster pruning) reaches
+    // recall 1; the compare count is inherently O(n^2) and the win
+    // available is distributing it with bounded per-task memory, which
+    // this plan does. The sub-threshold-recall scale path at real
+    // near-dup thresholds (>= 0.8) is e4's SRP banding; RecallSpec pins
+    // e4-vs-e1 recall and this plan's exact equivalence to the theta join.
     Q("e1_cosine_neardup",
       s"""WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |                  ${sqlCosine("a.embedding", "b.embedding")} AS cos
          |           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, round(cos, 6) AS cos
          |FROM p WHERE cos >= $NearDupThreshold ORDER BY vec_a, vec_b""".stripMargin) {
-      (s, dir) => {
-        // norms precomputed per vector BEFORE the pair join: dot(a,a) is
-        // the same IEEE value either way, but per-pair it costs 3 dots
-        // per candidate instead of 1
-        val e = emb(s, dir)
-        val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-          sqrt(dot(col("embedding"), col("embedding"))).as("na"))
-        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-          sqrt(dot(col("embedding"), col("embedding"))).as("nb"))
-        a.join(b, col("vec_a") < col("vec_b"))
-          .select(col("vec_a"), col("vec_b"),
-            when(col("na") === 0.0 || col("nb") === 0.0, lit(null))
-              .otherwise(dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
-          .where(col("cos") >= NearDupThreshold)
-          .select(col("vec_a"), col("vec_b"), graft.Q.r6(col("cos")).as("cos"))
-          .transform(d => graft.Q.sorted(d, "vec_a", "vec_b"))
-      }
+      (s, dir) => gridNearDup(s, dir)
     },
 
     // e3: IVF cluster pruning. Centroid c_l = embedding of min vec_id per
