@@ -359,6 +359,16 @@ object Dedup {
       prevSum = sumNow
       iters += 1
     }
+    // Truncation must be LOUD: exiting via the iteration cap instead of
+    // the fixpoint test means the labels are not components and every
+    // downstream keep/drop decision would silently be wrong. Pointer
+    // jumping bounds convergence at O(log n) rounds, so hitting the cap
+    // indicates a bug or a graph beyond the configured scale — fail.
+    if (!converged)
+      throw new IllegalStateException(
+        s"labelPropagate did not converge within $CcMaxIters rounds; " +
+          "component labels would be truncated (raise CcMaxIters only if " +
+          "log2(max component diameter) genuinely exceeds it)")
     labels
   }
 

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.Interop
 import org.apache.spark.sql.types._
@@ -281,18 +282,26 @@ case class PolyHash(child: Expression)
     copy(child = newChild)
 }
 
-/** Max element frequency of a string array (0 for empty; null elements
-  * skipped) — kernel form of the repetition filters' top-count, which as
-  * a HOF is O(distinct * n) lambda evaluations per row
+/** Max element frequency of a string array (0 for empty OR NULL input;
+  * null elements skipped) — kernel form of the repetition filters'
+  * top-count, which as a HOF is O(distinct * n) lambda evaluations per row
   * (`array_max(transform(array_distinct(xs), t -> size(filter(xs, ...)))`);
   * this is one O(n) hashmap pass. Equals DuckDB
-  * `list_max(list_transform(list_distinct(xs), t -> len(list_filter(xs, x -> x = t))))`
-  * — exact integer counts, no float drift possible.
+  * `coalesce(list_max(list_transform(list_distinct(xs), t -> len(list_filter(xs, x -> x = t)))), 0)`
+  * INCLUDING on NULL input (both sides give 0) — exact integer counts, no
+  * float drift possible. Never-null output keeps the count usable in
+  * downstream ratio filters without a second coalesce.
   */
 case class TopCount(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "top_count"
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0 else nullSafeEval(v)
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -313,33 +322,44 @@ case class TopCount(child: Expression) extends UnaryExpression {
     best
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      // every local freshName'd (janino redefinition hazard when several
-      // kernel instances share one generated function)
-      val n = ctx.freshName("n")
-      val m = ctx.freshName("m")
-      val best = ctx.freshName("best")
-      val i = ctx.freshName("i")
-      val s = ctx.freshName("s")
-      val c = ctx.freshName("c")
-      val v = ctx.freshName("v")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // hand-rolled (not nullSafeCodeGen): output is non-nullable — a NULL
+    // input array yields 0, matching the DuckDB coalesce(...) twin — so
+    // the loop must be GUARDED on the child's null bit while ev.value
+    // still initializes to the 0 default.
+    val childGen = child.genCode(ctx)
+    val a = childGen.value
+    // every local freshName'd (janino redefinition hazard when several
+    // kernel instances share one generated function)
+    val n = ctx.freshName("n")
+    val m = ctx.freshName("m")
+    val i = ctx.freshName("i")
+    val s = ctx.freshName("s")
+    val c = ctx.freshName("c")
+    val v = ctx.freshName("v")
+    val loop =
       s"""
          |int $n = $a.numElements();
          |java.util.HashMap $m = new java.util.HashMap();
-         |int $best = 0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i)) {
          |    UTF8String $s = $a.getUTF8String($i);
          |    Integer $c = (Integer) $m.get($s);
          |    int $v = ($c == null) ? 1 : $c.intValue() + 1;
          |    $m.put($s, Integer.valueOf($v));
-         |    if ($v > $best) $best = $v;
+         |    if ($v > ${ev.value}) ${ev.value} = $v;
          |  }
          |}
-         |${ev.value} = $best;
        """.stripMargin
-    })
+    val guarded =
+      if (child.nullable) s"if (!${childGen.isNull}) {\n$loop\n}" else loop
+    ev.copy(
+      code = childGen.code + code"""
+           |int ${ev.value} = 0;
+           |$guarded
+         """.stripMargin,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): TopCount =
     copy(child = newChild)

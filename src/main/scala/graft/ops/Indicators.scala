@@ -221,13 +221,18 @@ object Indicators {
     // and volume accumulate as EXACT integers (price quantized to
     // micros), so the running sums are shuffle-order- and engine-proof;
     // only the final division goes through doubles, identically on both
-    // sides. One window pass over the same (symbol, datetime) sort every
-    // other indicator shares — at scale it fuses into the existing
-    // Window operator, no extra exchange.
+    // sides. The micro-price x volume products accumulate in
+    // DECIMAL(38,0) (Int64 wraps silently at ~9.2e18 with ANSI off —
+    // a long high-price x high-volume history could exhaust that;
+    // decimal headroom is ~1e38, unreachable), identically widened on
+    // the DuckDB side. One window pass over the same (symbol, datetime)
+    // sort every other indicator shares — at scale it fuses into the
+    // existing Window operator, no extra exchange.
     Q("w10_vwap",
       barsWith(
         """x AS (SELECT symbol, datetime, close,
-          |  sum(CAST(round(close * 1e6, 0) AS BIGINT) * volume)
+          |  sum(CAST(CAST(round(close * 1e6, 0) AS BIGINT) AS DECIMAL(18,0))
+          |      * CAST(volume AS DECIMAL(18,0)))
           |    OVER (PARTITION BY symbol ORDER BY datetime
           |          ROWS UNBOUNDED PRECEDING) AS cq,
           |  sum(volume) OVER (PARTITION BY symbol ORDER BY datetime
@@ -241,7 +246,8 @@ object Indicators {
         val w = Rolling.W.rowsBetween(Long.MinValue, 0)
         Q.norm(
           Bars(s, dir).select(col("symbol"), col("datetime"), col("close"),
-            sum(round(col("close") * 1e6, 0).cast("long") * col("volume"))
+            sum(round(col("close") * 1e6, 0).cast("long").cast("decimal(18,0)")
+                * col("volume").cast("decimal(18,0)"))
               .over(w).as("cq"),
             sum(col("volume")).over(w).as("cv"))
             .select(col("symbol"), col("datetime"), col("close"),

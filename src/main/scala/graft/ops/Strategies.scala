@@ -131,7 +131,7 @@ object Strategies {
           |              * (qc - lag(qc) OVER (PARTITION BY symbol ORDER BY datetime)) END AS qpnl
           |       FROM p),
           |x AS (SELECT symbol, datetime, close, position,
-          |  sum(qpnl) OVER (PARTITION BY symbol ORDER BY datetime ROWS UNBOUNDED PRECEDING) AS cq
+          |  sum(CAST(qpnl AS DECIMAL(28,0))) OVER (PARTITION BY symbol ORDER BY datetime ROWS UNBOUNDED PRECEDING) AS cq
           |  FROM pq)""".stripMargin,
         """SELECT symbol, datetime, round(close, 6) AS close, position,
           |round(CAST(cq AS DOUBLE) / 1e6, 6) AS cum_pnl
@@ -147,8 +147,13 @@ object Strategies {
         when(lag(col("qc"), 1).over(w).isNull, lit(0L))
           .otherwise(lag(col("position"), 1).over(w).cast("long")
             * (col("qc") - lag(col("qc"), 1).over(w))))
+      // per-bar qpnl fits Int64 easily (one micro-priced delta x {0,1});
+      // the UNBOUNDED cumulative sum is where a long history could wrap,
+      // so that accumulation runs in decimal (~1e38 headroom), mirrored
+      // in the oracle's CAST(qpnl AS DECIMAL(28,0))
       Q.norm(
-        pnl.withColumn("cum_pnl", sum(col("qpnl")).over(cum).cast("double") / 1e6)
+        pnl.withColumn("cum_pnl",
+            sum(col("qpnl").cast("decimal(28,0)")).over(cum).cast("double") / 1e6)
           .select("symbol", "datetime", "close", "position", "cum_pnl"),
         "symbol", "datetime")
     }})

@@ -13,9 +13,16 @@ import org.apache.spark.sql.functions.col
   *     range-predicate column so parquet row-group min/max statistics
   *     prune within files. `filesPerPartition` controls the
   *     file-explosion tradeoff: one repartition by (partition cols,
-  *     deterministic hash bucket) gives exactly that many files per
-  *     partition value instead of one-file-per-task (tiny files) or
-  *     one-giant-file (no read parallelism).
+  *     deterministic hash bucket) gives AT MOST that many files per
+  *     partition value (hash-repartition may collide several
+  *     (partition, bucket) combos into one task, yielding fewer)
+  *     instead of one-file-per-task (tiny files) or one-giant-file
+  *     (no read parallelism). Note the tradeoff at
+  *     `filesPerPartition > 1`: bucketing by `hash(sortCol)` spreads
+  *     the sort range across all files of a partition, so file-level
+  *     min/max skipping on `sortCol` weakens (row-group-level stats
+  *     inside each sorted file still prune); use 1 file per partition
+  *     when range pruning on `sortCol` is the dominant read pattern.
   *
   *   - `writeBucketed`: Spark bucketing on a join/agg key. Two tables
   *     bucketed the same way join with ZERO exchange on either side —
@@ -36,7 +43,8 @@ object Layout {
     * @param sortCol       range-predicate column; sorted within each
     *                      file => row-group min/max stats become
     *                      selective
-    * @param filesPerPartition target parquet files per partition value
+    * @param filesPerPartition upper bound on parquet files per partition
+    *                          value (see class doc for the >1 tradeoff)
     */
   def writeClustered(
       df: DataFrame,

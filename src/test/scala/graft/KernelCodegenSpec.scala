@@ -84,6 +84,30 @@ class KernelCodegenSpec extends SparkTestBase {
     }
   }
 
+  test("TopCount on NULL array returns 0 (matches DuckDB coalesce twin), codegen + interp") {
+    val s = spark
+    import s.implicits._
+    // null array, null elements inside an array, and a plain case
+    val df = Seq(
+      (1, Option(Seq(Option("a"), None, Option("a")))),
+      (2, None: Option[Seq[Option[String]]]),
+      (3, Option(Seq.empty[Option[String]]))
+    ).toDF("id", "toks")
+    def run(): Seq[(Int, Int)] = df
+      .select(col("id"), ArrayOps.topCount(col("toks")).as("t"))
+      .orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val expected = Seq((1, 2), (2, 0), (3, 0))
+    withCodegenOnly { assert(run() == expected) }
+    // interpreted path (eval override) must agree
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.codegen.factoryMode")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == expected)
+    finally prev.fold(conf.unset("spark.sql.codegen.factoryMode"))(v =>
+      conf.set("spark.sql.codegen.factoryMode", v))
+  }
+
   test("minhash + simhash kernels co-compiled in one projection are exact") {
     withCodegenOnly {
       val s = spark

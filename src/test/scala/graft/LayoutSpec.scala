@@ -48,6 +48,35 @@ class LayoutSpec extends SparkTestBase {
     } finally deleteRec(Paths.get(out).getParent)
   }
 
+  test("writeClustered filesPerPartition>1: bounded file count, same rows, pruning intact") {
+    val out = Files.createTempDirectory("graft-layout-fpp").resolve("bars").toString
+    try {
+      val bars = Bars(spark, sf)
+      val fpp = 4
+      Layout.writeClustered(bars, out, Seq("symbol"), "datetime", filesPerPartition = fpp)
+
+      val dirs = Files.list(Paths.get(out)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("symbol=")).toSeq
+      assert(dirs.size == 3, s"expected 3 symbol partitions, got $dirs")
+      // the contract is AT MOST fpp files per partition value (hash
+      // collisions across (partition, bucket) pairs can merge tasks),
+      // and more than one (the split actually happened at this scale)
+      dirs.foreach { d =>
+        val files = Files.list(Paths.get(out, d)).iterator().asScala
+          .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+        assert(files.size <= fpp && files.nonEmpty,
+          s"$d: expected 1..$fpp files, got ${files.size}")
+      }
+      // partition pruning and row fidelity are unchanged by the file split
+      val sym = bars.select("symbol").as[String](org.apache.spark.sql.Encoders.STRING).head()
+      val q = Layout.readClustered(spark, out).where(col("symbol") === sym)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters"), s"no partition filter:\n$plan")
+      assert(q.count() == bars.where(col("symbol") === sym).count())
+      assert(Layout.readClustered(spark, out).count() == bars.count())
+    } finally deleteRec(Paths.get(out).getParent)
+  }
+
   test("readEvolved: batches with added columns merge; old rows read NULL") {
     val s = spark
     import s.implicits._
