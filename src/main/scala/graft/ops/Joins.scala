@@ -262,5 +262,65 @@ object Joins {
               count(lit(1)).as("n_lines")),
           "nation")
       }
+    },
+
+    // j7: dynamic partition pruning — THE scan saver for join-filtered
+    // queries on a partitioned warehouse. The customer fact is laid out
+    // hive-partitioned on c_nationkey (`Layout.writeClustered`, written
+    // once per source snapshot); the region filter reaches the fact scan
+    // at RUNTIME via DynamicPruningExpression: the broadcast dim's
+    // nationkeys become a partition filter, so only ~5 of 25 partition
+    // directories are read — no static predicate on the fact mentions
+    // nationkey at all. At 100 TB this is the difference between
+    // scanning one region and scanning the world. Plan-pinned in
+    // PlanShapeSpec (dynamicpruning present, with the partition-count
+    // reduction asserted); DuckDB oracle runs on the unpartitioned
+    // original, proving the layout detour changes nothing.
+    Q("j7_dpp",
+      """SELECT n.n_name AS nation,
+        |       count(*) AS n_cust,
+        |       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, dir) => dppQuery(s, dir)
     })
+
+  /** The j7 plan against the partitioned layout (factored out so
+    * PlanShapeSpec pins the same plan the oracle checks).
+    */
+  def dppQuery(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val fact = graft.sources.Layout.readClustered(s, dppCustomerPath(s, dir))
+    val dim = broadcast(
+      Tables.nation(s, dir)
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .select(col("n_nationkey"), col("n_name")))
+    graft.Q.norm(
+      fact.join(dim, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("acctbal")),
+      "nation")
+  }
+
+  /** Materialize the customer table hive-partitioned on c_nationkey,
+    * once per source snapshot (fingerprint = source file size+mtime, so
+    * regenerated testdata invalidates the cache). Lives under the JVM
+    * tmpdir: it is a DERIVED layout, not data — rebuilding it anywhere
+    * is one `writeClustered` call.
+    */
+  def dppCustomerPath(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val src = new java.io.File(dir, "customer.parquet")
+    val tag = java.lang.Long.toHexString(src.length() ^ (src.lastModified() * 31L))
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-dpp/${new java.io.File(dir).getName}-$tag/customer")
+    if (!new java.io.File(out, "_SUCCESS").exists())
+      graft.sources.Layout.writeClustered(
+        Tables.customer(s, dir), out.toString, Seq("c_nationkey"), "c_custkey")
+    out.toString
+  }
 }

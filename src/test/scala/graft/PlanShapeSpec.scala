@@ -88,4 +88,38 @@ class PlanShapeSpec extends SparkTestBase {
     // determinism sort; the top-10 cut itself must not global-sort
     assert(count(p, "Sort ") <= 1, s"unexpected extra Sort:\n$p")
   }
+
+  test("j7: fact scan is dynamically partition-pruned by the dim filter") {
+    val p = plan("j7_dpp")
+    // the fact side carries NO static nationkey predicate — pruning must
+    // come from the runtime DPP subquery fed by the broadcast dim
+    assert(p.contains("dynamicpruning"),
+      s"no DynamicPruningExpression in the fact scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim side must broadcast:\n$p")
+    // and the pruning must actually bite: ASIA selects 5 of 25 nationkey
+    // partition directories. Execute THROUGH the df's own queryExecution
+    // (collect) so the DPP subquery resolves, then read the partition
+    // count off the final adaptive plan's fact scan metrics.
+    val fact = graft.sources.Layout.readClustered(spark,
+      ops.Joins.dppCustomerPath(spark, sf))
+    val total = fact.select("c_nationkey").distinct().count()
+    val pruned = ops.Joins.dppQuery(spark, sf)
+    assert(pruned.collect().nonEmpty)
+    val finalPlan = pruned.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    // materialized AQE stages are leaf wrappers — recurse through them
+    def scans(pl: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      pl.collect {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      }.flatten
+    val factScan = scans(finalPlan).filter(_.output.exists(_.name == "c_acctbal"))
+    assert(factScan.nonEmpty, s"no FileSourceScanExec for the fact:\n$finalPlan")
+    val sel = factScan.head.metrics.get("numPartitions").map(_.value)
+    assert(sel.exists(n => n > 0 && n < total),
+      s"DPP did not reduce partitions: selected=$sel of $total")
+  }
 }
