@@ -21,6 +21,7 @@ object SparkEntry {
       ops.Cube.queries ++
       ops.Joins.queries ++
       ops.AsOf.queries ++
+      ops.Money.queries ++
       ext.Fundamentals.queries ++
       ext.TextStats.queries ++
       ext.Repetition.queries ++
