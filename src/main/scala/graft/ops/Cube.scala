@@ -94,6 +94,22 @@ object Cube {
           "event_type")
     },
 
+    // The a10 scale rung: same quantiles through the mergeable
+    // percentile sketch (`Sketch.approxQuantiles` — O(accuracy·log n)
+    // state instead of buffering every group value; the ONLY quantile
+    // that survives a hot group at 100 TB). No DuckDB oracle — sketch
+    // implementations legitimately differ inside the rank-error bound,
+    // which SketchSpec pins instead (driver records rows-only here; a10
+    // exact stays the hash-checked row).
+    Q.noOracle("a10_quantiles_approx") {
+      (s, dir) =>
+        Q.norm(
+          graft.ops.Sketch.approxQuantiles(
+            Tables.events(s, dir), Seq("event_type"), "value",
+            Seq(0.5, 0.95, 0.99)),
+          "event_type")
+    },
+
     // Gap-based sessionization of the event stream (30-min inactivity
     // boundary): the canonical large-scale clickstream op. One window
     // pass computes session breaks + running session numbers; the

@@ -36,4 +36,29 @@ object Sketch {
   def exactDistinct(df: DataFrame, groupCols: Seq[String], target: String): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(countDistinct(col(target)).as(s"exact_distinct_$target"))
+
+  /** Per-group approximate percentiles (Greenwald-Khanna/KLL-style
+    * mergeable quantile summary). Exact `percentile` buffers EVERY value
+    * of the group in the aggregation state — at 100 TB a hot group is an
+    * executor OOM, not a slow query. The sketch state is
+    * O(accuracy * log n), merges associatively (map-side partials, any
+    * partitioning), and guarantees rank error <= n/accuracy: for
+    * accuracy 10000 the returned p99 sits between the true p98.99 and
+    * p99.01 — the property pinned by `SketchSpec` on skewed data. Not
+    * oracle-gated (DuckDB's approx sketch is a different implementation;
+    * values legitimately differ inside the bound) — the error bound IS
+    * the contract, same as [[approxDistinct]].
+    */
+  def approxQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      target: String,
+      percentages: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    val aggs = percentages.map { p =>
+      percentile_approx(col(target), lit(p), lit(accuracy))
+        .as(s"p${(p * 100).round}")
+    }
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

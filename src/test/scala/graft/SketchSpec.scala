@@ -30,6 +30,43 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("approx_percentile: rank error within n/accuracy on skewed data") {
+    val n = 100000
+    val acc = 1000
+    // deterministic heavy-tailed values: cubes of id mod 1000 pile mass
+    // near zero with a long right tail — the shape that breaks naive
+    // equal-width histogram quantiles
+    val df = spark.range(n)
+      .select((pow(col("id") % 1000, 3) / 1e6).as("v"))
+    val ps = Seq(0.5, 0.95, 0.99)
+    val approx = graft.ops.Sketch.approxQuantiles(
+        df.withColumn("g", lit("all")), Seq("g"), "v", ps, accuracy = acc)
+      .select("p50", "p95", "p99").head()
+    val values = df.as[Double].collect().sorted
+    ps.zipWithIndex.foreach { case (p, i) =>
+      val got = approx.getDouble(i)
+      // observed rank of the sketch's answer vs the requested rank
+      val rank = values.count(_ <= got)
+      val err = math.abs(rank - p * n)
+      val bound = n.toDouble / acc
+      // the GK guarantee is <= n/accuracy; 2x slack keeps the assertion
+      // robust to boundary/duplicate-value rank counting
+      assert(err <= 2 * bound, s"p$p: value=$got rank=$rank err=$err bound=$bound")
+    }
+  }
+
+  test("approx quantile sketch is partitioning-independent (merge associativity)") {
+    val df = spark.range(50000)
+      .select((col("id") % 997).cast("double").as("v"), lit("all").as("g"))
+    def estimate(parts: Int): Seq[Double] = {
+      val r = graft.ops.Sketch.approxQuantiles(
+          df.repartition(parts, col("v")), Seq("g"), "v", Seq(0.5, 0.99))
+        .select("p50", "p99").head()
+      Seq(r.getDouble(0), r.getDouble(1))
+    }
+    assert(estimate(2) == estimate(16))
+  }
+
   test("sketch estimate is partitioning-independent (merge associativity)") {
     val ev = Tables.events(spark, sf)
     def estimate(parts: Int): Map[String, Long] =
