@@ -81,6 +81,26 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Append a batch to an existing bucketed table (same bucket spec).
+    * Each append adds one sorted file per non-empty bucket; readers
+    * still see a valid bucketed layout (bucket pruning + exchange-free
+    * joins hold), and a periodic compaction — re-running
+    * [[writeBucketed]] over the accumulated table — bounds files per
+    * bucket. This is the mutable-side-index pattern: the stored side of
+    * a probe join grows by partition adds, never by rewriting.
+    */
+  def appendBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Read back a clustered path. Plain `spark.read.parquet` — partition
     * discovery and pruning are automatic; this exists so library users
     * find the read path next to the write path.

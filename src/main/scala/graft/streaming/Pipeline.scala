@@ -262,6 +262,75 @@ object Pipeline {
       .start()
   }
 
+  /** [[dedupIngest]] with the band index persisted in a BUCKETED TABLE
+    * instead of an in-memory frame — the shape that survives at
+    * 100 TB/day: the in-memory union grows without bound and dies with
+    * the job, while a table bucketed on the band key gives (a) crash/
+    * restart durability (a new query against the same table keeps
+    * deduping against everything kept before — spec-pinned), (b) an
+    * append-only write per batch (one sorted file per bucket, no
+    * rewrite), and (c) an exchange-free stored side in the probe join:
+    * the scan's bucket layout already satisfies the join's distribution,
+    * so only the O(batch) probe side shuffles — the index NEVER moves.
+    *
+    * The probe join key is the single column `bkey = xxhash64(bi, bk)`
+    * (bucketed single-key joins line up exchange-free; a 64-bit
+    * collision merely adds a candidate pair that exact-Jaccard
+    * verification rejects, so keep/drop semantics are identical to
+    * [[dedupIngest]]).
+    */
+  def dedupIngestBucketed(docs: DataFrame, indexTable: String,
+      buckets: Int = 8,
+      onKeep: (DataFrame, Long) => Unit = (_, _) => (),
+      jaccardThreshold: Double = graft.ext.Dedup.JaccardThreshold,
+      trigger: Trigger = Trigger.ProcessingTime("0 seconds")): StreamingQuery = {
+    def withBkey(bands: DataFrame): DataFrame =
+      bands.withColumn("bkey", xxhash64(col("bi"), col("bk")))
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val sp = batch.sparkSession
+        if (!sp.catalog.tableExists(indexTable)) {
+          // create the empty bucketed table with the band schema so the
+          // first batch probes (vacuously) and appends like any other
+          val empty = withBkey(graft.ext.Dedup.bandRows(
+            graft.ext.Dedup.signatures(batch.toDF().limit(0))))
+          graft.sources.Layout.writeBucketed(empty, indexTable, "bkey", buckets)
+        }
+        val index = sp.table(indexTable)
+        val sig = graft.ext.Dedup.signatures(batch.toDF()).localCheckpoint()
+        val bands = withBkey(graft.ext.Dedup.bandRows(sig))
+        def verifiedDrops(cand: DataFrame): DataFrame = {
+          val inter = size(array_intersect(col("nsh"), col("osh")))
+          cand.where(inter * 1.0 /
+              (size(col("nsh")) + size(col("osh")) - inter) >= jaccardThreshold)
+            .select(col("nid").as("doc_id")).distinct()
+        }
+        val vsCorpus = verifiedDrops(
+          bands.as("n").join(index.as("o"), col("n.bkey") === col("o.bkey"))
+            .select(col("n.doc_id").as("nid"), col("n.sh").as("nsh"),
+              col("o.sh").as("osh")).distinct())
+        val vsBatch = verifiedDrops(
+          bands.as("n").join(bands.as("o"),
+              col("n.bkey") === col("o.bkey") &&
+                col("n.doc_id") > col("o.doc_id"))
+            .select(col("n.doc_id").as("nid"), col("n.sh").as("nsh"),
+              col("o.sh").as("osh")).distinct())
+        val drops = vsCorpus.union(vsBatch).distinct()
+        val keeps = batch.toDF().join(drops, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        onKeep(keeps, id)
+        // materialize BEFORE the append: the kept-band lineage reads the
+        // table being appended to
+        val keptBands = bands.join(drops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("sh"), col("bi"), col("bk"), col("bkey"))
+          .localCheckpoint()
+        graft.sources.Layout.appendBucketed(keptBands, indexTable, "bkey", buckets)
+      }
+      .start()
+  }
+
   /** Watermarked stream-stream interval join: every left row is matched
     * to right rows of the same key whose event time falls inside
     * [lts - beforeSec, lts + afterSec] — the streaming twin of the batch

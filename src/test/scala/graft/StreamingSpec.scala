@@ -207,6 +207,65 @@ class StreamingSpec extends SparkTestBase {
     assert(kept.sorted == Seq(11L, 21L), s"kept=$kept")
   }
 
+  test("dedupIngestBucketed: index survives a restart; probe join leaves the stored side unshuffled") {
+    val s = spark
+    import s.implicits._
+    val t = "graft_band_index_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    try {
+      def ingest(input: MemoryStream[(Long, String)], kept: mutable.ArrayBuffer[Long]) =
+        Pipeline.dedupIngestBucketed(
+          input.toDF().toDF("doc_id", "text"), t, buckets = 4,
+          onKeep = (keeps, _) => kept.synchronized {
+            kept ++= keeps.select("doc_id")
+              .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+          })
+
+      // run 1: within-batch dup drops, uniques keep and land in the table
+      val in1 = MemoryStream[(Long, String)](spark)
+      val kept1 = mutable.ArrayBuffer[Long]()
+      val q1 = ingest(in1, kept1)
+      in1.addData(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "one two three four five six seven eight nine"),
+        (3L, "alpha beta gamma delta epsilon zeta eta theta")) // in-batch dup of 1
+      q1.processAllAvailable()
+      q1.stop()
+      assert(kept1.sorted == Seq(1L, 2L), s"kept1=$kept1")
+
+      // restart: a brand-new query against the same table must still
+      // drop duplicates of what run 1 kept — state outlived the query
+      val in2 = MemoryStream[(Long, String)](spark)
+      val kept2 = mutable.ArrayBuffer[Long]()
+      val q2 = ingest(in2, kept2)
+      in2.addData(
+        (10L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of run-1 keep 1
+        (11L, "red orange yellow green blue indigo violet"))    // unique -> keep
+      q2.processAllAvailable()
+      q2.stop()
+      assert(kept2.sorted == Seq(11L), s"kept2=$kept2")
+      // run-2's keep was appended too
+      assert(spark.table(t).select("doc_id").distinct().count() == 3)
+
+      // the probe join plan: stored side reads its buckets in place —
+      // the ONLY exchange is the O(batch) probe side (broadcast disabled
+      // so the layout, not the tiny spec scale, decides the plan)
+      val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val probe = graft.ext.Dedup.bandRows(graft.ext.Dedup.signatures(
+            Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+              .toDF("doc_id", "text")))
+          .withColumn("bkey", xxhash64(col("bi"), col("bk")))
+        val j = probe.as("n").join(spark.table(t).as("o"), Seq("bkey"))
+        val plan = j.queryExecution.executedPlan.toString
+        assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+        val nEx = "Exchange".r.findAllIn(plan).length
+        assert(nEx <= 1, s"expected only the probe-side exchange, got $nEx:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("stream-stream interval join: matches only inside the time band, plans stateful join") {
     val bars = MemoryStream[(String, java.sql.Timestamp, Double)](spark)
     val news = MemoryStream[(String, java.sql.Timestamp, String)](spark)
