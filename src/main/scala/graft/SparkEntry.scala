@@ -29,6 +29,9 @@ object SparkEntry {
       ext.Dedup.queries ++
       ext.Dedup.pipelineQueries ++
       ext.Dedup.ccQueries ++
+      ext.Boilerplate.queries ++
+      ext.Corpus.queries ++
+      ext.Bloom.queries ++
       ext.Similarity.queries ++
       ext.Multimodal.queries
 

@@ -1,0 +1,146 @@
+package graft.ext
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Segment-level dedup over the `documents` table — the line/paragraph
+  * tier of a training-data sweep (the document tier lives in
+  * `ext/Dedup.scala`). Two operators:
+  *
+  *   - `x_linededup`: corpus-wide boilerplate removal. Documents split
+  *     into fixed-length token segments (the stand-in for "lines" — the
+  *     synthetic corpus has no newlines); any segment occurring in more
+  *     than [[HotDocs]] DISTINCT documents is boilerplate and is removed
+  *     from every document, which is then reassembled in original order.
+  *     The CCNet/RefinedWeb line-dedup shape.
+  *   - `x_span_dedup`: duplicated-span profiling. Sliding token windows
+  *     (width [[SpanLen]], stride [[SpanStride]]) as exact keys; a span
+  *     is duplicated when it occurs in >= 2 distinct documents; each doc
+  *     reports its duplicated-span fraction — the "fraction of text
+  *     duplicated elsewhere" metric of exact-substring-dedup pipelines.
+  *
+  * Scale design (100 TB): both queries hash-partition on the segment
+  * string once and derive everything from that single exchange — the
+  * frequency aggregation and the flag/anti join are co-partitioned, so
+  * Catalyst reuses the exchange rather than shuffling twice. The hot set
+  * in `x_linededup` is the *boilerplate* tail (high-frequency segments),
+  * which is tiny by construction — it broadcasts, so the removal pass is
+  * a broadcast anti join, not a shuffle. Reassembly shuffles once on
+  * doc_id with map-side partial aggregation. No step is quadratic: exact
+  * segment equality needs no pair enumeration, unlike the Jaccard tier
+  * (`d4`/`d6`), which is why line dedup is the cheap first rung of a
+  * production sweep.
+  */
+object Boilerplate {
+  import Portable._
+
+  /** Tokens per fixed segment ("line") in x_linededup. */
+  val ChunkLen = 4
+
+  /** A segment in more than this many distinct docs is boilerplate. */
+  val HotDocs = 2
+
+  /** Sliding-window width/stride (tokens) for x_span_dedup. */
+  val SpanLen = 4
+  val SpanStride = 2
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Portable.spread(Tables.documents(spark, dir), "doc_id")
+
+  /** (doc_id, seg_idx, seg): consecutive ChunkLen-token segments. */
+  private def segments(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nseg = ceil(size(col("toks")) / lit(ChunkLen.toDouble)).cast("long")
+    val segs = when(col("nseg") > 0,
+      transform(sequence(lit(0L), col("nseg") - 1),
+        i => array_join(slice(col("toks"), (i * ChunkLen).cast("int") + 1, lit(ChunkLen)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("nseg", nseg)
+      .select(col("doc_id"), posexplode(segs).as(Seq("seg_idx", "seg")))
+  }
+
+  def queries: Seq[Q] = Seq(
+
+    // Corpus-wide boilerplate ("line") removal + ordered reassembly.
+    Q("x_linededup",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |seg0 AS (SELECT doc_id,
+         |                unnest(list_transform(range(CAST(ceil(len(toks) / $ChunkLen.0) AS BIGINT)),
+         |                       i -> {'i': i, 'seg': array_to_string(toks[(i*$ChunkLen+1):(i*$ChunkLen+$ChunkLen)], ' ')})) AS s
+         |         FROM t),
+         |seg AS (SELECT doc_id, s.i AS seg_idx, s.seg AS seg FROM seg0),
+         |hot AS (SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS nd
+         |                         FROM seg GROUP BY seg) WHERE nd > $HotDocs),
+         |kept AS (SELECT * FROM seg WHERE seg NOT IN (SELECT seg FROM hot)),
+         |tot AS (SELECT doc_id, count(*) AS n_seg FROM seg GROUP BY doc_id),
+         |k AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS kept_text,
+         |             count(*) AS n_kept
+         |      FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(k.kept_text, '') AS kept_text,
+         |       coalesce(k.n_kept, 0) AS n_kept,
+         |       t.n_seg - coalesce(k.n_kept, 0) AS n_dropped
+         |FROM tot t LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin) {
+      (s, dir) => {
+        val seg = segments(s, dir).cache()
+        // boilerplate = high-df tail: tiny by construction -> broadcast
+        val hot = seg.groupBy("seg")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .where(col("nd") > HotDocs)
+          .select("seg")
+        val kept = seg.join(broadcast(hot), Seq("seg"), "left_anti")
+        val tot = seg.groupBy("doc_id").agg(count(lit(1)).as("n_seg"))
+        val k = kept.groupBy("doc_id").agg(
+          array_join(
+            transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+              x => x.getField("seg")), " ").as("kept_text"),
+          count(lit(1)).as("n_kept"))
+        Q.norm(
+          tot.join(k, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("kept_text"), lit("")).as("kept_text"),
+              coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+              (col("n_seg") - coalesce(col("n_kept"), lit(0L))).as("n_dropped")),
+          "doc_id")
+      }
+    },
+
+    // Duplicated-span fraction per document (sliding exact windows).
+    Q("x_span_dedup",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sp AS (SELECT doc_id,
+         |              unnest(list_transform(range(CAST(floor((len(toks) - $SpanLen) / $SpanStride.0) AS BIGINT) + 1),
+         |                     i -> array_to_string(toks[(i*$SpanStride+1):(i*$SpanStride+$SpanLen)], ' '))) AS span
+         |       FROM t WHERE len(toks) >= $SpanLen),
+         |nd AS (SELECT span, count(DISTINCT doc_id) AS nd FROM sp GROUP BY span)
+         |SELECT doc_id, count(*) AS n_spans,
+         |       count(*) FILTER (nd.nd >= 2) AS n_dup_spans,
+         |       round(count(*) FILTER (nd.nd >= 2) * 1.0 / count(*), 6) AS dup_frac
+         |FROM sp JOIN nd USING (span)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val nspan = (floor((size(col("toks")) - SpanLen) / lit(SpanStride.toDouble))).cast("long") + 1
+        val sp = docs(s, dir)
+          .select(col("doc_id"), toks.as("toks"))
+          .where(size(col("toks")) >= SpanLen)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0L), nspan - 1),
+              i => array_join(slice(col("toks"), (i * SpanStride).cast("int") + 1, lit(SpanLen)), " "))).as("span"))
+        // span-frequency agg + flag join share the hash partitioning on
+        // `span` -> single exchange, reused (same shape as d6's df count)
+        val nd = sp.groupBy("span").agg(countDistinct(col("doc_id")).as("nd"))
+        val flagged = sp.join(nd, Seq("span"))
+        Q.norm(
+          flagged.groupBy("doc_id").agg(
+            count(lit(1)).as("n_spans"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+            .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+              (col("n_dup_spans") * 1.0 / col("n_spans")).as("dup_frac")),
+          "doc_id")
+      }
+    })
+}
