@@ -3,6 +3,7 @@ package graft.ext
 import graft.Q
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level statistics for training-data curation: per-document
@@ -33,6 +34,20 @@ object Corpus {
 
   /** Top terms reported per document. */
   val TopK = 3
+
+  /** BM25 parameters (Robertson/Okapi defaults) and the fixed query-term
+    * set (drawn from the synthetic corpus vocabulary).
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 5
+  val Bm25Terms: Seq[String] = Seq("hash", "merge", "scan")
+
+  /** Tokens per packed training block (x_pack). */
+  val PackBlock = 256
+
+  /** Vocabulary head size reported by x_zipf. */
+  val ZipfTopK = 20
 
   /** Temperature exponent for source mixture weights (alpha = 0.5). */
   // sqrt(x) == x^0.5: spelled as sqrt so both engines use the
@@ -111,5 +126,178 @@ object Corpus {
               (col("total_docs") * sqrt(col("n_docs")) / col("denom")).as("expected_docs")),
           "source")
       }
+    },
+
+    // BM25 retrieval scoring over the corpus for a fixed query-term set —
+    // the lexical-retrieval half of a data-curation stack (quality
+    // filtering against seed queries, CC-style "closest to Wikipedia"
+    // selection). Ranking is driven by the log-free key
+    //   tf*(k1+1) / (tf + k1*(1-b + b*dl*N/total))
+    // (products/quotients of integers and exactly-representable constants
+    // — every step a single correctly-rounded IEEE op, so both engines
+    // produce the identical double and break residual ties by doc_id).
+    // idf = ln((N-df+0.5)/(df+0.5)+1) is constant within a term, so it
+    // can scale the REPORTED score (rounded 6dp) without ever affecting
+    // selection — the same discipline as x_tfidf.
+    //
+    // Scale: tf is one hash agg on (doc, term) pre-filtered to the query
+    // terms (predicate pushes to the scan side of the explode), df and
+    // the corpus length stats aggregate to O(#terms) / O(1) rows and
+    // broadcast back; the top-k window partitions by term.
+    Q("x_bm25",
+      s"""WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+         |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS total FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+         |       WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |       GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT term, doc_id, tf, dl,
+         |         tf * ${Bm25K1 + 1} / (tf + $Bm25K1 * (${1 - Bm25B} + $Bm25B * dl * n / total)) AS rank_key,
+         |         ln((n - df + 0.5) / (df + 0.5) + 1) AS idf
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term), st),
+         |ranked AS (SELECT *, row_number() OVER
+         |             (PARTITION BY term ORDER BY rank_key DESC, doc_id) AS rk
+         |           FROM scored)
+         |SELECT term, rk, doc_id, tf, dl, round(idf * rank_key, 6) AS bm25
+         |FROM ranked WHERE rk <= $Bm25TopK ORDER BY term, rk""".stripMargin) {
+      (s, dir) => {
+        val docs = Portable.spread(Tables.documents(s, dir), "doc_id")
+        val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+        val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
+        val tf = docs
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .where(col("term").isin(Bm25Terms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        // operator order mirrors the SQL text exactly: left-assoc products
+        // before the divide, so every intermediate double matches
+        val rankKey = col("tf") * lit(Bm25K1 + 1) /
+          (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl") * col("n") / col("total")))
+        val idf = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1))
+        val w = Window.partitionBy("term").orderBy(col("rank_key").desc, col("doc_id"))
+        Q.norm(
+          tf.join(dl, Seq("doc_id")).join(broadcast(df), Seq("term"))
+            .crossJoin(broadcast(st))
+            .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+              rankKey.as("rank_key"), idf.as("idf"))
+            .withColumn("rk", row_number().over(w).cast("long"))
+            .where(col("rk") <= Bm25TopK)
+            .select(col("term"), col("rk"), col("doc_id"), col("tf"), col("dl"),
+              (col("idf") * col("rank_key")).as("bm25")),
+          "term", "rk")
+      }
+    },
+
+    // GPT-style sequence packing: concatenate every document's tokens in
+    // doc_id order and cut the stream into fixed $PackBlock-token training
+    // blocks; emit one row per (block, contributing doc) with the token
+    // count the doc contributes — the concat-and-chunk packing layout
+    // every autoregressive training pipeline materializes.
+    //
+    // The global token offset is THE textbook distributed prefix sum, and
+    // the plan computes it that way instead of a single-partition window:
+    // range-repartition on doc_id, per-partition running sums (32 windows
+    // in parallel), then O(#partitions) per-partition totals fold into
+    // exclusive base offsets on the driver (same O(partitions) driver
+    // state as EwmaScan) and broadcast-join back. Block math after that is
+    // pure integer per-row algebra: doc spans blocks floor(off/B) ..
+    // floor((off+n-1)/B), each overlap length an integer min/max.
+    Q("x_pack",
+      s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+         |o AS (SELECT doc_id, n_tok,
+         |             COALESCE(CAST(sum(n_tok) OVER (ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off
+         |      FROM t),
+         |b AS (SELECT doc_id, n_tok, off,
+         |             unnest(range(off // $PackBlock, (off + n_tok - 1) // $PackBlock + 1)) AS block_id
+         |      FROM o WHERE n_tok > 0)
+         |SELECT block_id, doc_id,
+         |       least(off + n_tok, (block_id + 1) * $PackBlock)
+         |         - greatest(off, block_id * $PackBlock) AS n_tok_in_block,
+         |       CAST(CASE WHEN off >= block_id * $PackBlock THEN 1 ELSE 0 END AS BIGINT) AS is_head
+         |FROM b ORDER BY block_id, doc_id""".stripMargin) {
+      (s, dir) => packedBlocks(s, dir)
+    },
+
+    // Vocabulary head: top terms by corpus frequency with rank and exact
+    // cumulative share — the Zipf curve a corpus-QA sweep reads to spot
+    // boilerplate explosions and tokenizer pathologies. Term counts ride
+    // one hash agg (map-side partial) down to vocabulary size; the rank
+    // window and cumulative sum then run on vocab-sized data (≪ corpus),
+    // with integer cumsums and a single correctly-rounded division per
+    // reported share.
+    Q("x_zipf",
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         |f AS (SELECT term, count(*) AS freq FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM f),
+         |r AS (SELECT term, freq,
+         |             row_number() OVER (ORDER BY freq DESC, term) AS rank,
+         |             CAST(sum(freq) OVER (ORDER BY freq DESC, term
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumfreq
+         |      FROM f)
+         |SELECT rank, term, freq,
+         |       round(freq * 1.0 / total, 6) AS share,
+         |       round(cumfreq * 1.0 / total, 6) AS cum_share
+         |FROM r, tot WHERE rank <= $ZipfTopK ORDER BY rank""".stripMargin) {
+      (s, dir) => {
+        val docs = Portable.spread(Tables.documents(s, dir), "doc_id")
+        val f = docs.select(explode(tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("freq"))
+        val tot = f.agg(sum(col("freq")).as("total"))
+        // vocab-sized global window: input is the aggregated term table
+        val w = Window.orderBy(col("freq").desc, col("term"))
+        Q.norm(
+          f.withColumn("rank", row_number().over(w).cast("long"))
+            .withColumn("cumfreq", sum(col("freq")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .where(col("rank") <= ZipfTopK)
+            .crossJoin(broadcast(tot))
+            .select(col("rank"), col("term"), col("freq"),
+              (col("freq") * lit(1.0) / col("total")).as("share"),
+              (col("cumfreq") * lit(1.0) / col("total")).as("cum_share")),
+          "rank")
+      }
     })
+
+  /** x_pack's Spark plan (factored out so specs can pin the plan shape and
+    * property-test the block invariants).
+    *
+    * Driver state is O(#partitions): the per-partition token totals that
+    * seed the exclusive base offsets — the same two-phase scan-then-fold
+    * layout as [[graft.functions.EwmaScan]].
+    */
+  def packedBlocks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nParts = 32
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .repartitionByRange(nParts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    // phase 1: per-partition running sums, all partitions in parallel
+    val wPart = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = t.withColumn("run", sum(col("n_tok")).over(wPart))
+    // phase 2: fold O(#partitions) totals into exclusive base offsets
+    val totals = local.groupBy("pid").agg(max(col("run")).as("ptotal"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = totals.scanLeft((Int.MinValue, 0L)) {
+      case ((_, acc), (pid, tot)) => (pid, acc + tot)
+    }.sliding(2).map { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
+    val baseDf = bases.toDF("pid", "base")
+    val o = local.join(broadcast(baseDf), Seq("pid"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("base") + col("run") - col("n_tok")).as("off"))
+      .where(col("n_tok") > 0)
+    val b = o.select(col("doc_id"), col("n_tok"), col("off"),
+      explode(sequence(expr(s"off div $PackBlock"),
+        expr(s"(off + n_tok - 1) div $PackBlock"))).as("block_id"))
+    Q.norm(
+      b.select(col("block_id"), col("doc_id"),
+        (least(col("off") + col("n_tok"), (col("block_id") + 1) * PackBlock)
+          - greatest(col("off"), col("block_id") * PackBlock)).as("n_tok_in_block"),
+        when(col("off") >= col("block_id") * PackBlock, 1L).otherwise(0L).as("is_head")),
+      "block_id", "doc_id")
+  }
 }

@@ -2,6 +2,8 @@ package graft.ext
 
 import graft.Q
 import graft.sources.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding-column aggregation — the vector half of a training-data
@@ -22,6 +24,21 @@ import org.apache.spark.sql.functions._
 object Embeddings {
 
   val Dims = 64
+
+  /** Product-quantization geometry: M subspaces of SubDim dims each. */
+  val PqM = 8
+  val SubDim = Dims / PqM
+
+  /** Sequential-fold dot product over arrays of ANY numeric element type
+    * (mirrors [[Portable.sqlDot]] exactly: per-index double products,
+    * index-ascending accumulation). The codegen kernel
+    * [[graft.functions.ArrayOps.dotF]] is the float-array fast path; this
+    * HOF form exists for the double-array centroid math in e9 where one
+    * side is not a float column.
+    */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
 
   def queries: Seq[Q] = Seq(
     Q("e6_centroids",
@@ -84,6 +101,140 @@ object Embeddings {
             array_min(col("codes")).as("qmin"),
             array_max(col("codes")).as("qmax"))
           .transform(d => graft.Q.sorted(d, "vec_id"))
+      }
+    },
+
+    // e8: product quantization — the index-compression step behind every
+    // billion-vector ANN deployment (IVF-PQ): the 64-dim vector splits
+    // into M=8 subvectors, each encoded as its nearest codeword id, so a
+    // 256-byte float vector becomes M small codes. The codebook here is
+    // the deterministic per-label representative (min vec_id per label,
+    // the e3 centroid convention) — k-means-trained codebooks drop in
+    // without changing the plan.
+    //
+    // Scale: codebook is O(k) rows and broadcast; per-vector work is M*k
+    // slice-dot kernels (codegen, no shuffle); the argmin is a bounded
+    // window on (vec_id, m). Distances are (d(v,v) - 2*d(v,c)) + d(c,c)
+    // with every dot a sequential fold — bit-identical cross-engine, ties
+    // broken by codeword id.
+    Q("e8_pq", {
+      def va(m: Int) = s"(e.embedding)[${m * SubDim + 1}:${(m + 1) * SubDim}]"
+      def ca(m: Int) = s"(cw.ce)[${m * SubDim + 1}:${(m + 1) * SubDim}]"
+      def d2(m: Int) =
+        s"((${Portable.sqlDot(va(m), va(m))} - 2.0*${Portable.sqlDot(va(m), ca(m))}) + " +
+          s"${Portable.sqlDot(ca(m), ca(m))})"
+      val pCols = (0 until PqM).map(m => s"${d2(m)} AS d$m").mkString(",\n       ")
+      val unpivot = (0 until PqM)
+        .map(m => s"SELECT vec_id, cl, CAST($m AS BIGINT) AS m, d$m AS dist2 FROM p")
+        .mkString("\nUNION ALL ")
+      s"""WITH cw AS (
+         |  SELECT label AS cl, embedding AS ce FROM (
+         |    SELECT label, embedding,
+         |           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |p AS (SELECT e.vec_id, cw.cl,
+         |       $pCols
+         |      FROM embeddings e CROSS JOIN cw),
+         |sub AS ($unpivot),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist2, cl) AS rn
+         |      FROM sub)
+         |SELECT vec_id, m, cl AS code, round(dist2, 6) AS err2
+         |FROM r WHERE rn = 1 ORDER BY vec_id, m""".stripMargin
+    }) {
+      (s, dir) => {
+        import Portable._
+        val e = Portable.spread(Tables.embeddings(s, dir), "vec_id")
+        val cw = e.withColumn("rn",
+            row_number().over(Window.partitionBy("label").orderBy("vec_id")))
+          .where(col("rn") === 1)
+          .select(col("label").as("cl"), col("embedding").as("ce"))
+        // all-literal slice bounds: each subspace distance is three dotF
+        // codegen kernels on float slices, evaluated once per (vec, cw)
+        val dist2Arr = array((0 until PqM).map { m =>
+          val v = slice(col("embedding"), m * SubDim + 1, SubDim)
+          val c = slice(col("ce"), m * SubDim + 1, SubDim)
+          (dot(v, v) - lit(2.0) * dot(v, c)) + dot(c, c)
+        }: _*)
+        val sub = e.crossJoin(broadcast(cw))
+          .select(col("vec_id"), col("cl"), posexplode(dist2Arr).as(Seq("m", "dist2")))
+          .select(col("vec_id"), col("cl"), col("m").cast("long").as("m"), col("dist2"))
+        val w = Window.partitionBy("vec_id", "m").orderBy(col("dist2"), col("cl"))
+        graft.Q.norm(
+          sub.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+            .select(col("vec_id"), col("m"), col("cl").as("code"), col("dist2").as("err2")),
+          "vec_id", "m")
+      }
+    },
+
+    // e9: one exact Lloyd (k-means) iteration — assign every vector to
+    // its nearest e6-style centroid, then recompute the per-(cluster,
+    // pos) quantized means. k-means over embeddings IS the training loop
+    // of IVF/PQ codebooks; this demonstrates the distributed shape of one
+    // step: centroids broadcast (O(k·d)), assignment is per-row math with
+    // no shuffle, the re-estimation is one hash agg whose partial
+    // aggregation bounds the exchange at O(k·d·partitions) rows.
+    //
+    // Cross-engine exactness: centroid components are qsum/(1e6·n) —
+    // single correctly-rounded division over exact integers; distances
+    // are sequential folds; sums of 1e-6-quantized BIGINTs are exact
+    // integer math, so the output is identical across engines AND
+    // shuffle orders.
+    Q("e9_kmeans_step", {
+      val dvv = Portable.sqlDot("e.embedding", "e.embedding")
+      val dvc = Portable.sqlDot("e.embedding", "c.ce")
+      val dcc = Portable.sqlDot("c.ce", "c.ce")
+      s"""WITH x AS (
+         |  SELECT label, i AS pos,
+         |         CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1e6, 0) AS BIGINT) AS qv
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, $Dims)) AS i) r),
+         |g0 AS (SELECT label, pos, count(*) AS n, CAST(sum(qv) AS DOUBLE) AS qsum
+         |       FROM x GROUP BY 1, 2),
+         |cent AS (SELECT label AS cl, list(qsum / (1e6 * n) ORDER BY pos) AS ce
+         |         FROM g0 GROUP BY label),
+         |a AS (SELECT vec_id, embedding, cl, rn FROM (
+         |        SELECT e.vec_id, e.embedding, c.cl,
+         |               row_number() OVER (PARTITION BY e.vec_id
+         |                 ORDER BY (($dvv - 2.0*$dvc) + $dcc), c.cl) AS rn
+         |        FROM embeddings e CROSS JOIN cent c)),
+         |asn AS (SELECT vec_id, embedding, cl FROM a WHERE rn = 1),
+         |y AS (SELECT cl, i AS pos,
+         |             CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1e6, 0) AS BIGINT) AS qv
+         |      FROM asn CROSS JOIN (SELECT unnest(range(0, $Dims)) AS i) r),
+         |g AS (SELECT cl, pos, count(*) AS n, CAST(sum(qv) AS DOUBLE) AS qsum
+         |      FROM y GROUP BY 1, 2)
+         |SELECT cl AS cluster, pos, n, round(qsum / (1e6 * n), 6) AS centroid
+         |FROM g ORDER BY cluster, pos""".stripMargin
+    }) {
+      (s, dir) => {
+        import Portable._
+        val e = Portable.spread(Tables.embeddings(s, dir), "vec_id")
+        val x = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("label"), col("pos").cast("long").as("pos"),
+            round(col("v").cast("double") * 1e6, 0).cast("long").as("qv"))
+        val g0 = x.groupBy("label", "pos")
+          .agg(count(lit(1)).as("n"), sum(col("qv")).cast("double").as("qsum"))
+        // pos-ordered centroid arrays (array_sort on struct<pos,..> sorts
+        // by pos — the x_mixture sorted-fold pattern)
+        val cent = g0
+          .select(col("label"), struct(col("pos"), (col("qsum") / (lit(1e6) * col("n"))).as("c")).as("pc"))
+          .groupBy("label").agg(
+            transform(array_sort(collect_list(col("pc"))), p => p.getField("c")).as("ce"))
+          .select(col("label").as("cl"), col("ce"))
+        val dist2 = (dot(col("embedding"), col("embedding"))
+          - lit(2.0) * dotD(col("embedding"), col("ce"))) + dotD(col("ce"), col("ce"))
+        val wv = Window.partitionBy("vec_id").orderBy(dist2, col("cl"))
+        val asn = e.crossJoin(broadcast(cent))
+          .withColumn("rn", row_number().over(wv))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cl"))
+        val y = asn.select(col("cl"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("cl"), col("pos").cast("long").as("pos"),
+            round(col("v").cast("double") * 1e6, 0).cast("long").as("qv"))
+        val g = y.groupBy("cl", "pos")
+          .agg(count(lit(1)).as("n"), sum(col("qv")).cast("double").as("qsum"))
+        g.select(col("cl").as("cluster"), col("pos"), col("n"),
+            graft.Q.r6(col("qsum") / (lit(1e6) * col("n"))).as("centroid"))
+          .transform(d => graft.Q.sorted(d, "cluster", "pos"))
       }
     })
 }

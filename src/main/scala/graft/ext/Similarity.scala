@@ -334,22 +334,34 @@ object Similarity {
             .map(r => col(s"b${b * SrpRows + r}") * (1 << r))
             .reduce(_ + _)
         }: _*)
-        val bands = sig.select(col("vec_id"),
-          posexplode(bandKeyArr).as(Seq("band", "bkey")))
-        val cand = bands.as("a").join(bands.as("b").hint("shuffle_hash"),
-            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-              col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-          .distinct()
-        val n = e.select(col("vec_id"),
-          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"), col("embedding"))
-        cand
-          .join(n.as("na"), col("vec_a") === col("na.vec_id"))
-          .join(n.as("nb"), col("vec_b") === col("nb.vec_id"))
-          .select(col("vec_a"), col("vec_b"),
-            when(col("na.nrm") === 0.0 || col("nb.nrm") === 0.0, lit(null))
-              .otherwise(dot(col("na.embedding"), col("nb.embedding")) /
-                (col("na.nrm") * col("nb.nrm"))).as("cos"))
+        // carry embedding + norm + the full key array through the band
+        // join: a pair colliding in several bands is emitted ONLY from
+        // its first matching band (no-earlier-match filter), which
+        // replaces the oracle's DISTINCT — a full shuffle of the
+        // candidate set — with a per-row predicate, and the carried
+        // vectors let the exact-cosine verify run inside the join task
+        // instead of via two more candidate-sized joins. Shuffle volume
+        // is bands×n wide rows per side (vectors), independent of the
+        // candidate count — the quantity that explodes when buckets
+        // clump.
+        val withKeys = sig.select(col("vec_id"), col("embedding"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
+          bandKeyArr.as("keys"))
+        val bands = withKeys.select(col("vec_id"), col("embedding"), col("nrm"),
+          col("keys"), posexplode(col("keys")).as(Seq("band", "bkey")))
+        val aSide = bands.select(col("band"), col("bkey"), col("vec_id").as("ida"),
+          col("embedding").as("ea"), col("nrm").as("na"), col("keys").as("ka"))
+        val bSide = bands.select(col("band"), col("bkey"), col("vec_id").as("idb"),
+          col("embedding").as("eb"), col("nrm").as("nb"), col("keys").as("kb"))
+        val earlierMatch = exists(
+          zip_with(slice(col("ka"), lit(1), col("band")),
+            slice(col("kb"), lit(1), col("band")), (x, y) => x === y),
+          p => p)
+        aSide.join(bSide.hint("shuffle_hash"), Seq("band", "bkey"))
+          .where(col("ida") < col("idb") && !earlierMatch)
+          .select(col("ida").as("vec_a"), col("idb").as("vec_b"),
+            when(col("na") === 0.0 || col("nb") === 0.0, lit(null))
+              .otherwise(dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
           .where(col("cos") >= NearDupThreshold)
           .select(col("vec_a"), col("vec_b"), graft.Q.r6(col("cos")).as("cos"))
           .transform(d => graft.Q.sorted(d, "vec_a", "vec_b"))

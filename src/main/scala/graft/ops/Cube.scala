@@ -70,6 +70,41 @@ object Cube {
           "symbol", "event_type")
     },
 
+    // GROUPING SETS ((symbol), (event_type)): two independent one-dim
+    // aggregations in a single scan — the set pair no ROLLUP/CUBE
+    // reordering can express, and the reason grouping sets exist. Spark
+    // plans one Expand (x2 row replication) + one hash aggregation, so a
+    // 100 TB input is read once instead of once per report dimension;
+    // partial aggregation still collapses each map task to
+    // O(|symbols| + |event_types|) rows before the exchange.
+    Q("a13_grouping_sets",
+      s"""WITH e AS (SELECT event_type,
+        |                  ${Bars.sqlSymbolFor("user_id")} AS symbol,
+        |                  value
+        |           FROM events),
+        |x AS (SELECT coalesce(symbol, 'ALL') AS symbol,
+        |             coalesce(event_type, 'ALL') AS event_type,
+        |             count(*) AS n,
+        |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |      FROM e GROUP BY GROUPING SETS ((symbol), (event_type)))
+        |SELECT symbol, event_type, n, round(value_sum, 6) AS value_sum
+        |FROM x ORDER BY symbol, event_type""".stripMargin) {
+      (s, dir) =>
+        Q.norm(
+          Tables.events(s, dir)
+            .select(Bars.symbolFor(col("user_id")).as("symbol"),
+              col("event_type"), col("value"))
+            .groupingSets(
+              Seq(Seq(col("symbol")), Seq(col("event_type"))),
+              col("symbol"), col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+            .select(coalesce(col("symbol"), lit("ALL")).as("symbol"),
+              coalesce(col("event_type"), lit("ALL")).as("event_type"),
+              col("n"), col("value_sum")),
+          "symbol", "event_type")
+    },
+
     // Exact linear-interpolated quantiles per event_type: Spark
     // `percentile` and DuckDB `quantile_cont` implement the same
     // definition (sorted order statistics + linear interpolation), so
