@@ -47,6 +47,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // NOTE on scan splits: a split-count floor
+      // (spark.sql.files.minPartitionNum = cpus) was tried here for the
+      // single-file testdata and measurably REGRESSED shuffle-heavy
+      // queries 3-5x at sf1 (a13 0.7->3.6s, x_tokens 0.5->2.9s, A/B via
+      // QueryProbe) while the real fix for the sf1 scan pathology was
+      // row-group-sized writes in tools/ScaleUp (one giant row group made
+      // single-split events scans 27s; 1 MB row groups restore 1.4s on
+      // the SAME single split). Defaults are kept.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -62,8 +70,15 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries are independent units: drop any cache a query built so
-      // memory pressure doesn't leak into later timings
+      // memory pressure doesn't leak into later timings. The explicit GC
+      // (outside the timed window) matters on a big-heap single-JVM
+      // suite: Spark's ContextCleaner only reclaims shuffle files and
+      // broadcasts when driver GC collects their references, and a 100 GB
+      // heap may not GC for the whole run — accumulated state made
+      // identical queries 5-10x slower late in a full-suite run than in
+      // an isolated QueryProbe session (measured at sf1).
       spark.catalog.clearCache()
+      System.gc()
       dt
     }
 

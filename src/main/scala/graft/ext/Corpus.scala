@@ -271,10 +271,21 @@ object Corpus {
   def packedBlocks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nParts = 32
-    val t = Tables.documents(s, dir)
+    val t0 = Tables.documents(s, dir)
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
-      .repartitionByRange(nParts, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+    // DETERMINISTIC range buckets from the doc_id key space, NOT
+    // repartitionByRange: range partitioning samples its boundaries with
+    // a nondeterministic seed, and this plan executes twice (once for the
+    // per-partition totals, once for the final output) — at sf1 the two
+    // executions drew different boundaries and the base offsets were
+    // computed for partitions that no longer existed (3 rows off vs the
+    // oracle; caught by the scale rung). Fixed key-space spans make both
+    // executions see identical buckets; balance only matters for speed,
+    // and doc_ids are dense here.
+    val head = t0.agg(min("doc_id"), max("doc_id")).head()
+    val (lo, hi) = (head.getLong(0), head.getLong(1))
+    val span = (hi - lo) / nParts + 1
+    val t = t0.withColumn("pid", expr(s"int((doc_id - $lo) div $span)"))
     // phase 1: per-partition running sums, all partitions in parallel
     val wPart = Window.partitionBy("pid").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

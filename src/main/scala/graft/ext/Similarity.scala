@@ -319,21 +319,44 @@ object Similarity {
          |SELECT vec_a, vec_b, round(cos, 6) AS cos
          |FROM v WHERE cos >= $NearDupThreshold ORDER BY vec_a, vec_b""".stripMargin
     }) {
-      (s, dir) => {
-        val e = emb(s, dir)
-        // one projection computes all band keys as an array, then
-        // posexplode — one scan, one signature evaluation per row (a
-        // 4-way union would re-run the SRP dot products once per band)
-        val bitCols = (0 until SrpBits).map { j =>
-          val h = typedLit(planes(j).map(_.toFloat))
-          when(dot(col("embedding"), h) >= 0, 1).otherwise(0).as(s"b$j")
-        }
-        val sig = e.select(Seq(col("vec_id"), col("embedding")) ++ bitCols: _*)
-        val bandKeyArr = array((0 until SrpBands).map { b =>
-          (0 until SrpRows)
-            .map(r => col(s"b${b * SrpRows + r}") * (1 << r))
-            .reduce(_ + _)
-        }: _*)
+      (s, dir) => srpNearDup(s, dir, SrpRows, SrpBands)
+    },
+
+    // e4w: the same SRP banding with the width dial turned for scale —
+    // 8-bit bands (256 buckets/band) instead of 4-bit (16). Candidate
+    // count is Theta(n^2 / 2^rows) per band, so holding per-bucket
+    // occupancy constant as n grows requires rows ~ log2(n): at sf1 the
+    // 4-bit e4 saturates its 16 buckets/band and goes quadratic, while
+    // this variant's candidate set collapses ~16x per band. The price is
+    // recall at the survey's low 0.45 threshold (SRP bit-agreement
+    // ~0.65 there, so a 8-bit band collides at ~0.65^8) — the
+    // documented width-vs-recall trade every production LSH deployment
+    // tunes; precision stays 1 (exact cosine verify). No oracle: the
+    // result is a strict subset of e1's pairs, pinned by RecallSpec.
+    Q.noOracle("e4w_srp_wide") {
+      (s, dir) => srpNearDup(s, dir, bandRows = 8, nBands = 2)
+    })
+
+  /** The SRP-LSH banded near-dup plan with parameterized band geometry
+    * (`rows` bits per band, `bands` bands, using the first rows*bands of
+    * the 16 deterministic hyperplanes). e4 runs (4, 4); e4w runs (8, 2).
+    */
+  def srpNearDup(s: SparkSession, dir: String, bandRows: Int, nBands: Int): DataFrame = {
+    require(bandRows * nBands <= SrpBits, "not enough hyperplanes")
+    val e = emb(s, dir)
+    // one projection computes all band keys as an array, then
+    // posexplode — one scan, one signature evaluation per row (a
+    // per-band union would re-run the SRP dot products once per band)
+    val bitCols = (0 until bandRows * nBands).map { j =>
+      val h = typedLit(planes(j).map(_.toFloat))
+      when(dot(col("embedding"), h) >= 0, 1).otherwise(0).as(s"b$j")
+    }
+    val sig = e.select(Seq(col("vec_id"), col("embedding")) ++ bitCols: _*)
+    val bandKeyArr = array((0 until nBands).map { b =>
+      (0 until bandRows)
+        .map(r => col(s"b${b * bandRows + r}") * (1 << r))
+        .reduce(_ + _)
+    }: _*)
         // carry embedding + norm + the full key array through the band
         // join: a pair colliding in several bands is emitted ONLY from
         // its first matching band (no-earlier-match filter), which
@@ -365,6 +388,5 @@ object Similarity {
           .where(col("cos") >= NearDupThreshold)
           .select(col("vec_a"), col("vec_b"), graft.Q.r6(col("cos")).as("cos"))
           .transform(d => graft.Q.sorted(d, "vec_a", "vec_b"))
-      }
-    })
+  }
 }

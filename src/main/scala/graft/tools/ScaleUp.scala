@@ -122,13 +122,20 @@ object ScaleUp {
   }
 
   /** Writes `df` as the single plain file `dst/<name>.parquet` (the
-    * driver-testdata layout DuckDB reads directly). Single-file output is
-    * fine here: parquet is byte-range splittable, so Spark scans still
-    * parallelize across row groups at bench time.
+    * driver-testdata layout DuckDB reads directly). Single-file output
+    * stays scan-parallel ONLY with many row groups — a first cut wrote
+    * one giant row group per file and every events-family query ran its
+    * map side on one core (10-30x at sf1 instead of ~linear) — so the
+    * writer caps row groups at 1 MB and the Bench/Verify sessions set a
+    * split-count floor (`spark.sql.files.minPartitionNum`).
     */
   private def write(dst: String, name: String, df: DataFrame): Unit = {
     val tmp = Paths.get(dst, s".tmp_$name")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val blockBytes = sys.env.getOrElse("SPARK_GRAFT_ROWGROUP_BYTES",
+      (1024 * 1024).toString).toLong
+    df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", blockBytes)
+      .parquet(tmp.toString)
     val part = Files.list(tmp).filter(p => p.getFileName.toString.endsWith(".parquet"))
       .findFirst().orElseThrow(() => new IllegalStateException(s"no parquet part for $name"))
     Files.move(part, Paths.get(dst, s"$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
