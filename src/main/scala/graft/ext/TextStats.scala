@@ -129,6 +129,60 @@ object TextStats {
           .transform(d => graft.Q.sorted(d, "doc_id"))
     },
 
+    // Winnowing fingerprint selection (the MOSS algorithm): hash every
+    // positional 3-token gram, slide a w=4 window over the hash sequence,
+    // keep each window's minimum — the guarantee-backed LOCAL fingerprint
+    // set (any shared run of >= w+k-1 tokens shares a selected
+    // fingerprint), the building block plagiarism/near-dup detectors use
+    // where whole-doc hashes (x_fingerprint) are too coarse and full
+    // shingle sets (d4) too heavy. Pure per-row integer array algebra —
+    // portable sha256 gram hashes, window minima, distinct — so zero
+    // shuffle and bit-identical output; the reported digests (count, sum,
+    // min, max over exact int64) pin the selected set cross-engine
+    // without emitting a fingerprint array per row (e7 discipline).
+    Q("x_winnow", {
+      val gramHash = sqlHash32("array_to_string(toks[i+1:i+3], ' ')")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |             CASE WHEN len(toks) >= 3 THEN
+         |               list_transform(range(0, len(toks) - 2), i -> $gramHash)
+         |             ELSE CAST([] AS BIGINT[]) END AS hs
+         |      FROM t),
+         |w AS (SELECT doc_id, len(hs) AS n_grams,
+         |             CASE WHEN len(hs) >= 4 THEN
+         |               list_distinct(list_transform(range(0, len(hs) - 3),
+         |                             j -> list_min(hs[j+1:j+4])))
+         |             ELSE CAST([] AS BIGINT[]) END AS sel
+         |      FROM g)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |       CAST(len(sel) AS BIGINT) AS n_selected,
+         |       CAST(coalesce(list_sum(sel), 0) AS BIGINT) AS fp_sum,
+         |       list_min(sel) AS fp_min, list_max(sel) AS fp_max
+         |FROM w ORDER BY doc_id""".stripMargin
+    }) {
+      (s, dir) => {
+        val emptyL = typedLit(Seq.empty[Long])
+        val toks = tokens(col("text"))
+        val hs = when(size(toks) >= 3,
+          transform(sequence(lit(0), size(toks) - 3),
+            i => hash32(array_join(slice(toks, i + 1, lit(3)), " "))))
+          .otherwise(emptyL)
+        val sel = when(size(col("hs")) >= 4,
+          array_distinct(transform(sequence(lit(0), size(col("hs")) - 4),
+            j => array_min(slice(col("hs"), j + 1, lit(4))))))
+          .otherwise(emptyL)
+        docs(s, dir)
+          .select(col("doc_id"), hs.as("hs"))
+          .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"), sel.as("sel"))
+          .select(col("doc_id"), col("n_grams"),
+            size(col("sel")).cast("long").as("n_selected"),
+            coalesce(aggregate(col("sel"), lit(0L), (acc, x) => acc + x), lit(0L)).as("fp_sum"),
+            array_min(col("sel")).as("fp_min"),
+            array_max(col("sel")).as("fp_max"))
+          .transform(d => graft.Q.sorted(d, "doc_id"))
+      }
+    },
+
     // Pivot: doc counts by source x language (wide shape). The oracle
     // expresses the same pivot as conditional aggregation, which is what
     // Spark's pivot plans to internally.

@@ -159,6 +159,27 @@ class Ext4Spec extends SparkTestBase {
     assert(dup == 0)
   }
 
+  test("x_winnow: digests match an independent driver-side winnow") {
+    def sha32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = run("x_winnow").where(col("doc_id") < 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val hs = toks.sliding(3).filter(_.length == 3).map(g => sha32(g.mkString(" "))).toVector
+      val sel = if (hs.length >= 4) hs.sliding(4).map(_.min).toVector.distinct else Vector()
+      assert(out(id) == ((hs.length.toLong, sel.length.toLong, sel.sum)),
+        s"doc $id winnow mismatch")
+    }
+  }
+
   test("e4w wide bands: precision 1 (subset of exact pairs), narrower than e4") {
     def pairs(d: org.apache.spark.sql.DataFrame) =
       d.select("vec_a", "vec_b").collect()
