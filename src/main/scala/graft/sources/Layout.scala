@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, shiftright}
 
 /** Write-side data layout — the half of a 100 TB engine that decides how
   * the NEXT ten thousand queries run. A scan can only skip what the
@@ -100,6 +100,56 @@ object Layout {
       .mode("append")
       .format("parquet")
       .saveAsTable(table)
+
+  /** Morton (Z-curve) interleave of up to 3 non-negative integer
+    * columns, `bits` low bits each: bit `b` of column `i` lands at
+    * output bit `b * k + i`. Sorting by this single value gives
+    * MULTI-dimensional locality: any axis-aligned box in the key space
+    * maps to O(few) contiguous z-ranges, so range-partitioning and
+    * sorting files by z makes file/row-group min-max stats selective on
+    * EVERY interleaved column at once — where a lexicographic sort is
+    * selective only on its leading column. This is the layout trick
+    * behind Delta/Iceberg OPTIMIZE ZORDER, built here from plain column
+    * algebra (`k * bits` shift-mask-or terms, all codegen'd).
+    *
+    * Callers quantize first: z-order columns must already be small
+    * non-negative ints (bucket ids, day numbers, `pmod(hash(x), 2^bits)`
+    * — rank-based quantization keeps skew from collapsing the curve).
+    */
+  def zvalue(cols: Seq[Column], bits: Int = 21): Column = {
+    val k = cols.size
+    require(k >= 1 && k <= 3, "zvalue interleaves 1-3 columns")
+    require(bits * k <= 63, s"$k x $bits bits overflows a signed long")
+    val terms = for {
+      b <- 0 until bits
+      (c, i) <- cols.zipWithIndex
+    } yield (shiftright(c.cast("long"), b).bitwiseAND(lit(1L))
+      * lit(1L << (b * k + i)))
+    terms.reduce(_ + _)
+  }
+
+  /** Z-ordered parquet write: range-partition on the z-value (each file
+    * owns one contiguous z-interval ≈ one tile of the key space), then
+    * sort within files so row groups tile too. `files` sizes the layout:
+    * at 100 TB pick `files` so each is 0.5-1 GB; the write costs one
+    * range-exchange + sort, amortized over every subsequent
+    * multi-column-selective scan.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[String],
+      files: Int,
+      bits: Int = 21): Unit = {
+    val z = zvalue(zCols.map(col), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write
+      .mode("overwrite")
+      .parquet(path)
+  }
 
   /** Read back a clustered path. Plain `spark.read.parquet` — partition
     * discovery and pruning are automatic; this exists so library users
