@@ -19,10 +19,16 @@ import org.apache.spark.sql.functions._
   *     by the exact decimal literal 0.0001. No decimal division
   *     anywhere: Spark and DuckDB disagree on quotient scale rules,
   *     but agree perfectly on +, *, comparisons, and SUM.
-  *   - Every output decimal is explicitly CAST to a pinned type
-  *     (DECIMAL(38,4)) on BOTH engines: each engine widens SUM
-  *     differently (Spark p+10, DuckDB straight to 38), and the
-  *     driver's arrow-schema compare is type-exact.
+  *   - The decimal sums leave the query as exact scaled-BIGINT unit
+  *     counts (`* 10000` then CAST to BIGINT — the [[graft.ext]] e7
+  *     digest convention): a DECIMAL(38,4) output column hashes
+  *     differently across engines (Spark emits decimal128 arrow,
+  *     DuckDB picks its own width/scale repr), while the integer
+  *     number of 1e-4 units is representation-free. The sum itself
+  *     is still computed in decimal — exactness end-to-end — only
+  *     the *egress* is integer. Headroom: 2^63 units = 9.2e14 money
+  *     units, beyond any single symbol's turnover here; the interior
+  *     decimal(38,4) carries the 100 TB path.
   *   - The indicator step compares decimals (exact), and the aggregate
   *     is a plain hash agg with map-side partials — decimal sums keep
   *     the same one-shuffle plan the double pipeline has.
@@ -42,8 +48,8 @@ object Money {
          |SELECT symbol,
          |       count(*) AS n_bars,
          |       CAST(sum(up) AS BIGINT) AS n_up,
-         |       CAST(sum(dec_close) AS DECIMAL(38,4)) AS close_sum,
-         |       CAST(sum(dec_close * volume) AS DECIMAL(38,4)) AS turnover
+         |       CAST(sum(dec_close) * 10000 AS BIGINT) AS close_sum_e4,
+         |       CAST(sum(dec_close * volume) * 10000 AS BIGINT) AS turnover_e4
          |FROM i GROUP BY symbol ORDER BY symbol""".stripMargin) {
       (s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
@@ -58,8 +64,10 @@ object Money {
           i.groupBy("symbol").agg(
             count(lit(1)).as("n_bars"),
             sum(col("up")).as("n_up"),
-            sum(col("dec_close")).cast("decimal(38,4)").as("close_sum"),
-            sum(col("dec_close") * col("volume")).cast("decimal(38,4)").as("turnover")),
+            (sum(col("dec_close")).cast("decimal(38,4)")
+              * lit(new java.math.BigDecimal(10000))).cast("long").as("close_sum_e4"),
+            (sum(col("dec_close") * col("volume")).cast("decimal(38,4)")
+              * lit(new java.math.BigDecimal(10000))).cast("long").as("turnover_e4")),
           "symbol")
       }
     })
