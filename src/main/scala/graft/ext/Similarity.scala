@@ -290,35 +290,7 @@ object Similarity {
     // bits; candidates collide in >= 1 band; verified with exact cosine.
     // At 100 TB this replaces e1's all-pairs join with a bucket join
     // whose cost tracks the collision rate, not n^2.
-    Q("e4_srp_lsh", {
-      def dotSql(j: Int): String =
-        sqlDot("embedding", planes(j).map(v => s"$v.0").mkString("[", ",", "]"))
-      val bitsSql = (0 until SrpBits)
-        .map(j => s"CASE WHEN ${dotSql(j)} >= 0 THEN 1 ELSE 0 END AS b$j")
-        .mkString(",\n       ")
-      val bandSql = (0 until SrpBands).map { b =>
-        val key = (0 until SrpRows).map(r => s"b${b * SrpRows + r} * ${1 << r}").mkString(" + ")
-        s"SELECT vec_id, embedding, $b AS band, $key AS bkey FROM sig"
-      }.mkString("\nUNION ALL ")
-      s"""WITH sig AS (
-         |  SELECT vec_id, embedding,
-         |       $bitsSql
-         |  FROM embeddings),
-         |bands AS ($bandSql),
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
-         |n AS (SELECT vec_id, sqrt(${sqlDot("embedding", "embedding")}) AS nrm,
-         |             embedding FROM embeddings),
-         |v AS (SELECT vec_a, vec_b,
-         |             CASE WHEN na.nrm = 0.0 OR nb.nrm = 0.0 THEN NULL
-         |                  ELSE ${sqlDot("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm)
-         |             END AS cos
-         |      FROM cand JOIN n na ON na.vec_id = cand.vec_a
-         |                JOIN n nb ON nb.vec_id = cand.vec_b)
-         |SELECT vec_a, vec_b, round(cos, 6) AS cos
-         |FROM v WHERE cos >= $NearDupThreshold ORDER BY vec_a, vec_b""".stripMargin
-    }) {
+    Q("e4_srp_lsh", srpOracleSql(SrpRows, SrpBands)) {
       (s, dir) => srpNearDup(s, dir, SrpRows, SrpBands)
     },
 
@@ -326,16 +298,55 @@ object Similarity {
     // 8-bit bands (256 buckets/band) instead of 4-bit (16). Candidate
     // count is Theta(n^2 / 2^rows) per band, so holding per-bucket
     // occupancy constant as n grows requires rows ~ log2(n): at sf1 the
-    // 4-bit e4 saturates its 16 buckets/band and goes quadratic, while
+    // 4-bit e4 saturates its 16 buckets/band and goes quadratic
+    // (SCALING.md: 23.5 s at sf1 vs 1.5 s for this geometry), while
     // this variant's candidate set collapses ~16x per band. The price is
     // recall at the survey's low 0.45 threshold (SRP bit-agreement
     // ~0.65 there, so a 8-bit band collides at ~0.65^8) — the
     // documented width-vs-recall trade every production LSH deployment
-    // tunes; precision stays 1 (exact cosine verify). No oracle: the
-    // result is a strict subset of e1's pairs, pinned by RecallSpec.
-    Q.noOracle("e4w_srp_wide") {
+    // tunes; precision stays 1 (exact cosine verify). This geometry is
+    // the PRIMARY production configuration (rows ≈ log2(n/occupancy));
+    // e4's (4,4) is the recall-sized small-n dial. Both are
+    // oracle-checked against the same parameterized DuckDB twin;
+    // RecallSpec/Ext4Spec additionally pin subset-of-e1 precision.
+    Q("e4w_srp_wide", srpOracleSql(bandRows = 8, nBands = 2)) {
       (s, dir) => srpNearDup(s, dir, bandRows = 8, nBands = 2)
     })
+
+  /** DuckDB twin of [[srpNearDup]] for any band geometry: same SHA-256
+    * hyperplanes inlined as literals, band keys from sign bits, DISTINCT
+    * candidate pairs (the oracle's stand-in for the plan's
+    * first-matching-band filter), exact-cosine verify.
+    */
+  def srpOracleSql(bandRows: Int, nBands: Int): String = {
+    def dotSql(j: Int): String =
+      sqlDot("embedding", planes(j).map(v => s"$v.0").mkString("[", ",", "]"))
+    val bitsSql = (0 until bandRows * nBands)
+      .map(j => s"CASE WHEN ${dotSql(j)} >= 0 THEN 1 ELSE 0 END AS b$j")
+      .mkString(",\n       ")
+    val bandSql = (0 until nBands).map { b =>
+      val key = (0 until bandRows).map(r => s"b${b * bandRows + r} * ${1 << r}").mkString(" + ")
+      s"SELECT vec_id, embedding, $b AS band, $key AS bkey FROM sig"
+    }.mkString("\nUNION ALL ")
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding,
+       |       $bitsSql
+       |  FROM embeddings),
+       |bands AS ($bandSql),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+       |n AS (SELECT vec_id, sqrt(${sqlDot("embedding", "embedding")}) AS nrm,
+       |             embedding FROM embeddings),
+       |v AS (SELECT vec_a, vec_b,
+       |             CASE WHEN na.nrm = 0.0 OR nb.nrm = 0.0 THEN NULL
+       |                  ELSE ${sqlDot("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm)
+       |             END AS cos
+       |      FROM cand JOIN n na ON na.vec_id = cand.vec_a
+       |                JOIN n nb ON nb.vec_id = cand.vec_b)
+       |SELECT vec_a, vec_b, round(cos, 6) AS cos
+       |FROM v WHERE cos >= $NearDupThreshold ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   /** The SRP-LSH banded near-dup plan with parameterized band geometry
     * (`rows` bits per band, `bands` bands, using the first rows*bands of
