@@ -22,6 +22,8 @@ object SparkEntry {
       ops.Joins.queries ++
       ops.AsOf.queries ++
       ops.Money.queries ++
+      ops.Resample.queries ++
+      ext.Pii.queries ++
       ext.Fundamentals.queries ++
       ext.TextStats.queries ++
       ext.Repetition.queries ++

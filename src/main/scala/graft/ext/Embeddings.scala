@@ -236,5 +236,106 @@ object Embeddings {
             graft.Q.r6(col("qsum") / (lit(1e6) * col("n"))).as("centroid"))
           .transform(d => graft.Q.sorted(d, "cluster", "pos"))
       }
+    },
+
+    // e10: PQ asymmetric-distance (ADC) top-k — the QUERY side of a PQ
+    // index, completing the e8 (codes) / e9 (codebook training) story.
+    // Per query: an M×k lookup table of query-to-codeword subspace
+    // distances (tiny — broadcast); per database vector: its M codes
+    // (at scale these are STORED by the e8 indexing pass — M bytes per
+    // vector, the only thing the scan reads; the vectors themselves
+    // never leave the index build). Approximate distance = sum over
+    // subspaces of LUT[m][code[m]].
+    //
+    // Cross-engine exactness: LUT entries are 1e-6-quantized BIGINTs
+    // (shared-double round, the e7/e9 convention), so the per-vector sum
+    // is exact integer math — identical across engines and shuffle
+    // orders — and the top-k order (adist2_e6, neighbor_id) is total.
+    // Scale: codes⋈LUT is a broadcast join, the (query, vector) sum is
+    // one hash agg with map-side partials (exchange ~ |Q|·n rows of
+    // longs), top-k is the bounded per-query window.
+    Q("e10_adc", {
+      def va(m: Int) = s"(e.embedding)[${m * SubDim + 1}:${(m + 1) * SubDim}]"
+      def ca(m: Int) = s"(cw.ce)[${m * SubDim + 1}:${(m + 1) * SubDim}]"
+      def qa(m: Int) = s"(q.qe)[${m * SubDim + 1}:${(m + 1) * SubDim}]"
+      def d2(m: Int, v: Int => String) =
+        s"((${Portable.sqlDot(v(m), v(m))} - 2.0*${Portable.sqlDot(v(m), ca(m))}) + " +
+          s"${Portable.sqlDot(ca(m), ca(m))})"
+      val pCols = (0 until PqM).map(m => s"${d2(m, va)} AS d$m").mkString(",\n       ")
+      val unpivot = (0 until PqM)
+        .map(m => s"SELECT vec_id, cl, CAST($m AS BIGINT) AS m, d$m AS dist2 FROM p")
+        .mkString("\nUNION ALL ")
+      val lutCols = (0 until PqM)
+        .map(m => s"CAST(round(${d2(m, qa)} * 1e6, 0) AS BIGINT) AS l$m")
+        .mkString(",\n       ")
+      val lutUnpivot = (0 until PqM)
+        .map(m => s"SELECT qid, cl, CAST($m AS BIGINT) AS m, l$m AS d2q FROM lp")
+        .mkString("\nUNION ALL ")
+      s"""WITH cw AS (
+         |  SELECT label AS cl, embedding AS ce FROM (
+         |    SELECT label, embedding,
+         |           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |p AS (SELECT e.vec_id, cw.cl,
+         |       $pCols
+         |      FROM embeddings e CROSS JOIN cw),
+         |sub AS ($unpivot),
+         |codes AS (SELECT vec_id, m, cl AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist2, cl) AS rn
+         |    FROM sub) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |      WHERE vec_id < ${Similarity.NQueries}),
+         |lp AS (SELECT q.qid, cw.cl,
+         |       $lutCols
+         |      FROM q CROSS JOIN cw),
+         |lut AS ($lutUnpivot),
+         |a AS (SELECT l.qid, c.vec_id, CAST(sum(l.d2q) AS BIGINT) AS adist2_e6
+         |      FROM codes c JOIN lut l ON l.m = c.m AND l.cl = c.code
+         |      WHERE c.vec_id != l.qid
+         |      GROUP BY 1, 2),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |         ORDER BY adist2_e6, vec_id) AS rk FROM a)
+         |SELECT qid AS query_id, vec_id AS neighbor_id, CAST(rk AS BIGINT) AS rk,
+         |       adist2_e6
+         |FROM r2 WHERE rk <= ${Similarity.K} ORDER BY query_id, rk""".stripMargin
+    }) {
+      (s, dir) => {
+        import Portable._
+        val e = Portable.spread(Tables.embeddings(s, dir), "vec_id")
+        val cw = e.withColumn("rn",
+            row_number().over(Window.partitionBy("label").orderBy("vec_id")))
+          .where(col("rn") === 1)
+          .select(col("label").as("cl"), col("embedding").as("ce"))
+        def dist2Arr(v: Column): Column = array((0 until PqM).map { m =>
+          val vm = slice(v, m * SubDim + 1, SubDim)
+          val cm = slice(col("ce"), m * SubDim + 1, SubDim)
+          (dot(vm, vm) - lit(2.0) * dot(vm, cm)) + dot(cm, cm)
+        }: _*)
+        val codes = e.crossJoin(broadcast(cw))
+          .select(col("vec_id"), col("cl"),
+            posexplode(dist2Arr(col("embedding"))).as(Seq("m", "dist2")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id", "m").orderBy(col("dist2"), col("cl"))))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("m").cast("long").as("m"), col("cl").as("code"))
+        val lut = e.where(col("vec_id") < Similarity.NQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+          .crossJoin(broadcast(cw))
+          .select(col("qid"), col("cl"),
+            posexplode(dist2Arr(col("qe"))).as(Seq("m", "d2")))
+          .select(col("qid"), col("cl").as("lcl"), col("m").cast("long").as("lm"),
+            round(col("d2") * 1e6, 0).cast("long").as("d2q"))
+        val a = codes.join(broadcast(lut),
+            codes("m") === lut("lm") && codes("code") === lut("lcl"))
+          .where(col("vec_id") =!= col("qid"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(sum(col("d2q")).as("adist2_e6"))
+        val wr = Window.partitionBy("qid").orderBy(col("adist2_e6"), col("vec_id"))
+        a.withColumn("rk", row_number().over(wr).cast("long"))
+          .where(col("rk") <= Similarity.K)
+          .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+            col("rk"), col("adist2_e6"))
+          .transform(d => graft.Q.sorted(d, "query_id", "rk"))
+      }
     })
 }
