@@ -23,7 +23,10 @@ object SparkEntry {
       ops.AsOf.queries ++
       ops.Money.queries ++
       ops.Resample.queries ++
+      ops.Funnel.queries ++
+      ops.Scd.queries ++
       ext.Pii.queries ++
+      ext.SemDedup.queries ++
       ext.Fundamentals.queries ++
       ext.TextStats.queries ++
       ext.Repetition.queries ++

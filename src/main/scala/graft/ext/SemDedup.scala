@@ -1,0 +1,91 @@
+package graft.ext
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Semantic deduplication (SemDeDup, Abbas et al. 2023, PAPERS.md): the
+  * embedding-space analogue of MinHash dedup — cluster the corpus, then
+  * compare pairs ONLY within a cluster, dropping all but one of every
+  * semantically-near group. This is the standard way web-scale training
+  * sets prune paraphrases that exact/MinHash dedup cannot see.
+  *
+  * Pipeline (all relational, no all-pairs anywhere):
+  *   1. codebook: one deterministic codeword per label (the e8/e10
+  *      first-vector-per-label convention — at scale this is the e9
+  *      Lloyd-trained codebook, broadcast);
+  *   2. assign: nearest codeword by exact squared distance, ties by
+  *      codeword id — broadcast join + per-row argmin, NO shuffle of the
+  *      corpus beyond the initial spread;
+  *   3. pair: self-join ON the cluster id (shuffle hashes on cluster;
+  *      candidate count is sum of |cluster|^2, not n^2 — the paper's
+  *      k ~ sqrt(n) sizing keeps clusters O(sqrt n));
+  *   4. keep rule: a vector is dropped iff a lower-id vector in ITS
+  *      cluster is cosine-similar above the threshold (deterministic
+  *      min-id representative, the same convention as d8's keep).
+  *
+  * Cross-engine exactness: distances and cosines are [[Portable.dot]]
+  * sequential folds (identical IEEE accumulation order), so the argmin
+  * and the threshold compare resolve identically in Spark and DuckDB.
+  */
+object SemDedup {
+
+  def queries: Seq[Q] = Seq(
+    Q("x_semdedup", {
+      import Portable.{sqlCosine, sqlDot}
+      val d2 = s"((${sqlDot("e.embedding", "e.embedding")}" +
+        s" - 2.0*${sqlDot("e.embedding", "cw.ce")})" +
+        s" + ${sqlDot("cw.ce", "cw.ce")})"
+      s"""WITH cw AS (
+         |  SELECT label AS cl, embedding AS ce FROM (
+         |    SELECT label, embedding,
+         |           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |d AS (SELECT e.vec_id, cw.cl, $d2 AS d2
+         |      FROM embeddings e CROSS JOIN cw),
+         |asg AS (SELECT vec_id, cl AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         |    FROM d) WHERE rn = 1),
+         |v AS (SELECT a.vec_id, a.embedding, asg.cluster
+         |      FROM embeddings a JOIN asg ON a.vec_id = asg.vec_id),
+         |dup AS (SELECT DISTINCT b.vec_id
+         |        FROM v a JOIN v b
+         |          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |        WHERE ${sqlCosine("a.embedding", "b.embedding")} >= ${Similarity.NearDupThreshold})
+         |SELECT v.vec_id, CAST(v.cluster AS BIGINT) AS cluster,
+         |       CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+         |FROM v LEFT JOIN dup ON v.vec_id = dup.vec_id
+         |ORDER BY v.vec_id""".stripMargin
+    }) { (s, dir) =>
+      import Portable.{cosine, dot, spread}
+      val e = spread(Tables.embeddings(s, dir), "vec_id")
+      val cw = e.withColumn("rn",
+          row_number().over(Window.partitionBy("label").orderBy("vec_id")))
+        .where(col("rn") === 1)
+        .select(col("label").as("cl"), col("embedding").as("ce"))
+      def d2(v: Column): Column =
+        (dot(v, v) - lit(2.0) * dot(v, col("ce"))) + dot(col("ce"), col("ce"))
+      val asg = e.crossJoin(broadcast(cw))
+        .select(col("vec_id"), col("cl"), d2(col("embedding")).as("d2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("d2"), col("cl"))))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("cl").as("cluster"))
+      val v = e.join(asg, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("cluster")).cache()
+      val a = v.select(col("cluster"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"))
+      val b = v.select(col("cluster"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"))
+      val dup = a.join(b, Seq("cluster"))
+        .where(col("vec_a") < col("vec_b") &&
+          cosine(col("ea"), col("eb")) >= Similarity.NearDupThreshold)
+        .select(col("vec_b").as("dup_id")).distinct()
+      v.join(dup, v("vec_id") === dup("dup_id"), "left")
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          when(col("dup_id").isNull, 1L).otherwise(0L).as("is_kept"))
+        .transform(d => graft.Q.sorted(d, "vec_id"))
+    })
+}
