@@ -25,6 +25,7 @@ object SparkEntry {
       ops.Resample.queries ++
       ops.Funnel.queries ++
       ops.Scd.queries ++
+      ops.Basket.queries ++
       ext.Pii.queries ++
       ext.SemDedup.queries ++
       ext.Fundamentals.queries ++

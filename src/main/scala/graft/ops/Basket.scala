@@ -1,0 +1,151 @@
+package graft.ops
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Market-basket analytics and graph closure over the order/part
+  * co-purchase structure — the recommender-adjacent warehouse ops
+  * (pair affinity, association lift, triangle counting) that stress the
+  * self-join family at scale. (Beyond-reference surface: the reference
+  * stops at per-symbol aggregates; these are the canonical "items bought
+  * together" queries of a 100 TB retail fact table.)
+  *
+  * Scale design, both queries:
+  *   - The pair generator is a self-join ON the order key, so fan-out is
+  *     bounded by basket size (max 11 parts/order here, C(11,2) pairs) —
+  *     never all-pairs over the catalog.
+  *   - Everything downstream groups on pair/vertex keys with map-side
+  *     partial aggregation; the item-support side of lift is
+  *     part-cardinality (tiny vs the fact table) and broadcasts.
+  *   - Triangle counting orients each edge low-degree -> high-degree
+  *     (ties by id), the classic bound that caps wedge fan-out at
+  *     O(sqrt m) per vertex and makes the two-hop join linear-ish in
+  *     practice; the closing edge is verified with a semi-join against
+  *     the oriented edge set.
+  */
+object Basket {
+
+  /** Minimum pair support for the affinity/triangle edge set: thins the
+    * near-complete small-scale graph and is the knob a 100 TB run sizes
+    * down to keep the edge list sparse.
+    */
+  val MinSupport = 3
+
+  def queries: Seq[Q] = Seq(
+
+    // Pair affinity with association lift. supp_ab in orders; lift =
+    // n_orders * supp_ab / (supp_a * supp_b); integer-exact except the
+    // final lift ratio (6-dp rounded on both engines).
+    Q("x_copurchase",
+      """WITH basket AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM basket),
+        |item AS (SELECT pk, count(*) AS supp FROM basket GROUP BY pk),
+        |pair AS (
+        |  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS supp_ab
+        |  FROM basket a JOIN basket b
+        |    ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk)
+        |SELECT part_a, part_b, supp_ab,
+        |       round(CAST(n.n_orders * supp_ab AS DOUBLE)
+        |             / (ia.supp * ib.supp), 6) AS lift
+        |FROM pair CROSS JOIN n
+        |JOIN item ia ON ia.pk = part_a
+        |JOIN item ib ON ib.pk = part_b
+        |WHERE supp_ab >= 3
+        |ORDER BY part_a, part_b""".stripMargin) {
+      (s, dir) => {
+        val basket = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val nOrders = basket.select(countDistinct("ok").as("n_orders"))
+        val item = basket.groupBy("pk").agg(count(lit(1)).as("supp"))
+        val pair = basket.as("a")
+          .join(basket.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+          .agg(count(lit(1)).as("supp_ab"))
+          .where(col("supp_ab") >= MinSupport)
+        pair
+          .crossJoin(broadcast(nOrders))
+          .join(broadcast(item.select(col("pk"), col("supp").as("supp_a"))),
+            col("part_a") === col("pk")).drop("pk")
+          .join(broadcast(item.select(col("pk"), col("supp").as("supp_b"))),
+            col("part_b") === col("pk")).drop("pk")
+          .select(col("part_a"), col("part_b"), col("supp_ab"),
+            graft.Q.r6((col("n_orders") * col("supp_ab")).cast("double")
+              / (col("supp_a") * col("supp_b"))).as("lift"))
+          .transform(d => graft.Q.sorted(d, "part_a", "part_b"))
+      }
+    },
+
+    // Per-vertex triangle participation in the thresholded co-purchase
+    // graph. Degree-oriented wedge join: every triangle is generated
+    // exactly once from its lowest-ranked vertex.
+    Q("x_triangles",
+      """WITH basket AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (
+        |  SELECT a.pk AS u, b.pk AS v
+        |  FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk HAVING count(*) >= 3),
+        |deg AS (
+        |  SELECT pk, count(*) AS d FROM (
+        |    SELECT u AS pk FROM e0 UNION ALL SELECT v AS pk FROM e0)
+        |  GROUP BY pk),
+        |-- orient: lower (degree, id) -> higher (degree, id)
+        |e AS (
+        |  SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS src,
+        |         CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS dst
+        |  FROM e0 JOIN deg du ON du.pk = u JOIN deg dv ON dv.pk = v),
+        |-- the rank orientation is acyclic, so each triangle has exactly
+        |-- one directed path through its middle-rank vertex — no dedup
+        |-- predicate needed (an id-order filter here would WRONGLY drop
+        |-- triangles whose degree-rank disagrees with id order)
+        |tri AS (
+        |  SELECT w1.src AS x, w1.dst AS y, w2.dst AS z
+        |  FROM e w1 JOIN e w2 ON w1.dst = w2.src
+        |  JOIN e c ON c.src = w1.src AND c.dst = w2.dst),
+        |verts AS (
+        |  SELECT x AS pk FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT pk AS part, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM verts GROUP BY pk ORDER BY part""".stripMargin) {
+      (s, dir) => {
+        val basket = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e0 = basket.as("a")
+          .join(basket.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+          .agg(count(lit(1)).as("supp"))
+          .where(col("supp") >= MinSupport)
+          .select("u", "v")
+        val deg = e0.select(col("u").as("pk"))
+          .unionAll(e0.select(col("v").as("pk")))
+          .groupBy("pk").agg(count(lit(1)).as("d"))
+        // degree-rank orientation (broadcast the part-cardinality degree map)
+        val lowFirst = col("du.d") < col("dv.d") ||
+          (col("du.d") === col("dv.d") && col("u") < col("v"))
+        val e = e0
+          .join(broadcast(deg.as("du")), col("du.pk") === col("u"))
+          .join(broadcast(deg.as("dv")), col("dv.pk") === col("v"))
+          .select(when(lowFirst, col("u")).otherwise(col("v")).as("src"),
+            when(lowFirst, col("v")).otherwise(col("u")).as("dst"))
+        // directed path through the middle-rank vertex, closed by the
+        // src->dst edge; the acyclic rank orientation already makes this
+        // path unique per triangle, so no dedup predicate is needed
+        val tri = e.as("w1")
+          .join(e.as("w2"), col("w1.dst") === col("w2.src"))
+          .join(e.as("c"),
+            col("c.src") === col("w1.src") && col("c.dst") === col("w2.dst"))
+          .select(col("w1.src").as("x"), col("w1.dst").as("y"), col("w2.dst").as("z"))
+        tri.select(col("x").as("part"))
+          .unionAll(tri.select(col("y").as("part")))
+          .unionAll(tri.select(col("z").as("part")))
+          .groupBy("part").agg(count(lit(1)).as("n_triangles"))
+          .transform(d => graft.Q.sorted(d, "part"))
+      }
+    })
+}

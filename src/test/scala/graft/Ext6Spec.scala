@@ -72,6 +72,51 @@ class Ext6Spec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("x_copurchase: pair support bounded by item support, lift exact") {
+    val out = run("x_copurchase").cache()
+    val basket = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct().cache()
+    val nOrders = basket.select("ok").distinct().count()
+    val supp = basket.groupBy("pk").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.where(col("part_a") >= col("part_b")).count() == 0)
+    assert(out.where(col("supp_ab") < graft.ops.Basket.MinSupport).count() == 0)
+    // pair support can never exceed either item's support, and the lift
+    // formula reproduces from the collected supports
+    out.collect().foreach { r =>
+      val (a, b, ab, lift) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(ab <= math.min(supp(a), supp(b)))
+      val want = math.round(nOrders.toDouble * ab / (supp(a) * supp(b)) * 1e6) / 1e6
+      assert(lift == want, s"pair ($a,$b)")
+    }
+    basket.unpersist(); out.unpersist()
+  }
+
+  test("x_triangles: degree-oriented count equals an id-ordered brute force") {
+    val out = run("x_triangles").cache()
+    // vertex-sum is 3x the triangle count
+    val sum = out.agg(org.apache.spark.sql.functions.sum("n_triangles")).head().getLong(0)
+    assert(sum % 3 == 0 && sum > 0)
+    // brute force on the collected edge list (id-ordered enumeration is
+    // orientation-independent ground truth)
+    val basket = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = basket.as("a")
+      .join(basket.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v")).count()
+      .where(col("count") >= graft.ops.Basket.MinSupport)
+      .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val triPerVert = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (u, v) <- edges
+      w <- verts if v < w && edges((u, w)) && edges((v, w))
+    } { triPerVert(u) += 1; triPerVert(v) += 1; triPerVert(w) += 1 }
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == triPerVert.toMap)
+    out.unpersist()
+  }
+
   test("x_semdedup: keep rule is exact against a driver-side full recheck") {
     val out = run("x_semdedup").cache()
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
