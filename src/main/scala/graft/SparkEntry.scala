@@ -26,6 +26,9 @@ object SparkEntry {
       ops.Funnel.queries ++
       ops.Scd.queries ++
       ops.Basket.queries ++
+      ops.Cdc.queries ++
+      ops.Stats.queries ++
+      ext.Lm.queries ++
       ext.Pii.queries ++
       ext.SemDedup.queries ++
       ext.Fundamentals.queries ++

@@ -1,0 +1,95 @@
+package graft.ext
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Corpus language-model statistics — the two distributed passes under
+  * tokenizer training and LM-based quality filtering, expressed as plain
+  * aggregations (beyond-reference LLM-pipeline surface; reference scope
+  * ends at per-bar aggregation, flink_processor.py:105-109).
+  *
+  *  - `x_bpe_pairs`: adjacent-token pair counts, the inner loop of a BPE
+  *    tokenizer-training step (the merge candidate is the top count).
+  *    One map (array zip, no shuffle) + one count aggregate with
+  *    map-side partials + a TakeOrdered top-k — no global sort.
+  *  - `x_lm_df`: per-document bigram document-frequency score, the
+  *    KenLM/CCNet-style "how much does this doc look like the corpus"
+  *    quality signal with exact integer arithmetic: mean corpus df of
+  *    the doc's bigrams (per-mille), plus the novelty tail (bigrams
+  *    occurring in no other document).
+  *
+  * Scale shape (x_lm_df): (doc, bigram) pre-aggregation shuffles once on
+  * the doc-local pair, the df table is vocabulary-sized (≪ corpus — at
+  * 100 TB it broadcasts, today it hash-joins), and the final per-doc
+  * roll-up reuses the doc keying. Every aggregate does map-side partial
+  * combine; nothing holds per-token state beyond one row.
+  */
+object Lm {
+
+  /** Exploded (doc_id, a, b) adjacent token pairs. */
+  private def pairs(df: org.apache.spark.sql.DataFrame) = {
+    val toks = Portable.tokens(col("text"))
+    val sz = size(toks)
+    df.select(col("doc_id"),
+        explode(zip_with(
+          slice(toks, lit(1), sz - 1), slice(toks, lit(2), sz - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+  }
+
+  private val sqlPairs =
+    """SELECT doc_id, u.z.a AS a, u.z.b AS b
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |       UNNEST(list_zip(toks[1:-2], toks[2:-1])::STRUCT(a VARCHAR, b VARCHAR)[]) u(z)""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+
+    Q("x_bpe_pairs",
+      s"""WITH p AS (
+         |$sqlPairs)
+         |SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+         |FROM p GROUP BY a, b
+         |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        pairs(Tables.documents(s, dir))
+          .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(20) // TakeOrderedAndProject: per-partition heaps, no global sort
+    },
+
+    Q("x_lm_df",
+      s"""WITH p AS (
+         |$sqlPairs),
+         |db AS (
+         |  SELECT doc_id, a || ' ' || b AS bg, CAST(count(*) AS BIGINT) AS c_db
+         |  FROM p GROUP BY doc_id, bg),
+         |df AS (SELECT bg, CAST(count(*) AS BIGINT) AS df_b FROM db GROUP BY bg)
+         |SELECT db.doc_id,
+         |       CAST(sum(db.c_db) AS BIGINT) AS n_bigrams,
+         |       CAST(sum(db.c_db * df.df_b) AS BIGINT) AS sum_df,
+         |       CAST((sum(db.c_db * df.df_b) * 1000) // sum(db.c_db) AS BIGINT)
+         |         AS milli_mean_df,
+         |       CAST(sum(CASE WHEN df.df_b = 1 THEN db.c_db ELSE 0 END) AS BIGINT)
+         |         AS n_novel_bigrams
+         |FROM db JOIN df ON db.bg = df.bg
+         |GROUP BY db.doc_id
+         |ORDER BY db.doc_id""".stripMargin) {
+      (s, dir) => {
+        val db = pairs(Tables.documents(s, dir))
+          .select(col("doc_id"), concat_ws(" ", col("a"), col("b")).as("bg"))
+          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c_db"))
+        val df = db.groupBy("bg").agg(count(lit(1)).as("df_b"))
+        db.join(df, "bg")
+          .groupBy("doc_id")
+          .agg(sum("c_db").as("n_bigrams"),
+            sum(col("c_db") * col("df_b")).as("sum_df"),
+            sum(when(col("df_b") === 1, col("c_db")).otherwise(0L))
+              .as("n_novel_bigrams"))
+          .select(col("doc_id"), col("n_bigrams"), col("sum_df"),
+            expr("(sum_df * 1000) div n_bigrams").as("milli_mean_df"),
+            col("n_novel_bigrams"))
+          .transform(d => graft.Q.sorted(d, "doc_id"))
+      }
+    })
+}

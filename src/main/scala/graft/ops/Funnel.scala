@@ -136,5 +136,111 @@ object Funnel {
             count(lit(1)).as("n_events"))
           .transform(d => graft.Q.sorted(d, "cohort_date", "week_offset"))
       }
+    },
+
+    // a17: last-touch revenue attribution — credit each purchase to the
+    // most recent click/view by the same user at-or-before the purchase
+    // (ties on ts break by event_id, so a same-instant touch counts).
+    // The touch's JSON props pick the channel; purchases with no prior
+    // touch are 'direct'. This is the as-of-join shape (a8) expressed as
+    // one window pass: no join at all — touches and purchases ride the
+    // SAME user-keyed sort, and last(ignoreNulls) carries the latest
+    // touch forward. JSON extraction exercises the §2.9 get_json_object
+    // surface on the touch rows only (pruned before the window).
+    //
+    // Scale shape: one user-hash exchange + in-partition sort; window
+    // state is O(1) (two carried values). At 100 TB this beats the
+    // equivalent range join by the whole probe-side shuffle; revenue is
+    // integer cents, exact under any aggregation that follows.
+    Q("a17_attribution",
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts, event_type, value,
+        |         CASE WHEN event_type IN ('click', 'view') THEN event_id END AS touch_id,
+        |         CASE WHEN event_type IN ('click', 'view')
+        |              THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS touch_k
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         last_value(touch_id IGNORE NULLS) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS last_touch,
+        |         last_value(touch_k IGNORE NULLS) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS last_k
+        |  FROM ev)
+        |SELECT event_id, user_id,
+        |       CAST(round(value * 100, 0) AS BIGINT) AS revenue_cents,
+        |       CAST(coalesce(last_touch, -1) AS BIGINT) AS touch_id,
+        |       CASE WHEN last_touch IS NULL THEN 'direct'
+        |            WHEN last_k % 3 = 0 THEN 'search'
+        |            WHEN last_k % 3 = 1 THEN 'social'
+        |            ELSE 'email' END AS channel
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val isTouch = col("event_type").isin("click", "view")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .withColumn("touch_id", when(isTouch, col("event_id")))
+          .withColumn("touch_k",
+            when(isTouch, get_json_object(col("props"), "$.k").cast("long")))
+          .withColumn("last_touch", last(col("touch_id"), ignoreNulls = true).over(w))
+          .withColumn("last_k", last(col("touch_k"), ignoreNulls = true).over(w))
+          .where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            round(col("value") * 100, 0).cast("long").as("revenue_cents"),
+            coalesce(col("last_touch"), lit(-1L)).as("touch_id"),
+            when(col("last_touch").isNull, "direct")
+              .when(col("last_k") % 3 === 0, "search")
+              .when(col("last_k") % 3 === 1, "social")
+              .otherwise("email").as("channel"))
+          .transform(d => graft.Q.sorted(d, "event_id"))
+      }
+    },
+
+    // a18: daily actives + exact cumulative unique users — the DAU curve
+    // with a RUNNING EXACT distinct count, which no window count-distinct
+    // computes directly. Trick: distinct-ness is decided once per user at
+    // the user grain (their first active day), then the day grain only
+    // SUMS first-appearances — turning running-count-distinct into a
+    // running sum over an already-tiny per-day table.
+    //
+    // Scale shape: two user-keyed aggregates (daily actives via
+    // (day,user) pre-distinct, firsts via min) with map-side partials,
+    // then a running sum over O(#days) rows — the only ordered pass is
+    // over data that fits in one task at any corpus size. Nothing keeps
+    // per-user state across days; the 100 TB version is two linear scans.
+    Q("a18_cum_uniques",
+      """WITH firsts AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        |  FROM events GROUP BY user_id),
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |  FROM events GROUP BY 1),
+        |news AS (
+        |  SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM firsts GROUP BY 1)
+        |SELECT d.day, d.n_events, d.n_active,
+        |       CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+        |       CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY d.day) AS BIGINT)
+        |         AS cum_users
+        |FROM daily d LEFT JOIN news n ON d.day = n.day
+        |ORDER BY d.day""".stripMargin) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, dir)
+        val daily = e.groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct("user_id").cast("long").as("n_active"))
+        val news = e.groupBy("user_id")
+          .agg(min(to_date(col("ts"))).as("day"))
+          .groupBy("day").agg(count(lit(1)).as("n_new"))
+        daily.join(news, Seq("day"), "left")
+          .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+          .withColumn("cum_users",
+            sum("n_new").over(Window.orderBy("day")).cast("long"))
+          .select("day", "n_events", "n_active", "n_new", "cum_users")
+          .transform(d => graft.Q.sorted(d, "day"))
+      }
     })
 }

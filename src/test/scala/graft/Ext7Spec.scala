@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 third wave: CDC merge, attribution, cumulative uniques,
+  * BPE pair counts, bigram-df scoring, histogram stats. Each test pins a
+  * property the DuckDB hash oracle can't see (cross-row invariants,
+  * independent recomputation), not cell values.
+  */
+class Ext7Spec extends SparkTestBase {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("x_cdc_merge: all four MERGE branches resolve correctly") {
+    val out = run("x_cdc_merge").cache()
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val spend = orders.where(col("o_custkey") % 5 =!= 2)
+      .groupBy(col("o_custkey").as("key"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      .cache()
+    // D: no customer whose key is in the delete set survives
+    val deleted = spend.where(col("key") % 7 === 0)
+    assert(out.join(deleted, "key").count() == 0)
+    // U: every updated balance equals the independently recomputed spend
+    val updated = out.where(col("src") === "updated")
+    assert(updated.join(spend, "key")
+      .where(col("bal_cents") =!= col("cents")).count() == 0)
+    // I: inserts are exactly the shifted %11 update keys, named NEW#key
+    val expIns = spend.where(col("key") % 7 =!= 0 && col("key") % 11 === 0)
+    assert(out.where(col("src") === "inserted").count() == expIns.count())
+    assert(out.where(col("src") === "inserted" &&
+      (col("key") <= 1000000L ||
+        col("name") =!= concat(lit("NEW#"), col("key").cast("string"))))
+      .count() == 0)
+    // kept: untouched customers keep their base balance
+    val base = graft.sources.Tables.customer(spark, sf).select(
+      col("c_custkey").as("key"),
+      round(col("c_acctbal") * 100, 0).cast("long").as("base_cents"))
+    assert(out.where(col("src") === "kept").join(base, "key")
+      .where(col("bal_cents") =!= col("base_cents")).count() == 0)
+    spend.unpersist(); out.unpersist()
+  }
+
+  test("a17_attribution: the credited touch is the latest at-or-before touch") {
+    val out = run("a17_attribution").cache()
+    val ev = graft.sources.Tables.events(spark, sf).cache()
+    // one row per purchase
+    assert(out.count() == ev.where(col("event_type") === "purchase").count())
+    val touches = ev.where(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id").as("t_id"), col("ts").as("t_ts"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts").as("p_ts"), col("user_id"))
+    val joined = out.join(purch, Seq("event_id", "user_id")).cache()
+    // the credited touch exists, belongs to the user, and is not after
+    // the purchase (ties on ts resolve toward the touch)
+    val credited = joined.where(col("touch_id") =!= -1)
+      .join(touches, Seq("user_id")).where(col("touch_id") === col("t_id"))
+    assert(credited.count() == joined.where(col("touch_id") =!= -1).count())
+    assert(credited.where(col("t_ts") > col("p_ts")).count() == 0)
+    // latest-touch property: recheck via max over eligible touches per
+    // purchase ((ts, event_id) lexicographic, at-or-before the purchase);
+    // 'direct' (touch_id = -1) must mean no eligible touch at all
+    val best = joined.join(touches, Seq("user_id"))
+      .where(col("t_ts") < col("p_ts") ||
+        (col("t_ts") === col("p_ts") && col("t_id") <= col("event_id")))
+      .groupBy("event_id").agg(max(struct(col("t_ts"), col("t_id"))).as("m"))
+      .select(col("event_id"), col("m.t_id").as("best_id"))
+    assert(joined.join(best, Seq("event_id"), "left")
+      .where(coalesce(col("best_id"), lit(-1L)) =!= col("touch_id"))
+      .count() == 0)
+    joined.unpersist(); ev.unpersist(); out.unpersist()
+  }
+
+  test("a18_cum_uniques: running sum reconciles with global distincts") {
+    val out = run("a18_cum_uniques").cache()
+    val ev = graft.sources.Tables.events(spark, sf).cache()
+    assert(out.agg(sum("n_events")).head().getLong(0) == ev.count())
+    val users = ev.select("user_id").distinct().count()
+    assert(out.agg(sum("n_new")).head().getLong(0) == users)
+    assert(out.agg(max("cum_users")).head().getLong(0) == users)
+    // cum is the prefix sum of n_new and never decreases
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+    assert(out.withColumn("chk", sum("n_new").over(w))
+      .where(col("chk") =!= col("cum_users")).count() == 0)
+    assert(out.where(col("n_active") > col("n_events") ||
+      col("n_new") > col("n_active")).count() == 0)
+    ev.unpersist(); out.unpersist()
+  }
+
+  test("x_bpe_pairs: top pair agrees with an independent full count") {
+    val out = run("x_bpe_pairs").cache()
+    assert(out.count() == 20)
+    // counts are non-increasing in output order (top-k of a total order)
+    val rows = out.collect()
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    // independent recount of the reported top pair via SQL explode
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val top = rows.head
+    val recount = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(posexplode(col("toks")).as(Seq("i", "tok")), col("doc_id"), col("toks"))
+      .where(col("i") < size(col("toks")) - 1)
+      .where(col("tok") === top.getAs[String]("a") &&
+        element_at(col("toks"), col("i") + 2) === top.getAs[String]("b"))
+      .count()
+    assert(recount == top.getAs[Long]("cnt"), s"top pair recount $recount vs $top")
+    out.unpersist()
+  }
+
+  test("x_lm_df: totals reconcile and df bounds hold") {
+    val out = run("x_lm_df").cache()
+    val docs = graft.sources.Tables.documents(spark, sf).cache()
+    assert(out.count() == docs.count())
+    // every doc's bigram count is n_tokens - 1
+    val nt = docs.select(col("doc_id"),
+      (size(split(col("text"), " ")) - 1).cast("long").as("exp_bigrams"))
+    assert(out.join(nt, "doc_id")
+      .where(col("n_bigrams") =!= col("exp_bigrams")).count() == 0)
+    // mean df per-mille is within [1000, 1000 * n_docs]; novelty bounded
+    val nd = docs.count()
+    assert(out.where(col("milli_mean_df") < 1000 ||
+      col("milli_mean_df") > lit(1000L) * nd).count() == 0)
+    assert(out.where(col("n_novel_bigrams") > col("n_bigrams")).count() == 0)
+    // sum_df consistency: milli_mean_df = sum_df*1000 div n_bigrams
+    assert(out.where(expr("(sum_df * 1000) div n_bigrams") =!= col("milli_mean_df"))
+      .count() == 0)
+    docs.unpersist(); out.unpersist()
+  }
+
+  test("x_histogram: buckets partition the column exactly") {
+    val out = run("x_histogram").cache()
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .cache()
+    assert(out.agg(sum("n")).head().getLong(0) == li.count())
+    assert(out.agg(sum("sum_cents")).head().getLong(0) ==
+      li.agg(sum("cents")).head().getLong(0))
+    assert(out.where(col("bucket") < 0 || col("bucket") > 15).count() == 0)
+    // bucket occupancy ranges are disjoint and ordered
+    val rows = out.orderBy("bucket").collect()
+    rows.foreach(r => assert(r.getAs[Long]("min_cents") <= r.getAs[Long]("max_cents")))
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(a.getAs[Long]("max_cents") < b.getAs[Long]("min_cents")) }
+    // global extrema land in the edge buckets
+    val (lo, hi) = (li.agg(min("cents")).head().getLong(0),
+      li.agg(max("cents")).head().getLong(0))
+    assert(rows.head.getAs[Long]("min_cents") == lo)
+    assert(rows.last.getAs[Long]("max_cents") == hi)
+    li.unpersist(); out.unpersist()
+  }
+}
