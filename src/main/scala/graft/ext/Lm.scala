@@ -91,5 +91,46 @@ object Lm {
             col("n_novel_bigrams"))
           .transform(d => graft.Q.sorted(d, "doc_id"))
       }
+    },
+
+    // Vocabulary coverage / UNK rate against a corpus-derived top-K
+    // vocabulary — the tokenizer-coverage check run before committing a
+    // vocab: what fraction of each document would tokenize to <unk>.
+    // Vocab = top 20 tokens by corpus frequency (ties by token text, a
+    // total order). The vocab is built by the same map-side-combine
+    // count as x_bpe_pairs, is tiny by construction (top-K of a
+    // TakeOrdered), and BROADCASTS to the coverage join — per-token
+    // probe, no shuffle of the exploded corpus.
+    Q("x_vocab_unk",
+      """WITH tok AS (
+        |  SELECT doc_id, u.t AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |       UNNEST(toks) u(t)),
+        |vocab AS (
+        |  SELECT tok FROM (SELECT tok, count(*) AS c FROM tok GROUP BY tok
+        |                   ORDER BY c DESC, tok LIMIT 20)),
+        |doc AS (
+        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_in_vocab
+        |  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, n_in_vocab,
+        |       CAST(((n_tokens - n_in_vocab) * 1000) // n_tokens AS BIGINT) AS pm_unk
+        |FROM doc ORDER BY doc_id""".stripMargin) {
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(Portable.tokens(col("text"))).as("tok"))
+        val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(20)
+          .select("tok")
+        tok.join(broadcast(vocab.withColumn("in_v", lit(1))), Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(coalesce(col("in_v"), lit(0))).cast("long").as("n_in_vocab"))
+          .select(col("doc_id"), col("n_tokens"), col("n_in_vocab"),
+            expr("((n_tokens - n_in_vocab) * 1000) div n_tokens").as("pm_unk"))
+          .transform(d => graft.Q.sorted(d, "doc_id"))
+      }
     })
 }

@@ -147,5 +147,67 @@ object Basket {
           .groupBy("part").agg(count(lit(1)).as("n_triangles"))
           .transform(d => graft.Q.sorted(d, "part"))
       }
+    },
+
+    // One exact PageRank power iteration over the co-purchase graph —
+    // the per-superstep building block of iterative graph analytics
+    // (full PageRank = this step under a driver loop, exactly like the
+    // d7 connected-components rounds). All arithmetic is scaled-integer
+    // (1e12 units) with floor division in BOTH engines, so the iteration
+    // is bit-reproducible: r1(v) = 0.15/n + 0.85 * Σ_{u→v} r0(u)/deg(u)
+    // becomes  (15·S div 100n) + (85·Σ((S div n) div d_u)) div 100.
+    // Dangling mass (deg-0 nodes) is dropped, the classic simplification;
+    // a full solver redistributes it — irrelevant to the step shape.
+    //
+    // Scale shape: edges build once (basket self-join bounded by basket
+    // size), degrees aggregate on u, contributions shuffle once on v —
+    // each superstep is two key-hash aggregates over the edge list, the
+    // same cost model Pregel charges. Node count broadcasts as a 1-row
+    // bound (no driver collect).
+    Q("x_pagerank_step",
+      """WITH basket AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |          FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk <> b.pk),
+        |nodes AS (SELECT DISTINCT pk FROM basket),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u),
+        |contrib AS (
+        |  SELECT e.v AS pk,
+        |         CAST(sum((1000000000000 // nn.n) // deg.d) AS BIGINT) AS incoming
+        |  FROM edges e JOIN deg ON e.u = deg.u CROSS JOIN nn
+        |  GROUP BY e.v)
+        |SELECT nodes.pk,
+        |       CAST(coalesce(deg.d, 0) AS BIGINT) AS deg,
+        |       CAST((15 * 1000000000000 // (100 * nn.n))
+        |            + (85 * coalesce(contrib.incoming, 0)) // 100 AS BIGINT)
+        |         AS rank_units
+        |FROM nodes CROSS JOIN nn
+        |LEFT JOIN deg ON nodes.pk = deg.u
+        |LEFT JOIN contrib ON nodes.pk = contrib.pk
+        |ORDER BY nodes.pk""".stripMargin) {
+      (s, dir) => {
+        val basket = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = basket.as("a")
+          .join(basket.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v"))
+          .distinct()
+        val nodes = basket.select(col("pk")).distinct()
+        val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
+        val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+        val contrib = edges.join(deg, "u").crossJoin(nn)
+          .groupBy(col("v").as("pk"))
+          .agg(sum(expr("(1000000000000 div n) div d")).as("incoming"))
+        nodes.crossJoin(nn)
+          .join(deg, col("pk") === col("u"), "left")
+          .join(contrib, Seq("pk"), "left")
+          .select(col("pk"),
+            coalesce(col("d"), lit(0L)).as("deg"),
+            (expr("15 * 1000000000000 div (100 * n)")
+              + expr("(85 * coalesce(incoming, 0)) div 100")).as("rank_units"))
+          .transform(d => graft.Q.sorted(d, "pk"))
+      }
     })
 }

@@ -267,6 +267,49 @@ object Cube {
           .select(col("doc_id"), col("lang"), col("rnk").cast("long").as("rnk"))
           .transform(d => graft.Q.sorted(d, "lang", "rnk"))
       }
+    },
+
+    // a19: the full SQL rank-function family in one pass — ntile /
+    // percent_rank / cume_dist / lag / nth_value over a single
+    // (priority, price) sort. Everything rides ONE window partitioning:
+    // Catalyst plans one exchange + one sort and evaluates all five
+    // functions in the same WindowExec (nth_value's whole-partition
+    // frame adds an unbounded-following pass, same sort). Deterministic
+    // total order: (o_totalprice, o_orderkey) — orderkey breaks ties, so
+    // rank outputs are engine-independent. Money compares as integer
+    // cents; the two true ratios (percent_rank/cume_dist) are k/(n±1)
+    // rationals both engines compute from the same integers, rounded 6dp.
+    Q("a19_rank_family",
+      """SELECT o_orderkey, o_orderpriority,
+        |       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cdist,
+        |       CAST(coalesce(lag(CAST(round(o_totalprice * 100, 0) AS BIGINT), 1)
+        |         OVER w, -1) AS BIGINT) AS prev_cents,
+        |       CAST(nth_value(CAST(round(o_totalprice * 100, 0) AS BIGINT), 3) OVER
+        |         (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |         AS BIGINT) AS third_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy("o_totalprice", "o_orderkey")
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val cents = round(col("o_totalprice") * 100, 0).cast("long")
+        Tables.orders(s, dir).select(
+            col("o_orderkey"), col("o_orderpriority"),
+            cents.as("cents"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            graft.Q.r6(percent_rank().over(w)).as("pct_rank"),
+            graft.Q.r6(cume_dist().over(w)).as("cdist"),
+            coalesce(lag(cents, 1).over(w), lit(-1L)).as("prev_cents"),
+            nth_value(cents, 3).over(wFull).as("third_cents"))
+          .transform(d => graft.Q.sorted(d, "o_orderkey"))
+      }
     })
 
   /** Docs kept per language stratum in x_stratified. */

@@ -286,6 +286,51 @@ object Joins {
         |WHERE r.r_name = 'ASIA'
         |GROUP BY 1 ORDER BY 1""".stripMargin) {
       (s, dir) => dppQuery(s, dir)
+    },
+
+    // j8: TPC-H Q17 shape — the correlated scalar subquery ("lineitems
+    // below 20% of THIS part's average quantity") decorrelated into a
+    // per-part aggregate + self-join, the rewrite every optimizer must
+    // do to run Q17 at scale (one pass for stats, one probe — never a
+    // per-row subquery). The 0.2*avg predicate is exact integer algebra:
+    // qty < sum_qty/(5*cnt)  ⇔  5*qty*cnt < sum_qty — no float average
+    // crosses an engine boundary.
+    //
+    // Scale shape: stats aggregate shuffles on partkey with map-side
+    // partials; the probe join reuses the same partkey hash; the part
+    // dimension broadcasts. Brand roll-up output is brand-cardinality.
+    Q("j8_tpch_q17",
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |stats AS (
+        |  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM li GROUP BY l_partkey)
+        |SELECT p.p_brand,
+        |       CAST(count(*) AS BIGINT) AS n_small,
+        |       CAST(sum(li.cents) AS BIGINT) AS revenue_cents
+        |FROM li JOIN stats ON li.l_partkey = stats.l_partkey
+        |        JOIN part p ON li.l_partkey = p.p_partkey
+        |WHERE 5 * li.qty * stats.cnt < stats.sum_qty
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin) {
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(
+          col("l_partkey"),
+          round(col("l_quantity"), 0).cast("long").as("qty"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        val stats = li.groupBy("l_partkey")
+          .agg(sum("qty").as("sum_qty"), count(lit(1)).as("cnt"))
+        li.join(stats, "l_partkey")
+          .where(lit(5) * col("qty") * col("cnt") < col("sum_qty"))
+          .join(broadcast(Tables.part(s, dir)),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_small"), sum("cents").as("revenue_cents"))
+          .transform(d => graft.Q.sorted(d, "p_brand"))
+      }
     })
 
   /** The j7 plan against the partitioned layout (factored out so

@@ -128,6 +128,94 @@ class Ext7Spec extends SparkTestBase {
     docs.unpersist(); out.unpersist()
   }
 
+  test("j8_tpch_q17: brand totals equal an independent window-based plan") {
+    val out = run("j8_tpch_q17").cache()
+    import org.apache.spark.sql.expressions.Window
+    val li = graft.sources.Tables.lineitem(spark, sf).select(
+      col("l_partkey"),
+      round(col("l_quantity"), 0).cast("long").as("qty"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+    val w = Window.partitionBy("l_partkey")
+    val small = li
+      .withColumn("sum_qty", sum("qty").over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .where(lit(5) * col("qty") * col("cnt") < col("sum_qty"))
+    val expN = small.count()
+    assert(out.agg(sum("n_small")).head().getLong(0) == expN)
+    val expRev = small.agg(sum("cents")).head().getLong(0)
+    assert(out.agg(sum("revenue_cents")).head().getLong(0) == expRev)
+    out.unpersist()
+  }
+
+  test("a19_rank_family: rank functions agree with their definitions") {
+    val out = run("a19_rank_family").cache()
+    // quartile sizes within each priority differ by at most 1
+    val qs = out.groupBy("o_orderpriority", "quartile").count()
+      .groupBy("o_orderpriority")
+      .agg((max("count") - min("count")).as("spread"))
+    assert(qs.where(col("spread") > 1).count() == 0)
+    // percent_rank == (rank-1)/(n-1), cume_dist == rows_at_or_before/n,
+    // third_cents == the 3rd row's cents — all recomputed from the
+    // output itself using different window functions
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    val chk = out
+      .withColumn("rk", rank().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+      .withColumn("exp_pct", graft.Q.r6((col("rk") - 1).cast("double") / (col("n") - 1)))
+      .withColumn("exp_cd", graft.Q.r6(col("rk").cast("double") / col("n")))
+      .withColumn("exp_prev", coalesce(lag("cents", 1).over(w), lit(-1L)))
+      .withColumn("rn", row_number().over(w))
+    assert(chk.where(col("pct_rank") =!= col("exp_pct")).count() == 0)
+    assert(chk.where(col("cdist") =!= col("exp_cd")).count() == 0)
+    assert(chk.where(col("prev_cents") =!= col("exp_prev")).count() == 0)
+    val thirds = chk.where(col("rn") === 3)
+      .select(col("o_orderpriority").as("p"), col("cents").as("exp_third"))
+    assert(chk.join(thirds, col("o_orderpriority") === col("p"))
+      .where(col("third_cents") =!= col("exp_third")).count() == 0)
+    out.unpersist()
+  }
+
+  test("x_pagerank_step: equals a driver-side exact integer recompute") {
+    val out = run("x_pagerank_step").cache()
+    val S = 1000000000000L
+    val basket = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = basket.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val edges = byOrder.values.flatMap(ps =>
+      for (u <- ps; v <- ps if u != v) yield (u, v)).toSet
+    val nodes = basket.map(_._2).toSet
+    val n = nodes.size.toLong
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val incoming = edges.toSeq.groupBy(_._2).view
+      .mapValues(_.map { case (u, _) => (S / n) / deg(u) }.sum).toMap
+    val expected = nodes.map(p => (p, deg.getOrElse(p, 0L),
+      15 * S / (100 * n) + 85 * incoming.getOrElse(p, 0L) / 100)).toSeq.sorted
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == expected)
+    out.unpersist()
+  }
+
+  test("x_vocab_unk: coverage reconciles with corpus token counts") {
+    val out = run("x_vocab_unk").cache()
+    val docs = graft.sources.Tables.documents(spark, sf).cache()
+    assert(out.count() == docs.count())
+    val tok = docs.select(explode(split(col("text"), " ")).as("tok")).cache()
+    assert(out.agg(sum("n_tokens")).head().getLong(0) == tok.count())
+    // total in-vocab occurrences == sum of the top-20 tokens' counts
+    val top20 = tok.groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok")).limit(20)
+      .agg(sum("count")).head().getLong(0)
+    assert(out.agg(sum("n_in_vocab")).head().getLong(0) == top20)
+    assert(out.where(col("n_in_vocab") > col("n_tokens")).count() == 0)
+    assert(out.where(
+      expr("((n_tokens - n_in_vocab) * 1000) div n_tokens") =!= col("pm_unk"))
+      .count() == 0)
+    tok.unpersist(); docs.unpersist(); out.unpersist()
+  }
+
   test("x_histogram: buckets partition the column exactly") {
     val out = run("x_histogram").cache()
     val li = graft.sources.Tables.lineitem(spark, sf)
