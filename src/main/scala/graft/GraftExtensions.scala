@@ -25,10 +25,14 @@ import graft.functions._
   * like `approx_percentile`'s accuracy argument).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // custom whole-operator tier: the native as-of join planner strategy
+    // (live sessions get it via Interop.ensureStrategy instead)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -81,6 +81,32 @@ object AsOf {
       .drop("_lb", "_rb").drop(r(key))
   }
 
+  /** As-of join through the NATIVE physical operator
+    * ([[graft.plans.AsOfJoinExec]]): a per-session planner strategy
+    * turns the logical node into a merge pass over two key-clustered,
+    * (key, ts)-sorted children. Same inner-as-of semantics as
+    * [[asofJoin]]; unlike the union trick it never widens the schema or
+    * runs window state over probe rows, and it preserves the left
+    * side's partitioning AND ordering for downstream operators.
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    org.apache.spark.sql.graftshim.Interop.ensureStrategy(
+      spark, graft.plans.AsOfJoinStrategy)
+    val lPlan = org.apache.spark.sql.graftshim.Interop.analyzed(left)
+    val rPlan = org.apache.spark.sql.graftshim.Interop.analyzed(right)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      p.output.find(_.name == name).getOrElse(
+        sys.error(s"asofJoinNative: no column '$name' in ${p.output.map(_.name)}"))
+    org.apache.spark.sql.graftshim.Interop.ofRows(spark,
+      graft.plans.AsOfJoinNode(lPlan, rPlan,
+        attr(lPlan, key), attr(rPlan, key),
+        attr(lPlan, leftTs), attr(rPlan, rightTs),
+        payload.map(attr(rPlan, _))))
+  }
+
   def queries: Seq[Q] = Seq(
 
     // a8: each event joined to the latest bar at-or-before its ts for
@@ -107,6 +133,36 @@ object AsOf {
           .withColumnRenamed("close", "bar_close")
         Q.norm(
           asofJoin(ev, b, "symbol", "ts", "bar_time",
+            payload = Seq("bar_time", "bar_close")),
+          "event_id")
+      }
+    },
+
+    // a20: a8's as-of join through the native AsOfJoinExec physical
+    // operator instead of the union+window composition — same DuckDB
+    // ASOF JOIN oracle, third independent implementation of the
+    // semantics (union trick / custom merge operator / DuckDB native).
+    Q("a20_asof_exec",
+      s"""WITH ${Bars.cte},
+         |ev AS (SELECT event_id, ${Bars.sqlSymbolFor("user_id")} AS symbol,
+         |              ts, value
+         |       FROM events),
+         |b AS (SELECT symbol, datetime, close FROM bars)
+         |SELECT ev.event_id, ev.symbol, ev.ts, round(ev.value, 6) AS value,
+         |       b.datetime AS bar_time, round(b.close, 6) AS bar_close
+         |FROM ev ASOF JOIN b
+         |  ON ev.symbol = b.symbol AND ev.ts >= b.datetime
+         |ORDER BY ev.event_id""".stripMargin) {
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("event_id"), Bars.symbolFor(col("user_id")).as("symbol"),
+          col("ts"), col("value"))
+        val b = Bars(s, dir)
+          .select(col("symbol"), col("datetime"), col("close"))
+          .withColumnRenamed("datetime", "bar_time")
+          .withColumnRenamed("close", "bar_close")
+        Q.norm(
+          asofJoinNative(ev, b, "symbol", "ts", "bar_time",
             payload = Seq("bar_time", "bar_close")),
           "event_id")
       }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The native as-of join operator ([[graft.plans.AsOfJoinExec]]):
+  * plan shape, semantics vs the union-trick composition, and the
+  * partitioning-preservation contract.
+  */
+class AsOfExecSpec extends SparkTestBase {
+
+  private def inputs = {
+    val ev = graft.sources.Tables.events(spark, sf).select(
+      col("event_id"), graft.sources.Bars.symbolFor(col("user_id")).as("symbol"),
+      col("ts"), col("value"))
+    val b = graft.sources.Bars(spark, sf)
+      .select(col("symbol"), col("datetime"), col("close"))
+      .withColumnRenamed("datetime", "bar_time")
+      .withColumnRenamed("close", "bar_close")
+    (ev, b)
+  }
+
+  private def native = {
+    val (ev, b) = inputs
+    graft.ops.AsOf.asofJoinNative(ev, b, "symbol", "ts", "bar_time",
+      payload = Seq("bar_time", "bar_close"))
+  }
+
+  test("the physical plan contains AsOfJoinExec") {
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"no AsOfJoinExec in plan:\n$plan")
+  }
+
+  test("matches the union+window composition row-for-row") {
+    val (ev, b) = inputs
+    val composed = graft.ops.AsOf.asofJoin(ev, b, "symbol", "ts", "bar_time",
+      payload = Seq("bar_time", "bar_close"))
+    assert(native.exceptAll(composed).count() == 0)
+    assert(composed.exceptAll(native).count() == 0)
+  }
+
+  test("inner as-of semantics: only events at-or-after some bar survive") {
+    val (ev, b) = inputs
+    val out = native.cache()
+    // every output row's bar really is at-or-before the event, per key
+    assert(out.where(col("bar_time") > col("ts")).count() == 0)
+    // row count == events having any bar at-or-before, per key (window recheck)
+    val exp = ev.join(b.groupBy("symbol").agg(min("bar_time").as("t0")), "symbol")
+      .where(col("ts") >= col("t0")).count()
+    assert(out.count() == exp)
+    // the joined bar is the LATEST eligible one: no bar strictly between
+    assert(out.join(b.withColumnRenamed("bar_time", "later")
+        .drop("bar_close"), Seq("symbol"))
+      .where(col("later") > col("bar_time") && col("later") <= col("ts"))
+      .count() == 0)
+    out.unpersist()
+  }
+
+  test("output preserves the left partitioning: no extra exchange downstream") {
+    def nExchanges(p: String) = "(?i)exchange".r.findAllIn(p).length
+    val base = nExchanges(native.queryExecution.executedPlan.toString)
+    val agg = native.groupBy("symbol").count()
+    val plan = agg.queryExecution.executedPlan.toString
+    // the downstream per-key agg reuses the operator's preserved
+    // clustering: not one exchange beyond what the join itself plans
+    assert(nExchanges(plan) == base,
+      s"agg added exchanges (base=$base):\n$plan")
+  }
+}
