@@ -331,6 +331,95 @@ object Joins {
           .agg(count(lit(1)).as("n_small"), sum("cents").as("revenue_cents"))
           .transform(d => graft.Q.sorted(d, "p_brand"))
       }
+    },
+
+    // j9: TPC-H Q21 shape — the EXISTS + NOT EXISTS chain ("this
+    // supplier shipped late on a multi-supplier order where every OTHER
+    // supplier shipped on time"), the hardest decorrelation in the
+    // TPC-H suite: one semi-join (another supplier exists) and one
+    // anti-join (no other LATE supplier) against the same fact table.
+    //
+    // Scale shape: 'late' builds once (orderkey-hash join to orders,
+    // reused twice); both the semi and anti probes hash on l_orderkey —
+    // Catalyst reuses one exchange for all three, and semi/anti joins
+    // never materialize match lists (first-match short-circuit). The
+    // supplier dimension broadcasts; top-100 is TakeOrderedAndProject.
+    Q("j9_tpch_q21",
+      """WITH l1 AS (
+        |  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM l1 JOIN supplier s ON l1.sk = s.s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.ok AND l2.l_suppkey <> l1.sk)
+        |  AND NOT EXISTS (
+        |      SELECT 1 FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        |      WHERE l3.l_orderkey = l1.ok AND l3.l_suppkey <> l1.sk
+        |        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name LIMIT 100""".stripMargin) {
+      (s, dir) => {
+        val late = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        val others = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+        val lateOthers = late.select(col("ok").as("ok3"), col("sk").as("sk3"))
+        late
+          .join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"),
+            "left_semi")
+          .join(lateOthers, col("ok") === col("ok3") && col("sk") =!= col("sk3"),
+            "left_anti")
+          .join(broadcast(Tables.supplier(s, dir)), col("sk") === col("s_suppkey"))
+          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name")).limit(100)
+      }
+    },
+
+    // j10: TPC-H Q22 shape — above-average balance customers with no
+    // recent orders (the churn query): a scalar aggregate broadcast as
+    // the filter bound (integer algebra bal*n > sum, no float average),
+    // plus an anti-join against the active-customer set.
+    //
+    // Scale shape: two 1-row aggregates broadcast; the anti-join probes
+    // a custkey-distinct set that AQE broadcasts when small; the fact
+    // table streams once.
+    Q("j10_tpch_q22",
+      """WITH pos AS (
+        |  SELECT CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal
+        |  FROM customer WHERE c_acctbal > 0.0),
+        |s AS (SELECT CAST(sum(bal) AS BIGINT) AS sum_pos,
+        |             CAST(count(*) AS BIGINT) AS n_pos FROM pos),
+        |mx AS (SELECT max(o_orderdate) AS m FROM orders),
+        |recent AS (
+        |  SELECT DISTINCT o_custkey FROM orders, mx
+        |  WHERE o_orderdate > mx.m - INTERVAL 365 DAY)
+        |SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS totbal_cents
+        |FROM customer c, s
+        |WHERE CAST(round(c.c_acctbal * 100, 0) AS BIGINT) * s.n_pos > s.sum_pos
+        |  AND NOT EXISTS (SELECT 1 FROM recent r WHERE r.o_custkey = c.c_custkey)
+        |GROUP BY c.c_nationkey
+        |ORDER BY c.c_nationkey""".stripMargin) {
+      (s, dir) => {
+        val cents = round(col("c_acctbal") * 100, 0).cast("long")
+        val cust = Tables.customer(s, dir)
+        val stats = cust.where(col("c_acctbal") > 0.0)
+          .agg(sum(cents).as("sum_pos"), count(lit(1)).as("n_pos"))
+        val mx = Tables.orders(s, dir).agg(max("o_orderdate").as("m"))
+        val recent = Tables.orders(s, dir).crossJoin(broadcast(mx))
+          .where(col("o_orderdate") > col("m") - expr("INTERVAL 365 DAYS"))
+          .select("o_custkey").distinct()
+        cust.crossJoin(broadcast(stats))
+          .where(cents * col("n_pos") > col("sum_pos"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"), sum(cents).as("totbal_cents"))
+          .transform(d => graft.Q.sorted(d, "c_nationkey"))
+      }
     })
 
   /** The j7 plan against the partitioned layout (factored out so

@@ -216,6 +216,33 @@ class Ext7Spec extends SparkTestBase {
     tok.unpersist(); docs.unpersist(); out.unpersist()
   }
 
+  test("j9/j10: semi+anti shapes plan as such and satisfy their predicates") {
+    val q21 = SparkEntry.queries("j9_tpch_q21")(spark, sf)
+    val p21 = q21.queryExecution.executedPlan.toString
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"), p21)
+    val rows = q21.collect()
+    val ws = rows.map(_.getAs[Long]("numwait"))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+    // j10: every reported nation's customers truly have no recent order
+    val q22 = SparkEntry.queries("j10_tpch_q22")(spark, sf)
+    val o = graft.sources.Tables.orders(spark, sf)
+    val mx = o.agg(max("o_orderdate").as("m"))
+    val recent = o.crossJoin(broadcast(mx))
+      .where(col("o_orderdate") > col("m") - expr("INTERVAL 365 DAYS"))
+      .select("o_custkey").distinct()
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_nationkey").count()
+    // no nation can report more churned customers than it has
+    // non-recent customers in total
+    val total = graft.sources.Tables.customer(spark, sf)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_all"))
+    val bad = q22.join(total, "c_nationkey")
+      .join(cust.withColumnRenamed("count", "n_recent"), Seq("c_nationkey"), "left")
+      .where(col("numcust") > col("n_all") - coalesce(col("n_recent"), lit(0L)))
+    assert(bad.count() == 0)
+  }
+
   test("x_histogram: buckets partition the column exactly") {
     val out = run("x_histogram").cache()
     val li = graft.sources.Tables.lineitem(spark, sf)
