@@ -310,6 +310,37 @@ object Cube {
             nth_value(cents, 3).over(wFull).as("third_cents"))
           .transform(d => graft.Q.sorted(d, "o_orderkey"))
       }
+    },
+
+    // a23: top-k per group WITHOUT ranking the whole group — the
+    // rank<=k filter that Spark's InferWindowGroupLimit rewrites into a
+    // WindowGroupLimit operator: each task keeps a k-row heap per key
+    // BEFORE the exchange, so the shuffle moves O(k·groups) rows, not
+    // the whole table (PlanShapeSpec-style pin lives in Ext7Spec). The
+    // window sort itself then runs on k rows per group. This is the
+    // scale-correct "top 3 orders per priority", vs the naive full
+    // window sort.
+    Q("a23_topk_group",
+      """WITH rk AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey, cents
+        |FROM rk WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select(col("o_orderpriority"), col("rn").cast("long").as("rn"),
+            col("o_orderkey"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          .transform(d => graft.Q.sorted(d, "o_orderpriority", "rn"))
+      }
     })
 
   /** Docs kept per language stratum in x_stratified. */

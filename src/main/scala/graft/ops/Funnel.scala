@@ -242,5 +242,66 @@ object Funnel {
           .select("day", "n_events", "n_active", "n_new", "cum_users")
           .transform(d => graft.Q.sorted(d, "day"))
       }
+    },
+
+    // a21: top user-journey paths — each user's first 5 events as an
+    // ordered 'a>b>c' path, counted across users. The product-analytics
+    // "common flows" query. Per-user ordering WITHOUT a window sort:
+    // collect_list into one per-user array (map-side partial collect),
+    // sort_array on (ts, event_id, type) structs — per-row, bounded by
+    // the user's event count — then slice to the prefix. At 100 TB the
+    // per-user array is the natural unit (users fit; a power user with
+    // millions of events would cap the collect — the slice-to-5 makes
+    // anything past the first handful irrelevant anyway).
+    Q("a21_paths",
+      """WITH seq AS (
+        |  SELECT user_id, list(event_type ORDER BY ts, event_id)[1:5] AS p
+        |  FROM events GROUP BY user_id)
+        |SELECT array_to_string(p, '>') AS path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM seq GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20""".stripMargin) {
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+          .select(array_join(
+            transform(slice(col("evs"), 1, 5), e => e.getField("event_type")),
+            ">").as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path")).limit(20)
+      }
+    },
+
+    // a22: hopping (sliding) time windows — every event lands in the 5
+    // one-minute-slid 5-minute windows covering it, via Spark's native
+    // TimeWindow (`window(ts, '5 minutes', '1 minute')`), the batch twin
+    // of the streaming sliding aggregation. The DuckDB oracle builds the
+    // same membership explicitly (trunc-to-minute minus 0..4 minutes),
+    // pinning Spark's epoch-aligned window-start semantics.
+    //
+    // Scale shape: the window expansion is a per-row flatMap (×5, the
+    // window/slide ratio — no join), then one window-start hash agg with
+    // map-side partials.
+    Q("a22_hopping",
+      """WITH w AS (
+        |  SELECT date_trunc('minute', ts) - INTERVAL (k.k) MINUTE AS win_start,
+        |         value
+        |  FROM events, (SELECT unnest(range(5)) AS k) k),
+        |agg AS (
+        |  SELECT win_start, CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS value_cents
+        |  FROM w GROUP BY win_start)
+        |SELECT CAST(win_start AS TIMESTAMP) AS win_start, n_events, value_cents
+        |FROM agg ORDER BY win_start""".stripMargin) {
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "5 minutes", "1 minute"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+          .select(col("window.start").as("win_start"),
+            col("n_events"), col("value_cents"))
+          .transform(d => graft.Q.sorted(d, "win_start"))
+      }
     })
 }

@@ -243,6 +243,39 @@ class Ext7Spec extends SparkTestBase {
     assert(bad.count() == 0)
   }
 
+  test("a21/a22/a23: journey, hopping-window, and group-top-k invariants") {
+    val ev = graft.sources.Tables.events(spark, sf).cache()
+    // a21: every path has <=5 steps; the top path's count matches an
+    // independent window-ranked recount
+    val paths = run("a21_paths").cache()
+    assert(paths.where(size(split(col("path"), ">")) > 5).count() == 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val indep = ev.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("rn"), col("event_type")))),
+        e => e.getField("event_type")), ">").as("path"))
+      .groupBy("path").count()
+    val top = paths.orderBy(col("n_users").desc, col("path")).head()
+    val chk = indep.where(col("path") === top.getAs[String]("path"))
+      .head().getAs[Long]("count")
+    assert(chk == top.getAs[Long]("n_users"))
+    // a22: every event lands in exactly 5 sliding windows
+    val hop = run("a22_hopping")
+    assert(hop.agg(sum("n_events")).head().getLong(0) == 5 * ev.count())
+    // a23: the plan uses WindowGroupLimit (per-task k-row heaps before
+    // the exchange), and ranks are 1..3 per priority
+    val topk = SparkEntry.queries("a23_topk_group")(spark, sf)
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    val per = topk.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), min("rn").as("lo"), max("rn").as("hi"))
+    assert(per.where(col("n") =!= 3 || col("lo") =!= 1 || col("hi") =!= 3)
+      .count() == 0)
+    paths.unpersist(); ev.unpersist()
+  }
+
   test("x_histogram: buckets partition the column exactly") {
     val out = run("x_histogram").cache()
     val li = graft.sources.Tables.lineitem(spark, sf)
