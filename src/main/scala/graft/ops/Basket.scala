@@ -209,5 +209,71 @@ object Basket {
               + expr("(85 * coalesce(incoming, 0)) div 100")).as("rank_units"))
           .transform(d => graft.Q.sorted(d, "pk"))
       }
+    },
+
+    // Three PageRank supersteps — the iterated form of x_pagerank_step,
+    // composed as a driver loop over the same exact-integer recurrence
+    // (the oracle chains the identical CTE three times; every
+    // intermediate is floor-division integer math, so iteration count
+    // compounds no rounding drift between engines). Spark side: edges
+    // and degrees build ONCE and every round reuses them — each
+    // iteration adds one join + one v-keyed aggregate, the Pregel
+    // superstep cost; identical subtrees dedupe via ReusedExchange. A
+    // production solver swaps the fixed count for a convergence probe
+    // exactly like ext/Dedup's CC loop (localCheckpoint per round,
+    // O(1)-row driver check).
+    Q("x_pagerank3",
+      """WITH basket AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |          FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk <> b.pk),
+        |nodes AS (SELECT DISTINCT pk FROM basket),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u),
+        |r0 AS (SELECT pk, 1000000000000 // nn.n AS r FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.v AS pk, sum(r0.r // deg.d) AS s
+        |       FROM edges e JOIN deg ON e.u = deg.u JOIN r0 ON e.u = r0.pk GROUP BY e.v),
+        |r1 AS (SELECT nodes.pk,
+        |              (15 * 1000000000000 // (100 * nn.n)) + (85 * coalesce(c1.s, 0)) // 100 AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.pk = c1.pk),
+        |c2 AS (SELECT e.v AS pk, sum(r1.r // deg.d) AS s
+        |       FROM edges e JOIN deg ON e.u = deg.u JOIN r1 ON e.u = r1.pk GROUP BY e.v),
+        |r2 AS (SELECT nodes.pk,
+        |              (15 * 1000000000000 // (100 * nn.n)) + (85 * coalesce(c2.s, 0)) // 100 AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.pk = c2.pk),
+        |c3 AS (SELECT e.v AS pk, sum(r2.r // deg.d) AS s
+        |       FROM edges e JOIN deg ON e.u = deg.u JOIN r2 ON e.u = r2.pk GROUP BY e.v),
+        |r3 AS (SELECT nodes.pk,
+        |              (15 * 1000000000000 // (100 * nn.n)) + (85 * coalesce(c3.s, 0)) // 100 AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.pk = c3.pk)
+        |SELECT pk, CAST(r AS BIGINT) AS rank_units FROM r3 ORDER BY pk""".stripMargin) {
+      (s, dir) => {
+        val basket = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = basket.as("a")
+          .join(basket.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v"))
+          .distinct()
+        val nodes = basket.select(col("pk")).distinct()
+        val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
+        val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+        var rank = nodes.crossJoin(nn)
+          .select(col("pk"), expr("1000000000000 div n").as("r"))
+        for (_ <- 1 to 3) {
+          val contrib = edges
+            .join(deg, "u")
+            .join(rank.withColumnRenamed("pk", "u"), "u")
+            .groupBy(col("v").as("pk"))
+            .agg(sum(expr("r div d")).as("s"))
+          rank = nodes.crossJoin(nn)
+            .join(contrib, Seq("pk"), "left")
+            .select(col("pk"),
+              (expr("15 * 1000000000000 div (100 * n)")
+                + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
+        }
+        rank.select(col("pk"), col("r").as("rank_units"))
+          .transform(d => graft.Q.sorted(d, "pk"))
+      }
     })
 }

@@ -198,6 +198,30 @@ class Ext7Spec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("x_pagerank3: equals three driver-side exact iterations") {
+    val out = run("x_pagerank3").cache()
+    val S = 1000000000000L
+    val basket = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = basket.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val edges = byOrder.values.flatMap(ps =>
+      for (u <- ps; v <- ps if u != v) yield (u, v)).toSet
+    val nodes = basket.map(_._2).toSet
+    val n = nodes.size.toLong
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = nodes.map(p => p -> S / n).toMap
+    for (_ <- 1 to 3) {
+      val incoming = edges.toSeq.groupBy(_._2).view
+        .mapValues(_.map { case (u, _) => rank(u) / deg(u) }.sum).toMap
+      rank = nodes.map(p =>
+        p -> (15 * S / (100 * n) + 85 * incoming.getOrElse(p, 0L) / 100)).toMap
+    }
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == rank)
+    out.unpersist()
+  }
+
   test("x_vocab_unk: coverage reconciles with corpus token counts") {
     val out = run("x_vocab_unk").cache()
     val docs = graft.sources.Tables.documents(spark, sf).cache()
