@@ -132,5 +132,44 @@ object Lm {
             expr("((n_tokens - n_in_vocab) * 1000) div n_tokens").as("pm_unk"))
           .transform(d => graft.Q.sorted(d, "doc_id"))
       }
+    },
+
+    // RAG-style token-window chunk planning: 64-token chunks, stride 48
+    // (16-token overlap), the text twin of m4's byte-window media
+    // chunker. Metadata-only output (boundaries + boundary tokens) —
+    // integer-exact, no chunk text materialized; chunk_id is pure
+    // arithmetic on the start offset (no per-doc window sort). Per-row
+    // flatMap via sequence+explode: zero shuffle before the output sort.
+    Q("x_chunk_text",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, u.s AS start_tok, least(u.s + 63, n) AS end_tok, toks
+        |      FROM t, UNNEST(range(1, n + 1, 48)) u(s))
+        |SELECT doc_id,
+        |       CAST((start_tok - 1) // 48 + 1 AS BIGINT) AS chunk_id,
+        |       CAST(start_tok AS BIGINT) AS start_tok,
+        |       CAST(end_tok AS BIGINT) AS end_tok,
+        |       CAST(end_tok - start_tok + 1 AS BIGINT) AS n_tokens,
+        |       toks[start_tok] AS first_tok, toks[end_tok] AS last_tok
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin) {
+      (s, dir) => {
+        val toks = Portable.tokens(col("text"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+          .select(col("doc_id"), col("toks"), col("n"),
+            explode(sequence(lit(1), col("n"), lit(48))).as("start_tok"))
+          .select(col("doc_id"),
+            expr("CAST((start_tok - 1) DIV 48 + 1 AS BIGINT)").as("chunk_id"),
+            col("start_tok").cast("long").as("start_tok"),
+            least(col("start_tok") + 63, col("n")).cast("long").as("end_tok"),
+            (least(col("start_tok") + 63, col("n")) - col("start_tok") + 1)
+              .cast("long").as("n_tokens"),
+            element_at(col("toks"), col("start_tok")).as("first_tok"),
+            element_at(col("toks"),
+              least(col("start_tok") + 63, col("n")).cast("int")).as("last_tok"))
+          .transform(d => graft.Q.sorted(d, "doc_id", "chunk_id"))
+      }
     })
 }

@@ -300,6 +300,34 @@ class Ext7Spec extends SparkTestBase {
     paths.unpersist(); ev.unpersist()
   }
 
+  test("x_chunk_text: chunks tile every document with the declared overlap") {
+    val out = run("x_chunk_text").cache()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val per = out.groupBy("doc_id").agg(
+      min("start_tok").as("s0"), max("end_tok").as("eN"),
+      count(lit(1)).as("k"), max("chunk_id").as("kid"),
+      max("n_tokens").as("maxlen"))
+    val j = per.join(docs, "doc_id")
+    // first chunk starts at 1, last ends at n, ids are 1..k, len <= 64
+    assert(j.where(col("s0") =!= 1 || col("eN") =!= col("n") ||
+      col("kid") =!= col("k") || col("maxlen") > 64).count() == 0)
+    // consecutive chunks start exactly 48 apart (fixed stride)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("chunk_id")
+    assert(out.withColumn("prev", lag("start_tok", 1).over(w))
+      .where(col("prev").isNotNull && col("start_tok") - col("prev") =!= 48)
+      .count() == 0)
+    // boundary tokens really are the tokens at those offsets
+    val docsT = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    assert(out.join(docsT, "doc_id")
+      .where(element_at(col("toks"), col("start_tok").cast("int")) =!= col("first_tok") ||
+        element_at(col("toks"), col("end_tok").cast("int")) =!= col("last_tok"))
+      .count() == 0)
+    out.unpersist()
+  }
+
   test("x_histogram: buckets partition the column exactly") {
     val out = run("x_histogram").cache()
     val li = graft.sources.Tables.lineitem(spark, sf)
