@@ -21,8 +21,12 @@ object QueryProbe {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        // same hygiene as Bench: GC-triggered ContextCleaner reclaims
+        // shuffle files/broadcasts between runs, outside the timed window
+        System.gc()
+        dt
       }.sorted
       println(f"[probe] $name%-26s median=${ts(1)}%6.2f  runs=${ts.map(t => f"$t%.2f").mkString(",")}")
     }

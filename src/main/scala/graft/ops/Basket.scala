@@ -250,14 +250,20 @@ object Basket {
         val basket = Tables.lineitem(s, dir)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+        // the loop references edges/deg/nodes once per round: cache them
+        // so round N reuses round 1's materialization instead of
+        // re-running the basket self-join pipeline (ReusedExchange only
+        // dedupes within one AQE stage graph; across the iterated joins
+        // the cache is what makes each extra superstep O(|E|), the same
+        // role the persisted frontier plays in ext/Dedup's CC loop)
         val edges = basket.as("a")
           .join(basket.as("b"),
             col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
           .select(col("a.pk").as("u"), col("b.pk").as("v"))
-          .distinct()
-        val nodes = basket.select(col("pk")).distinct()
+          .distinct().cache()
+        val nodes = basket.select(col("pk")).distinct().cache()
         val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
-        val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+        val deg = edges.groupBy("u").agg(count(lit(1)).as("d")).cache()
         var rank = nodes.crossJoin(nn)
           .select(col("pk"), expr("1000000000000 div n").as("r"))
         for (_ <- 1 to 3) {
@@ -266,11 +272,16 @@ object Basket {
             .join(rank.withColumnRenamed("pk", "u"), "u")
             .groupBy(col("v").as("pk"))
             .agg(sum(expr("r div d")).as("s"))
+          // materialize the (node-cardinality) frontier and cut its
+          // lineage each round — same as ext/Dedup's CC loop; without
+          // this, round N's plan nests rounds 1..N-1 and AQE re-plans
+          // the whole chain
           rank = nodes.crossJoin(nn)
             .join(contrib, Seq("pk"), "left")
             .select(col("pk"),
               (expr("15 * 1000000000000 div (100 * n)")
                 + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
+            .localCheckpoint()
         }
         rank.select(col("pk"), col("r").as("rank_units"))
           .transform(d => graft.Q.sorted(d, "pk"))

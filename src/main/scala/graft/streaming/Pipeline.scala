@@ -389,4 +389,23 @@ object Pipeline {
         count(lit(1)).as("volume"))
       .select(col("symbol"), col("window.start").as("datetime"),
         col("open"), col("high"), col("low"), col("close"), col("volume"))
+
+  /** Sliding (hopping) windowed aggregation — the streaming twin of the
+    * batch `a22_hopping` query: each event lands in window/slide
+    * overlapping windows (Spark expands the membership per-row before
+    * the keyed state lookup), every open window keeps O(1) aggregate
+    * state, and the watermark closes and evicts windows whose end has
+    * passed. Append mode emits each window exactly once, on close —
+    * the standard continuous-metrics shape (per-symbol rolling activity
+    * at a finer emit cadence than the window length).
+    */
+  def slidingCount(events: DataFrame, window: String = "5 minutes",
+      slide: String = "1 minute", watermark: String = "1 second"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("symbol"),
+        org.apache.spark.sql.functions.window(col("ts"), window, slide))
+      .agg(count(lit(1)).as("n_events"), sum(col("qty")).as("qty_sum"))
+      .select(col("symbol"), col("window.start").as("win_start"),
+        col("n_events"), col("qty_sum"))
 }

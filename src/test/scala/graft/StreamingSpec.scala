@@ -123,6 +123,33 @@ class StreamingSpec extends SparkTestBase {
     assert(first.getAs[Long]("volume") == 3L)
   }
 
+  test("streaming sliding windows: each event counts in window/slide windows") {
+    val input = MemoryStream[(String, java.sql.Timestamp, Double, Long)](spark)
+    val events = input.toDF().toDF("symbol", "ts", "price", "qty")
+    val q = Pipeline.slidingCount(events, "5 minutes", "1 minute", "1 second")
+      .writeStream.format("memory").queryName("sliding").outputMode("append").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // one event -> member of 5 sliding windows
+    input.addData(("AAPL", ts("2024-01-01 10:07:30"), 10.0, 2L))
+    q.processAllAvailable()
+    // push the watermark far enough to close all 5
+    input.addData(("AAPL", ts("2024-01-01 10:30:00"), 11.0, 1L))
+    q.processAllAvailable()
+    input.addData(("AAPL", ts("2024-01-01 11:00:00"), 12.0, 1L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sliding")
+      .where(col("win_start") < ts("2024-01-01 10:08:00")).orderBy("win_start").collect()
+    // the 10:07:30 event appears in windows starting 10:03..10:07
+    assert(rows.length == 5, rows.mkString(";"))
+    assert(rows.head.getAs[java.sql.Timestamp]("win_start") == ts("2024-01-01 10:03:00"))
+    assert(rows.last.getAs[java.sql.Timestamp]("win_start") == ts("2024-01-01 10:07:00"))
+    assert(rows.forall(r => r.getAs[Long]("n_events") == 1L &&
+      r.getAs[Long]("qty_sum") == 2L))
+  }
+
   test("streaming dedup within watermark: exact duplicates collapse, state is bounded") {
     // the streaming-native half of the S9 upsert contract: duplicates
     // arriving within the watermark horizon drop in-engine (bounded
