@@ -303,5 +303,103 @@ object Funnel {
             col("n_events"), col("value_cents"))
           .transform(d => graft.Q.sorted(d, "win_start"))
       }
+    },
+
+    // a24: RFM customer segmentation — recency/frequency/monetary
+    // quartile scores, the canonical CRM warehouse derivation. One
+    // per-customer aggregate, then quartile BOUNDARIES (not per-row
+    // ntile: a global ntile is a single-partition sort; three broadcast
+    // boundary values score any number of customers in a map). Exact
+    // cross-engine: the metrics are integers, and 0.25/0.5/0.75
+    // interpolation on integers is IEEE-exact (k/4 steps), so the
+    // double boundaries are bit-identical in both engines. At 100 TB
+    // the exact percentile swaps for the a10_quantiles_approx sketch.
+    Q("a24_rfm",
+      """WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+        |c AS (
+        |  SELECT o_custkey,
+        |         CAST(date_diff('day', max(o_orderdate), (SELECT m FROM mx)) AS BIGINT)
+        |           AS r_days,
+        |         CAST(count(*) AS BIGINT) AS f_cnt,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS m_cents
+        |  FROM orders GROUP BY o_custkey),
+        |q AS (
+        |  SELECT quantile_cont(r_days, [0.25, 0.5, 0.75]) AS rq,
+        |         quantile_cont(f_cnt, [0.25, 0.5, 0.75]) AS fq,
+        |         quantile_cont(m_cents, [0.25, 0.5, 0.75]) AS mq
+        |  FROM c)
+        |SELECT o_custkey, r_days, f_cnt, m_cents,
+        |       CAST(4 - ((r_days > rq[1])::INT + (r_days > rq[2])::INT
+        |                 + (r_days > rq[3])::INT) AS BIGINT) AS r_score,
+        |       CAST(1 + (f_cnt > fq[1])::INT + (f_cnt > fq[2])::INT
+        |              + (f_cnt > fq[3])::INT AS BIGINT) AS f_score,
+        |       CAST(1 + (m_cents > mq[1])::INT + (m_cents > mq[2])::INT
+        |              + (m_cents > mq[3])::INT AS BIGINT) AS m_score
+        |FROM c, q ORDER BY o_custkey""".stripMargin) {
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val mx = o.agg(max("o_orderdate").as("m"))
+        val c = o.crossJoin(broadcast(mx))
+          .groupBy("o_custkey")
+          .agg(datediff(max("m"), max("o_orderdate")).cast("long").as("r_days"),
+            count(lit(1)).as("f_cnt"),
+            sum(round(col("o_totalprice") * 100, 0).cast("long")).as("m_cents"))
+        val q = c.agg(
+          expr("percentile(r_days, array(0.25D, 0.5D, 0.75D))").as("rq"),
+          expr("percentile(f_cnt, array(0.25D, 0.5D, 0.75D))").as("fq"),
+          expr("percentile(m_cents, array(0.25D, 0.5D, 0.75D))").as("mq"))
+        def score(v: String, b: String) =
+          (col(v) > element_at(col(b), 1)).cast("int") +
+            (col(v) > element_at(col(b), 2)).cast("int") +
+            (col(v) > element_at(col(b), 3)).cast("int")
+        c.crossJoin(broadcast(q))
+          .select(col("o_custkey"), col("r_days"), col("f_cnt"), col("m_cents"),
+            (lit(4) - score("r_days", "rq")).cast("long").as("r_score"),
+            (lit(1) + score("f_cnt", "fq")).cast("long").as("f_score"),
+            (lit(1) + score("m_cents", "mq")).cast("long").as("m_score"))
+          .transform(d => graft.Q.sorted(d, "o_custkey"))
+      }
+    },
+
+    // a25: gap-reset running sum — a cumulative total that restarts
+    // whenever the user pauses >1 hour (per-visit running spend). The
+    // segment-id trick turns "conditional reset" into plain windows:
+    // flag = gap>1h, seg_id = running sum of flags, then a cumulative
+    // sum within (user, seg). THREE window functions, ONE user-hash
+    // exchange: seg_id rides the (user) sort and the inner cumsum's
+    // (user, seg) partitioning is a refinement of it, so Catalyst plans
+    // a single shuffle (the second Window re-sorts in place, no
+    // re-exchange). O(1) window state throughout.
+    Q("a25_reset_cumsum",
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+        |              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS reset
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, CAST(sum(reset) OVER w AS BIGINT) AS seg_id
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, seg_id,
+        |       CAST(sum(cents) OVER (PARTITION BY user_id, seg_id
+        |                             ORDER BY ts, event_id) AS BIGINT) AS run_cents
+        |FROM s ORDER BY event_id""".stripMargin) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val w2 = Window.partitionBy("user_id", "seg_id").orderBy("ts", "event_id")
+        val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+          .withColumn("reset",
+            when(gapUs > 3600000000L || gapUs.isNull, 1).otherwise(0))
+          .withColumn("seg_id", sum("reset").over(w).cast("long"))
+          .select(col("event_id"), col("user_id"), col("seg_id"),
+            sum("cents").over(w2).cast("long").as("run_cents"))
+          .transform(d => graft.Q.sorted(d, "event_id"))
+      }
     })
 }

@@ -328,6 +328,41 @@ class Ext7Spec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("a24/a25: RFM scores and gap-reset segments satisfy their definitions") {
+    // a24: every score in 1..4; the max-monetary customer scores m=4;
+    // per-customer metrics reconcile with a direct aggregate
+    val rfm = run("a24_rfm").cache()
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      assert(rfm.where(col(c) < 1 || col(c) > 4).count() == 0) }
+    val top = rfm.orderBy(col("m_cents").desc).head()
+    assert(top.getAs[Long]("m_score") == 4)
+    val direct = graft.sources.Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("f2"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("m2"))
+    assert(rfm.join(direct, "o_custkey")
+      .where(col("f_cnt") =!= col("f2") || col("m_cents") =!= col("m2"))
+      .count() == 0)
+    // a25: within a (user, segment) the running sum ends at the segment
+    // total, and a new segment starts exactly at >1h gaps
+    val rc = run("a25_reset_cumsum").cache()
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val j = rc.join(ev, "event_id")
+    val segTotal = j.groupBy("user_id", "seg_id")
+      .agg(sum("cents").as("tot"), max("run_cents").as("mx"))
+    assert(segTotal.where(col("tot") =!= col("mx")).count() == 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = j
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_seg", col("seg_id") =!= lag("seg_id", 1).over(w))
+    assert(gaps.where(col("gap_us").isNotNull &&
+      (col("new_seg") =!= (col("gap_us") > 3600000000L))).count() == 0)
+    rfm.unpersist(); rc.unpersist()
+  }
+
   test("x_histogram: buckets partition the column exactly") {
     val out = run("x_histogram").cache()
     val li = graft.sources.Tables.lineitem(spark, sf)
