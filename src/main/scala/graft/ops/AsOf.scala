@@ -90,7 +90,8 @@ object AsOf {
     * side's partitioning AND ordering for downstream operators.
     */
   def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, payload: Seq[String],
+      leftOuter: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     org.apache.spark.sql.graftshim.Interop.ensureStrategy(
       spark, graft.plans.AsOfJoinStrategy)
@@ -104,7 +105,7 @@ object AsOf {
       graft.plans.AsOfJoinNode(lPlan, rPlan,
         attr(lPlan, key), attr(rPlan, key),
         attr(lPlan, leftTs), attr(rPlan, rightTs),
-        payload.map(attr(rPlan, _))))
+        payload.map(attr(rPlan, _)), leftOuter))
   }
 
   def queries: Seq[Q] = Seq(
@@ -164,6 +165,41 @@ object AsOf {
         Q.norm(
           asofJoinNative(ev, b, "symbol", "ts", "bar_time",
             payload = Seq("bar_time", "bar_close")),
+          "event_id")
+      }
+    },
+
+    // a20b: the left-outer variant through the same native operator —
+    // events before their symbol's first bar survive with a -1
+    // sentinel (NULL bar_close never reaches the cross-engine hash).
+    // Oracle: DuckDB ASOF LEFT JOIN.
+    Q("a20b_asof_left",
+      s"""WITH ${Bars.cte},
+         |ev AS (SELECT event_id, ${Bars.sqlSymbolFor("user_id")} AS symbol,
+         |              ts, value
+         |       FROM events),
+         |b AS (SELECT symbol, datetime, close FROM bars)
+         |SELECT ev.event_id, ev.symbol, ev.ts, round(ev.value, 6) AS value,
+         |       coalesce(round(b.close, 6), -1) AS bar_close,
+         |       CAST(CASE WHEN b.datetime IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |         AS matched
+         |FROM ev ASOF LEFT JOIN b
+         |  ON ev.symbol = b.symbol AND ev.ts >= b.datetime
+         |ORDER BY ev.event_id""".stripMargin) {
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("event_id"), Bars.symbolFor(col("user_id")).as("symbol"),
+          col("ts"), col("value"))
+        val b = Bars(s, dir)
+          .select(col("symbol"), col("datetime"), col("close"))
+          .withColumnRenamed("datetime", "bar_time")
+          .withColumnRenamed("close", "bar_close")
+        Q.norm(
+          asofJoinNative(ev, b, "symbol", "ts", "bar_time",
+            payload = Seq("bar_time", "bar_close"), leftOuter = true)
+            .select(col("event_id"), col("symbol"), col("ts"), col("value"),
+              coalesce(col("bar_close"), lit(-1.0)).as("bar_close"),
+              when(col("bar_time").isNull, 0L).otherwise(1L).as("matched")),
           "event_id")
       }
     },

@@ -32,14 +32,17 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
   *     sort-merge join costs.
   *
   * Inner as-of semantics (DuckDB `ASOF JOIN`): left rows with no
-  * at-or-before right row are dropped.
+  * at-or-before right row are dropped; with `isLeftOuter` they survive
+  * with a null payload (DuckDB `ASOF LEFT JOIN`).
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightTs: Attribute,
-    payload: Seq[Attribute]) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ payload
+    payload: Seq[Attribute],
+    isLeftOuter: Boolean = false) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ (if (isLeftOuter) payload.map(_.withNullability(true)) else payload)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
     copy(left = newLeft, right = newRight)
@@ -47,8 +50,8 @@ case class AsOfJoinNode(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lts, rts, payload) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, payload) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lts, rts, payload, outer) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, payload, outer) :: Nil
     case _ => Nil
   }
 }
@@ -57,9 +60,11 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightTs: Attribute,
-    payload: Seq[Attribute]) extends BinaryExecNode {
+    payload: Seq[Attribute],
+    isLeftOuter: Boolean = false) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ payload
+  override def output: Seq[Attribute] =
+    left.output ++ (if (isLeftOuter) payload.map(_.withNullability(true)) else payload)
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
@@ -94,10 +99,18 @@ case class AsOfJoinExec(
     val payloadAttrs = payload
     val outAttrs = output
 
+    val outer = isLeftOuter
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val payloadProj = UnsafeProjection.create(payloadAttrs, rOut)
-      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ payloadAttrs)
+      // bind the result against NULLABLE payload slots when outer —
+      // BoundReference takes nullability from the input schema, and a
+      // non-nullable binding would read the null-payload row as 0/""
+      val payloadIn =
+        if (outer) payloadAttrs.map(_.withNullability(true)) else payloadAttrs
+      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ payloadIn)
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val nullPayload = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(payloadAttrs.length)
 
       new Iterator[InternalRow] {
         // lookahead right row not yet consumed, and the current
@@ -134,8 +147,11 @@ case class AsOfJoinExec(
             if (cand != null && keyOrd.compare(candKey, lk) == 0) {
               numOutputRows += 1
               nextOut = resultProj(joined(l, payloadProj(cand)))
+            } else if (outer) {
+              numOutputRows += 1
+              nextOut = resultProj(joined(l, nullPayload))
             }
-            advance() // left row had no match: try the next one
+            advance() // left row had no match (inner): try the next one
           }
         }
 

@@ -55,6 +55,37 @@ class AsOfExecSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("left-outer variant: unmatched left rows survive with null payload") {
+    // synthetic frames — the parquet testdata can never produce an
+    // unmatched event (each event seeds its own symbol's bar), so the
+    // null-payload branch is pinned here
+    val s = spark
+    import s.implicits._
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val trades = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 1L), // before any A quote
+      ("A", ts("2024-01-01 10:30:00"), 2L), // after q1
+      ("B", ts("2024-01-01 10:00:00"), 3L), // B has no quotes at all
+      ("C", ts("2024-01-01 11:00:00"), 4L)  // exactly at C's quote ts
+    ).toDF("sym", "t", "id")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 101.0),
+      ("A", ts("2024-01-01 11:00:00"), 102.0),
+      ("C", ts("2024-01-01 11:00:00"), 300.0)
+    ).toDF("sym", "qt", "px")
+    val out = graft.ops.AsOf.asofJoinNative(
+      trades, quotes, "sym", "t", "qt", Seq("qt", "px"), leftOuter = true)
+      .select(col("id"), col("px")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out == Map(1L -> None, 2L -> Some(101.0), 3L -> None, 4L -> Some(300.0)))
+    // inner variant drops exactly the unmatched ones
+    val inner = graft.ops.AsOf.asofJoinNative(
+      trades, quotes, "sym", "t", "qt", Seq("qt", "px"))
+      .select("id").as[Long].collect().toSet
+    assert(inner == Set(2L, 4L))
+  }
+
   test("output preserves the left partitioning: no extra exchange downstream") {
     def nExchanges(p: String) = "(?i)exchange".r.findAllIn(p).length
     val base = nExchanges(native.queryExecution.executedPlan.toString)
