@@ -151,7 +151,60 @@ object Indicators {
 
   // --- queries ---
 
+  /** Bollinger-band 3-sigma outlier detection with EXACT integer
+    * algebra — no float mean/std ever crosses an engine boundary:
+    * |x - mean| > 3*sigma  ⇔  (n·x - s)² > 9·(n·ss - s²) over the
+    * 20-bar window sums s = Σx, ss = Σx² in integer cents. milli_z2
+    * (z² per-mille) additionally multiplies by 1000, which bounds the
+    * exact range to |n·x - s| ≤ ~9.6e7 cents — ~$48k/share deviation
+    * headroom, beyond every listed equity except BRK.A-class prices;
+    * the flag itself is safe to ~$6M/share. At 100 TB this is the same
+    * one-exchange window cascade as every w* indicator.
+    */
   def queries: Seq[Q] = Seq(
+    Q("w11_bollinger_outlier",
+      s"""WITH ${graft.sources.Bars.cte},
+         |c AS (
+         |  SELECT symbol, datetime, CAST(round(close * 100, 0) AS BIGINT) AS cents
+         |  FROM bars),
+         |w AS (
+         |  SELECT symbol, datetime, cents,
+         |         CAST(count(*) OVER win AS BIGINT) AS n,
+         |         CAST(sum(cents) OVER win AS BIGINT) AS s,
+         |         CAST(sum(cents * cents) OVER win AS BIGINT) AS ss
+         |  FROM c
+         |  WINDOW win AS (PARTITION BY symbol ORDER BY datetime
+         |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT symbol, datetime, cents,
+         |       CAST(CASE WHEN n = 20
+         |                  AND (n*cents - s)*(n*cents - s) > 9*(n*ss - s*s)
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS outlier,
+         |       CAST(CASE WHEN n = 20 AND n*ss > s*s
+         |                 THEN ((n*cents - s)*(n*cents - s) * 1000) // (n*ss - s*s)
+         |                 ELSE -1 END AS BIGINT) AS milli_z2
+         |FROM w ORDER BY symbol, datetime""".stripMargin) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val win = Window.partitionBy("symbol").orderBy("datetime")
+          .rowsBetween(-19, Window.currentRow)
+        graft.sources.Bars(s, dir)
+          .select(col("symbol"), col("datetime"),
+            round(col("close") * 100, 0).cast("long").as("cents"))
+          .withColumn("n", count(lit(1)).over(win))
+          .withColumn("s", sum("cents").over(win))
+          .withColumn("ss", sum(col("cents") * col("cents")).over(win))
+          .select(col("symbol"), col("datetime"), col("cents"),
+            when(col("n") === 20 &&
+              (col("n") * col("cents") - col("s")) *
+                (col("n") * col("cents") - col("s")) >
+                lit(9L) * (col("n") * col("ss") - col("s") * col("s")), 1L)
+              .otherwise(0L).as("outlier"),
+            when(col("n") === 20 && col("n") * col("ss") > col("s") * col("s"),
+              expr("((n*cents - s)*(n*cents - s) * 1000) div (n*ss - s*s)"))
+              .otherwise(-1L).as("milli_z2"))
+          .transform(d => graft.Q.sorted(d, "symbol", "datetime"))
+      }
+    },
     Q("w1_ema",
       barsWith(
         s"x AS (SELECT symbol, datetime, close, ${Sql.ewmaSpan("close", 5)} AS ema5, ${Sql.ewmaSpan("close", 15)} AS ema15 FROM bars)",

@@ -363,6 +363,22 @@ class Ext7Spec extends SparkTestBase {
     rfm.unpersist(); rc.unpersist()
   }
 
+  test("w11_bollinger_outlier: flag and z-squared scale agree") {
+    val out = run("w11_bollinger_outlier").cache()
+    // warmup rows (n<20) never flag and carry the -1 sentinel
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("symbol").orderBy("datetime")
+    val rn = out.withColumn("rn", row_number().over(w))
+    assert(rn.where(col("rn") < 20 &&
+      (col("outlier") =!= 0 || col("milli_z2") =!= -1)).count() == 0)
+    // flag boundary is exactly z^2 > 9: milli_z2 floor >= 9000 iff flagged
+    assert(out.where(col("outlier") === 1 && col("milli_z2") < 9000).count() == 0)
+    assert(out.where(col("outlier") === 0 && col("milli_z2") > 9000).count() == 0)
+    // some outliers exist at this sf (data sanity, not a tautology)
+    assert(out.where(col("outlier") === 1).count() > 0)
+    out.unpersist()
+  }
+
   test("x_histogram: buckets partition the column exactly") {
     val out = run("x_histogram").cache()
     val li = graft.sources.Tables.lineitem(spark, sf)
