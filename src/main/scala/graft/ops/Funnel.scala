@@ -401,5 +401,35 @@ object Funnel {
             sum("cents").over(w2).cast("long").as("run_cents"))
           .transform(d => graft.Q.sorted(d, "event_id"))
       }
+    },
+
+    // a26: deterministic per-key mode — the most frequent event type
+    // per user with a total-order tiebreak (count desc, type asc),
+    // which engine-native mode() functions don't guarantee on ties.
+    // Shape: (user, type) pre-aggregate with map-side partials, then a
+    // WindowGroupLimit-eligible rank<=1 over the tiny per-user type
+    // counts (≤5 rows/user) — never a window over raw events.
+    Q("a26_mode",
+      """WITH c AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY user_id, event_type),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY cnt DESC, event_type) AS rn
+        |  FROM c)
+        |SELECT user_id, event_type AS mode_type, cnt
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("cnt").desc, col("event_type"))
+        Tables.events(s, dir)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("mode_type"), col("cnt"))
+          .transform(d => graft.Q.sorted(d, "user_id"))
+      }
     })
 }

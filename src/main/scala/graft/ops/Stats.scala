@@ -45,5 +45,59 @@ object Stats {
             min("cents").as("min_cents"), max("cents").as("max_cents"))
           .transform(d => graft.Q.sorted(d, "bucket"))
       }
+    },
+
+    // Data-quality profile — the per-column null/cardinality/min/max
+    // sweep every ingestion pipeline runs before trusting a new drop.
+    // ONE aggregation pass computes all columns' stats (count-distincts
+    // share a single Expand), then a 3-row unpivot shapes the classic
+    // profile output. Values egress as strings so one schema carries
+    // mixed column types; numerics go through integer casts first so
+    // no float formatting crosses engines.
+    Q("x_profile",
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(*) - count(l_quantity) AS BIGINT) AS qty_null,
+        |         CAST(count(DISTINCT CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty_card,
+        |         CAST(min(CAST(round(l_quantity, 0) AS BIGINT)) AS VARCHAR) AS qty_min,
+        |         CAST(max(CAST(round(l_quantity, 0) AS BIGINT)) AS VARCHAR) AS qty_max,
+        |         CAST(count(*) - count(l_returnflag) AS BIGINT) AS rf_null,
+        |         CAST(count(DISTINCT l_returnflag) AS BIGINT) AS rf_card,
+        |         CAST(min(l_returnflag) AS VARCHAR) AS rf_min,
+        |         CAST(max(l_returnflag) AS VARCHAR) AS rf_max,
+        |         CAST(count(*) - count(l_shipdate) AS BIGINT) AS sd_null,
+        |         CAST(count(DISTINCT l_shipdate) AS BIGINT) AS sd_card,
+        |         CAST(min(l_shipdate) AS VARCHAR) AS sd_min,
+        |         CAST(max(l_shipdate) AS VARCHAR) AS sd_max
+        |  FROM lineitem)
+        |SELECT 'l_quantity' AS col, n, qty_null AS n_null, qty_card AS n_distinct,
+        |       qty_min AS min_v, qty_max AS max_v FROM a
+        |UNION ALL SELECT 'l_returnflag', n, rf_null, rf_card, rf_min, rf_max FROM a
+        |UNION ALL SELECT 'l_shipdate', n, sd_null, sd_card, sd_min, sd_max FROM a
+        |ORDER BY col""".stripMargin) {
+      (s, dir) => {
+        val qty = round(col("l_quantity"), 0).cast("long")
+        val a = Tables.lineitem(s, dir).agg(
+          count(lit(1)).as("n"),
+          (count(lit(1)) - count(col("l_quantity"))).as("qty_null"),
+          countDistinct(qty).as("qty_card"),
+          min(qty).cast("string").as("qty_min"),
+          max(qty).cast("string").as("qty_max"),
+          (count(lit(1)) - count(col("l_returnflag"))).as("rf_null"),
+          countDistinct(col("l_returnflag")).as("rf_card"),
+          min("l_returnflag").cast("string").as("rf_min"),
+          max("l_returnflag").cast("string").as("rf_max"),
+          (count(lit(1)) - count(col("l_shipdate"))).as("sd_null"),
+          countDistinct(col("l_shipdate")).as("sd_card"),
+          min("l_shipdate").cast("string").as("sd_min"),
+          max("l_shipdate").cast("string").as("sd_max"))
+        a.selectExpr(
+          """stack(3,
+            |  'l_quantity',   n, qty_null, qty_card, qty_min, qty_max,
+            |  'l_returnflag', n, rf_null,  rf_card,  rf_min,  rf_max,
+            |  'l_shipdate',   n, sd_null,  sd_card,  sd_min,  sd_max)
+            |AS (col, n, n_null, n_distinct, min_v, max_v)""".stripMargin)
+          .transform(d => graft.Q.sorted(d, "col"))
+      }
     })
 }

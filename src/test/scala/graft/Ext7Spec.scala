@@ -379,6 +379,26 @@ class Ext7Spec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("a26/x_profile: mode is the true argmax; profile matches direct stats") {
+    val ev = graft.sources.Tables.events(spark, sf).cache()
+    val mode = run("a26_mode").cache()
+    assert(mode.count() == ev.select("user_id").distinct().count())
+    // the reported count is the max per-user type count
+    val mx = ev.groupBy("user_id", "event_type").count()
+      .groupBy("user_id").agg(max("count").as("mx"))
+    assert(mode.join(mx, "user_id").where(col("cnt") =!= col("mx")).count() == 0)
+    // profile reconciles with direct aggregates
+    val prof = run("x_profile").collect()
+      .map(r => r.getAs[String]("col") -> r).toMap
+    val li = graft.sources.Tables.lineitem(spark, sf).cache()
+    assert(prof("l_returnflag").getAs[Long]("n") == li.count())
+    assert(prof("l_returnflag").getAs[Long]("n_distinct") ==
+      li.select("l_returnflag").distinct().count())
+    assert(prof("l_quantity").getAs[String]("min_v").toLong ==
+      li.agg(min(round(col("l_quantity"), 0).cast("long"))).head().getLong(0))
+    li.unpersist(); mode.unpersist(); ev.unpersist()
+  }
+
   test("x_histogram: buckets partition the column exactly") {
     val out = run("x_histogram").cache()
     val li = graft.sources.Tables.lineitem(spark, sf)
