@@ -98,9 +98,13 @@ object AsOf {
     val lPlan = org.apache.spark.sql.graftshim.Interop.analyzed(left)
     val rPlan = org.apache.spark.sql.graftshim.Interop.analyzed(right)
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-        name: String) =
-      p.output.find(_.name == name).getOrElse(
-        sys.error(s"asofJoinNative: no column '$name' in ${p.output.map(_.name)}"))
+        name: String) = p.output.filter(_.name == name) match {
+      case Seq(a) => a
+      case Seq() =>
+        sys.error(s"asofJoinNative: no column '$name' in ${p.output.map(_.name)}")
+      case many => // fail loudly instead of silently binding the first
+        sys.error(s"asofJoinNative: ambiguous column '$name' (${many.size} matches)")
+    }
     org.apache.spark.sql.graftshim.Interop.ofRows(spark,
       graft.plans.AsOfJoinNode(lPlan, rPlan,
         attr(lPlan, key), attr(rPlan, key),

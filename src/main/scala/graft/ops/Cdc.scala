@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   * is oracle-checkable without a second input table: per-customer order
   * spend becomes the updated balance; custkey % 7 == 0 becomes a DELETE;
   * custkey % 5 == 2 is withheld from the batch (exercising the
-  * keep-unchanged branch); a shifted key range becomes INSERTs.
+  * keep-unchanged branch); a mirrored key range becomes INSERTs
+  * (-key-1: customer keys are non-negative, so the synthetic insert
+  * keys are disjoint from the base at ANY scale — a fixed offset
+  * would collide once custkey passes it).
   *
   * Scale shape: one full outer hash join on the primary key resolves all
   * four MERGE branches in a single pass — no per-row driver logic, no
@@ -39,7 +42,7 @@ object Cdc {
         |           AS new_bal_cents
         |  FROM orders WHERE o_custkey % 5 <> 2 GROUP BY o_custkey),
         |ins AS (
-        |  SELECT key + 1000000 AS key, 'I' AS op, new_bal_cents
+        |  SELECT -key - 1 AS key, 'I' AS op, new_bal_cents
         |  FROM chg WHERE op = 'U' AND key % 11 = 0),
         |allchg AS (SELECT * FROM chg UNION ALL SELECT * FROM ins),
         |base AS (
@@ -62,7 +65,7 @@ object Cdc {
         // keys) its derived INSERT via explode — the second orders scan
         // a naive `chg UNION ins-from-chg` plan would pay never exists
         val row = struct(col("key"), col("op"), col("new_bal_cents"))
-        val insRow = struct((col("key") + 1000000L).as("key"),
+        val insRow = struct((-col("key") - 1L).as("key"),
           lit("I").as("op"), col("new_bal_cents"))
         val allChg = Tables.orders(s, dir)
           .where(col("o_custkey") % 5 =!= 2)

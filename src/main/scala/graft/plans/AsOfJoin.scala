@@ -127,29 +127,49 @@ case class AsOfJoinExec(
         private def advance(): Unit = {
           if (nextOut == null && lIter.hasNext) {
             val l = lIter.next()
-            val lk = l.get(lKeyIdx, keyType)
-            val lt = l.get(lTsIdx, tsType)
-            // pull right rows up to (lk, lt); the last one with key == lk
-            // becomes the candidate
-            var stop = false
-            while (!stop) {
-              if (rNext == null) readRight()
-              if (rNext == null) stop = true
-              else {
-                val cmp = keyOrd.compare(rNext.get(rKeyIdx, keyType), lk)
-                if (cmp < 0) { rNext = null } // behind every remaining left key
-                else if (cmp == 0 &&
-                    tsOrd.compare(rNext.get(rTsIdx, tsType), lt) <= 0) {
-                  cand = rNext.copy(); candKey = lk; rNext = null
-                } else stop = true // right is ahead; candidate stands
+            // NULL key/ts on the left can never match (SQL join
+            // semantics): drop under inner, null-extend under outer
+            if (l.isNullAt(lKeyIdx) || l.isNullAt(lTsIdx)) {
+              if (outer) {
+                numOutputRows += 1
+                nextOut = resultProj(joined(l, nullPayload))
               }
-            }
-            if (cand != null && keyOrd.compare(candKey, lk) == 0) {
-              numOutputRows += 1
-              nextOut = resultProj(joined(l, payloadProj(cand)))
-            } else if (outer) {
-              numOutputRows += 1
-              nextOut = resultProj(joined(l, nullPayload))
+            } else {
+              val lk = l.get(lKeyIdx, keyType)
+              val lt = l.get(lTsIdx, tsType)
+              // pull right rows up to (lk, lt); the last one with
+              // key == lk becomes the candidate
+              var stop = false
+              while (!stop) {
+                if (rNext == null) readRight()
+                if (rNext == null) stop = true
+                // NULL-keyed/ts right rows match nothing: skip (they
+                // sort NULLS FIRST, so they drain before real keys)
+                else if (rNext.isNullAt(rKeyIdx) || rNext.isNullAt(rTsIdx)) {
+                  rNext = null
+                } else {
+                  val cmp = keyOrd.compare(rNext.get(rKeyIdx, keyType), lk)
+                  if (cmp < 0) { rNext = null } // behind every remaining left key
+                  else if (cmp == 0 &&
+                      tsOrd.compare(rNext.get(rTsIdx, tsType), lt) <= 0) {
+                    // copy the row and read the key back from OUR copy:
+                    // object-typed keys (UTF8String) read from l or
+                    // rNext alias iterator-owned buffers that the next
+                    // next() overwrites (sort-spill readers and codegen
+                    // stages reuse row memory)
+                    cand = rNext.copy()
+                    candKey = cand.get(rKeyIdx, keyType)
+                    rNext = null
+                  } else stop = true // right is ahead; candidate stands
+                }
+              }
+              if (cand != null && keyOrd.compare(candKey, lk) == 0) {
+                numOutputRows += 1
+                nextOut = resultProj(joined(l, payloadProj(cand)))
+              } else if (outer) {
+                numOutputRows += 1
+                nextOut = resultProj(joined(l, nullPayload))
+              }
             }
             advance() // left row had no match (inner): try the next one
           }

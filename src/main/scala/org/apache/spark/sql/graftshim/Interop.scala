@@ -46,7 +46,14 @@ object Interop {
     * sessions; this covers ones that already exist).
     */
   def ensureStrategy(spark: org.apache.spark.sql.SparkSession,
-      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = synchronized {
+    // idempotent within extraStrategies (synchronized: the read-append
+    // pair below would otherwise race). A session configured with
+    // spark.sql.extensions=GraftExtensions holds the strategy in the
+    // injected planner list instead, which this cannot see — the cost
+    // of the resulting double registration is one extra no-op pattern
+    // match per plan node, never a wrong plan (both copies produce the
+    // same candidate and the planner picks the first).
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
     if (!exp.extraStrategies.contains(strategy))
       exp.extraStrategies = exp.extraStrategies :+ strategy

@@ -66,20 +66,23 @@ class AsOfExecSpec extends SparkTestBase {
       ("A", ts("2024-01-01 09:00:00"), 1L), // before any A quote
       ("A", ts("2024-01-01 10:30:00"), 2L), // after q1
       ("B", ts("2024-01-01 10:00:00"), 3L), // B has no quotes at all
-      ("C", ts("2024-01-01 11:00:00"), 4L)  // exactly at C's quote ts
+      ("C", ts("2024-01-01 11:00:00"), 4L), // exactly at C's quote ts
+      (null, ts("2024-01-01 12:00:00"), 5L) // NULL key: never matches
     ).toDF("sym", "t", "id")
     val quotes = Seq(
       ("A", ts("2024-01-01 10:00:00"), 101.0),
       ("A", ts("2024-01-01 11:00:00"), 102.0),
-      ("C", ts("2024-01-01 11:00:00"), 300.0)
+      ("C", ts("2024-01-01 11:00:00"), 300.0),
+      (null, ts("2024-01-01 09:00:00"), 999.0) // NULL key: matches nothing
     ).toDF("sym", "qt", "px")
     val out = graft.ops.AsOf.asofJoinNative(
       trades, quotes, "sym", "t", "qt", Seq("qt", "px"), leftOuter = true)
       .select(col("id"), col("px")).collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
       .toMap
-    assert(out == Map(1L -> None, 2L -> Some(101.0), 3L -> None, 4L -> Some(300.0)))
-    // inner variant drops exactly the unmatched ones
+    assert(out == Map(1L -> None, 2L -> Some(101.0), 3L -> None,
+      4L -> Some(300.0), 5L -> None))
+    // inner variant drops exactly the unmatched ones (incl. null-key rows)
     val inner = graft.ops.AsOf.asofJoinNative(
       trades, quotes, "sym", "t", "qt", Seq("qt", "px"))
       .select("id").as[Long].collect().toSet

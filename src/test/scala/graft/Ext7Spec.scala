@@ -26,11 +26,12 @@ class Ext7Spec extends SparkTestBase {
     val updated = out.where(col("src") === "updated")
     assert(updated.join(spend, "key")
       .where(col("bal_cents") =!= col("cents")).count() == 0)
-    // I: inserts are exactly the shifted %11 update keys, named NEW#key
+    // I: inserts are exactly the mirrored %11 update keys (negative, so
+    // disjoint from real custkeys at any scale), named NEW#key
     val expIns = spend.where(col("key") % 7 =!= 0 && col("key") % 11 === 0)
     assert(out.where(col("src") === "inserted").count() == expIns.count())
     assert(out.where(col("src") === "inserted" &&
-      (col("key") <= 1000000L ||
+      (col("key") >= 0L ||
         col("name") =!= concat(lit("NEW#"), col("key").cast("string"))))
       .count() == 0)
     // kept: untouched customers keep their base balance
