@@ -1,5 +1,7 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -14,6 +16,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Egress as int64 µs, NOT the INT96/ns default: the driver reads
+      // these files with pyarrow, and int64 NANOS overflows at
+      // 2262-04-11 — a 9999-12-31 SCD2 sentinel wraps to 2001-07-31
+      // under a ns reader while DuckDB sees 9999-12-31 (round-5 x_scd2
+      // red row). µs represents year 9999 exactly on every reader.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -21,7 +29,7 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try egress(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -45,5 +53,23 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  /** Egress canonicalization for the cross-engine hash: TIMESTAMP (UTC
+    * instant) → TIMESTAMP_NTZ. With MICROS physical (see session conf)
+    * an instant column carries isAdjustedToUTC=true, which pyarrow and
+    * DuckDB surface as tz-aware — formatting with a "+00:00" suffix the
+    * naive DuckDB oracle timestamps lack. Session tz is UTC, so the cast
+    * preserves the wall clock exactly; the file then reads back as naive
+    * timestamp[us] on every reader, year 9999 included.
+    */
+  private[graft] def egress(df: DataFrame): DataFrame = {
+    val hasTs = df.schema.fields.exists(_.dataType == TimestampType)
+    if (!hasTs) df
+    else df.select(df.schema.fields.map { f =>
+      if (f.dataType == TimestampType)
+        col(f.name).cast(TimestampNTZType).as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
   }
 }

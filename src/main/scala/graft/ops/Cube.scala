@@ -132,17 +132,74 @@ object Cube {
     // The a10 scale rung: same quantiles through the mergeable
     // percentile sketch (`Sketch.approxQuantiles` — O(accuracy·log n)
     // state instead of buffering every group value; the ONLY quantile
-    // that survives a hot group at 100 TB). No DuckDB oracle — sketch
-    // implementations legitimately differ inside the rank-error bound,
-    // which SketchSpec pins instead (driver records rows-only here; a10
-    // exact stays the hash-checked row).
-    Q.noOracle("a10_quantiles_approx") {
-      (s, dir) =>
+    // that survives a hot group at 100 TB). Sketch values legitimately
+    // differ from DuckDB's inside the rank-error bound, so the oracle
+    // checks the INVARIANT instead of the value: both engines compute
+    // the exact order statistics at ranks q·n ± (⌈n/accuracy⌉+2) — raw
+    // data elements via row_number, no interpolation, so they are
+    // cell-identical across engines — and the Spark side additionally
+    // asserts its sketch output lies inside them (`okXX`), which DuckDB
+    // emits as the constant the guarantee demands. A drifting sketch
+    // flips okXX to 0 and the driver hash goes red. (Rank-bound per
+    // Greenwald–Khanna: percentile_approx returns a real element whose
+    // rank error is ≤ n/accuracy.)
+    Q("a10_quantiles_approx", {
+      val d = "CAST(ceil(n / 10000.0) AS BIGINT) + 2"
+      def lo(q: String, a: String) =
+        s"max(CASE WHEN rk <= greatest(1, CAST(floor(n * $q) AS BIGINT) - ($d)) THEN value END) AS lo$a"
+      def hi(q: String, a: String) =
+        s"min(CASE WHEN rk >= least(n, CAST(ceil(n * $q) AS BIGINT) + ($d)) THEN value END) AS hi$a"
+      s"""WITH r AS (
+         |  SELECT event_type, value,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+         |         count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events),
+         |b AS (
+         |  SELECT event_type,
+         |         ${lo("0.5", "50")}, ${hi("0.5", "50")},
+         |         ${lo("0.95", "95")}, ${hi("0.95", "95")},
+         |         ${lo("0.99", "99")}, ${hi("0.99", "99")}
+         |  FROM r GROUP BY event_type)
+         |SELECT event_type,
+         |       round(lo50, 6) AS lo50, round(hi50, 6) AS hi50,
+         |       round(lo95, 6) AS lo95, round(hi95, 6) AS hi95,
+         |       round(lo99, 6) AS lo99, round(hi99, 6) AS hi99,
+         |       CAST(1 AS BIGINT) AS ok50, CAST(1 AS BIGINT) AS ok95,
+         |       CAST(1 AS BIGINT) AS ok99
+         |FROM b ORDER BY event_type""".stripMargin
+    }) {
+      (s, dir) => {
+        val acc = 10000
+        val e = Tables.events(s, dir).select(col("event_type"), col("value"))
+        val byKey = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+        val ranked = e
+          .withColumn("rk", row_number().over(byKey.orderBy("value")))
+          .withColumn("n", count(lit(1)).over(byKey))
+        val d = ceil(col("n") / acc).cast("long") + lit(2L)
+        def lo(q: Double) = max(when(
+          col("rk") <= greatest(lit(1L), floor(col("n") * q).cast("long") - d),
+          col("value")))
+        def hi(q: Double) = min(when(
+          col("rk") >= least(col("n"), ceil(col("n") * q).cast("long") + d),
+          col("value")))
+        val bounds = ranked.groupBy("event_type").agg(
+          lo(0.5).as("lo50"), hi(0.5).as("hi50"),
+          lo(0.95).as("lo95"), hi(0.95).as("hi95"),
+          lo(0.99).as("lo99"), hi(0.99).as("hi99"))
+        val approx = graft.ops.Sketch.approxQuantiles(
+          e, Seq("event_type"), "value", Seq(0.5, 0.95, 0.99), acc)
+        def ok(p: String, a: String) =
+          (col(p) >= col(s"lo$a") && col(p) <= col(s"hi$a"))
+            .cast("long").as(s"ok$a")
         Q.norm(
-          graft.ops.Sketch.approxQuantiles(
-            Tables.events(s, dir), Seq("event_type"), "value",
-            Seq(0.5, 0.95, 0.99)),
+          approx.join(bounds, "event_type")
+            .select(col("event_type"),
+              col("lo50"), col("hi50"), col("lo95"), col("hi95"),
+              col("lo99"), col("hi99"),
+              ok("p50", "50"), ok("p95", "95"), ok("p99", "99")),
           "event_type")
+      }
     },
 
     // Gap-based sessionization of the event stream (30-min inactivity

@@ -8,10 +8,13 @@ For each query in outdir/oracle_sql.json: run the SQL in DuckDB (tables =
 parquet basenames in sfdir), read the Spark parquet from outdir, sort columns
 by name, and compare cell-exact (after canonicalizing NaN/None).
 """
+import datetime
 import json, math, sys, subprocess
 from pathlib import Path
 
 import duckdb
+import numpy as np
+import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -23,6 +26,13 @@ def canon(v):
         if math.isnan(v):
             return None
         return v
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(canon(x) for x in v)
+    # pyarrow yields datetime.date for date32; DuckDB's .df() yields a
+    # midnight Timestamp for the same DATE — same value, different class
+    # (the driver's hash agrees on these: a16/a18 are green there)
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        return datetime.datetime(v.year, v.month, v.day)
     return v
 
 
@@ -61,7 +71,19 @@ def main():
             print(f"FAIL {name}: oracle error: {str(e)[:300]}")
             n_fail += 1
             continue
-        got = con.execute(f"SELECT * FROM '{spath}/*.parquet'").df()
+        # Driver-faithful read: the driver hashes Spark output through
+        # pyarrow/pandas, NOT DuckDB. Round 5's x_scd2 was green here but
+        # red at the driver because DuckDB tolerated an INT96 9999-12-31
+        # sentinel that pyarrow wrapped to 2001-07-31 (int64-ns overflow).
+        sptbl = pq.read_table(str(spath))
+        nscols = [f.name for f in sptbl.schema
+                  if str(f.type).startswith("timestamp[ns")]
+        if nscols:
+            print(f"FAIL {name}: ns-physical timestamp egress {nscols} "
+                  f"(wraps past 2262-04-11; Verify must write TIMESTAMP_MICROS)")
+            n_fail += 1
+            continue
+        got = sptbl.to_pandas()
         want = want.reindex(sorted(want.columns), axis=1)
         got = got.reindex(sorted(got.columns), axis=1)
         if list(want.columns) != list(got.columns):
