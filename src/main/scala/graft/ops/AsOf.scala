@@ -36,28 +36,33 @@ object AsOf {
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val lType = left.schema.map(f => f.name -> f.dataType).toMap
-    val rType = right.schema.map(f => f.name -> f.dataType).toMap
+    // The whole right payload rides in ONE struct column: last(struct)
+    // is atomic per right row, so a right row holding NULL in some
+    // payload column can never have its other columns stitched together
+    // with a different row's values, and a matched-but-all-NULL payload
+    // still counts as a match (the struct itself is non-null) — same
+    // semantics as AsOfJoinExec and DuckDB ASOF JOIN.
+    val pStruct = org.apache.spark.sql.types.StructType(
+      right.schema.fields.filter(f => payload.contains(f.name)))
     // one unioned schema: key, t, side (0=right first at equal t), left
-    // cols, right payload; absent-side columns are typed nulls so the
-    // union needs no coercion
+    // cols, right payload struct; absent-side columns are typed nulls so
+    // the union needs no coercion
     val rightTagged = right.select(
       (col(key) +: col(rightTs).as("_t") +: lit(0).as("_side") +:
         (leftCols.filterNot(c => c == key)
-          .map(c => lit(null).cast(lType(c)).as(c)) ++
-          payload.map(col))): _*)
+          .map(c => lit(null).cast(lType(c)).as(c)) :+
+          struct(payload.map(col): _*).as("_p"))): _*)
     val leftTagged = left.select(
       (col(key) +: col(leftTs).as("_t") +: lit(1).as("_side") +:
-        (leftCols.filterNot(c => c == key).map(col) ++
-          payload.map(c => lit(null).cast(rType(c)).as(c)))): _*)
+        (leftCols.filterNot(c => c == key).map(col) :+
+          lit(null).cast(pStruct).as("_p"))): _*)
     val w = Window.partitionBy(key).orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightTagged.unionByName(leftTagged)
-      .select(col("*") +: payload.map(c =>
-        last(col(c), ignoreNulls = true).over(w).as(s"_asof_$c")): _*)
-    filled.where(col("_side") === 1 && payload.map(c =>
-        col(s"_asof_$c").isNotNull).reduce(_ || _))
+      .withColumn("_asof_p", last(col("_p"), ignoreNulls = true).over(w))
+    filled.where(col("_side") === 1 && col("_asof_p").isNotNull)
       .select(leftCols.map(col) ++
-        payload.map(c => col(s"_asof_$c").as(c)): _*)
+        payload.map(c => col("_asof_p").getField(c).as(c)): _*)
   }
 
   /** Range (interval) join: left rows matched to right rows with
@@ -71,8 +76,11 @@ object AsOf {
     */
   def rangeJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, widthSec: Long): DataFrame = {
-    val lb = (unix_timestamp(col(leftTs)) / widthSec).cast("long")
-    val rb = (unix_timestamp(col(rightTs)) / widthSec).cast("long")
+    // floor, not cast-truncate: truncation rounds toward zero, so
+    // pre-1970 (negative epoch) timestamps near a boundary would land in
+    // the wrong bucket and silently miss matches despite the recheck
+    val lb = floor(unix_timestamp(col(leftTs)) / widthSec).cast("long")
+    val rb = floor(unix_timestamp(col(rightTs)) / widthSec).cast("long")
     val l = left.withColumn("_lb", explode(array(lb, lb + 1)))
     val r = right.withColumn("_rb", rb)
     l.join(r, l(key) === r(key) && col("_lb") === col("_rb") &&

@@ -38,7 +38,7 @@ object Basket {
     // n_orders * supp_ab / (supp_a * supp_b); integer-exact except the
     // final lift ratio (6-dp rounded on both engines).
     Q("x_copurchase",
-      """WITH basket AS (
+      s"""WITH basket AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |n AS (SELECT count(DISTINCT ok) AS n_orders FROM basket),
         |item AS (SELECT pk, count(*) AS supp FROM basket GROUP BY pk),
@@ -53,7 +53,7 @@ object Basket {
         |FROM pair CROSS JOIN n
         |JOIN item ia ON ia.pk = part_a
         |JOIN item ib ON ib.pk = part_b
-        |WHERE supp_ab >= 3
+        |WHERE supp_ab >= $MinSupport
         |ORDER BY part_a, part_b""".stripMargin) {
       (s, dir) => {
         val basket = Tables.lineitem(s, dir)
@@ -84,12 +84,12 @@ object Basket {
     // graph. Degree-oriented wedge join: every triangle is generated
     // exactly once from its lowest-ranked vertex.
     Q("x_triangles",
-      """WITH basket AS (
+      s"""WITH basket AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |e0 AS (
         |  SELECT a.pk AS u, b.pk AS v
         |  FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk < b.pk
-        |  GROUP BY a.pk, b.pk HAVING count(*) >= 3),
+        |  GROUP BY a.pk, b.pk HAVING count(*) >= $MinSupport),
         |deg AS (
         |  SELECT pk, count(*) AS d FROM (
         |    SELECT u AS pk FROM e0 UNION ALL SELECT v AS pk FROM e0)

@@ -448,13 +448,36 @@ object Joins {
     */
   def dppCustomerPath(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val src = new java.io.File(dir, "customer.parquet")
-    val tag = java.lang.Long.toHexString(src.length() ^ (src.lastModified() * 31L))
-    val out = new java.io.File(
+    // fingerprint the LEAF files (sum of sizes, max mtime, count): a
+    // directory-shaped source whose part files are rewritten without
+    // changing the directory entry's own size/mtime still invalidates
+    def leaves(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(leaves)
+      else Seq(f)
+    val ls = leaves(src)
+    val tag = java.lang.Long.toHexString(
+      ls.map(_.length()).sum ^ (ls.map(_.lastModified()).max * 31L)
+        ^ ls.size.toLong)
+    val base = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft-dpp/${new java.io.File(dir).getName}-$tag/customer")
-    if (!new java.io.File(out, "_SUCCESS").exists())
+      s"graft-dpp/${new java.io.File(dir).getName}-$tag")
+    val out = new java.io.File(base, "customer")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      // build in a private temp dir, then atomic-rename into place: a
+      // concurrent session either wins the rename or reuses the
+      // winner's complete layout — never observes a half-written one
+      val tmp = new java.io.File(base, s"customer-tmp-${java.util.UUID.randomUUID()}")
       graft.sources.Layout.writeClustered(
-        Tables.customer(s, dir), out.toString, Seq("c_nationkey"), "c_custkey")
+        Tables.customer(s, dir), tmp.toString, Seq("c_nationkey"), "c_custkey")
+      if (!tmp.renameTo(out)) {
+        if (!new java.io.File(out, "_SUCCESS").exists())
+          sys.error(s"dppCustomerPath: cannot publish $tmp -> $out")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit
+        }
+        rm(tmp)
+      }
+    }
     out.toString
   }
 }

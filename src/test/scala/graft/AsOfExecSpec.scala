@@ -89,6 +89,37 @@ class AsOfExecSpec extends SparkTestBase {
     assert(inner == Set(2L, 4L))
   }
 
+  test("union-trick payload is atomic per right row (NULL payload cells)") {
+    // A right row carrying NULL in one payload column must not have its
+    // other columns stitched together with an EARLIER right row's values
+    // (per-column last(ignoreNulls) did exactly that), and a matched row
+    // whose payload is entirely NULL still matches under inner as-of.
+    val s = spark
+    import s.implicits._
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val trades = Seq(
+      ("A", ts("2024-01-01 11:30:00"), 1L), // latest quote has px, no tag
+      ("A", ts("2024-01-01 10:30:00"), 2L), // latest quote has tag, no px
+      ("D", ts("2024-01-01 10:30:00"), 3L)  // only quote is all-NULL
+    ).toDF("sym", "t", "id")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), None: Option[Double], Some("q1")),
+      ("A", ts("2024-01-01 11:00:00"), Some(102.0), None: Option[String]),
+      ("D", ts("2024-01-01 10:00:00"), None: Option[Double], None: Option[String])
+    ).toDF("sym", "qt", "px", "tag")
+    val out = graft.ops.AsOf.asofJoin(
+        trades, quotes, "sym", "t", "qt", Seq("px", "tag"))
+      .select(col("id"), col("px"), col("tag")).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1))),
+          Option(r.getString(2))))
+      .toMap
+    assert(out == Map(
+      1L -> ((Some(102.0), None)),    // NOT (102.0, "q1") stitched
+      2L -> ((None, Some("q1"))),
+      3L -> ((None, None))))          // matched despite all-NULL payload
+  }
+
   test("output preserves the left partitioning: no extra exchange downstream") {
     def nExchanges(p: String) = "(?i)exchange".r.findAllIn(p).length
     val base = nExchanges(native.queryExecution.executedPlan.toString)
