@@ -89,6 +89,17 @@ object Similarity {
   val SrpBits = 16
   val SrpBands = 4
   val SrpRows = 4
+
+  /** Corpus-size switch for e4's band geometry. SRP candidate count is
+    * Θ(n²/2^r) per band, so holding per-bucket occupancy constant needs
+    * r ≈ log₂(n/occupancy): the (4,4) recall-sized dial saturates its 16
+    * buckets/band once n outgrows a few thousand vectors and goes
+    * quadratic (round-5 sf1: 33.6 s vs 1.6 s for (8,2) on 20k vectors).
+    * Above this n the headline e4 runs the wide (8,2) geometry — the
+    * same integer threshold is evaluated inside the oracle SQL, so both
+    * engines always pick the same geometry.
+    */
+  val SrpSmallCorpusMaxN = 4000L
   lazy val planes: Seq[Seq[Int]] = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     (0 until SrpBits).map { j =>
@@ -286,12 +297,18 @@ object Similarity {
     },
 
     // e4: SRP-LSH bucketed near-dup — the scale path for e1. Signature
-    // bit j = [dot(v, h_j) >= 0] over the ±1 hyperplanes; 4 bands of 4
-    // bits; candidates collide in >= 1 band; verified with exact cosine.
-    // At 100 TB this replaces e1's all-pairs join with a bucket join
-    // whose cost tracks the collision rate, not n^2.
-    Q("e4_srp_lsh", srpOracleSql(SrpRows, SrpBands)) {
-      (s, dir) => srpNearDup(s, dir, SrpRows, SrpBands)
+    // bit j = [dot(v, h_j) >= 0] over the ±1 hyperplanes; candidates
+    // collide in >= 1 band; verified with exact cosine. At 100 TB this
+    // replaces e1's all-pairs join with a bucket join whose cost tracks
+    // the collision rate, not n^2. The band geometry is SIZED TO THE
+    // CORPUS (rows ≈ log₂(n/occupancy), quantized to the two in-repo
+    // dials): (4,4) recall-sized below SrpSmallCorpusMaxN vectors, (8,2)
+    // above — so the headline configuration never runs a saturated
+    // geometry at scale. The oracle SQL evaluates the same integer
+    // count threshold, keeping both engines on the identical geometry
+    // at every SF.
+    Q("e4_srp_lsh", srpAdaptiveOracleSql) {
+      (s, dir) => srpNearDupAdaptive(s, dir)
     },
 
     // e4w: the same SRP banding with the width dial turned for scale —
@@ -318,17 +335,32 @@ object Similarity {
     * candidate pairs (the oracle's stand-in for the plan's
     * first-matching-band filter), exact-cosine verify.
     */
-  def srpOracleSql(bandRows: Int, nBands: Int): String = {
+  def srpOracleSql(bandRows: Int, nBands: Int): String =
+    srpOracleSqlFor(Seq((bandRows, nBands, "")))
+
+  /** Oracle twin of [[srpNearDupAdaptive]]: both geometries' band arms,
+    * each gated on the SAME integer corpus-count threshold the Spark
+    * side switches on — one static SQL string valid at every SF.
+    */
+  def srpAdaptiveOracleSql: String = srpOracleSqlFor(Seq(
+    (SrpRows, SrpBands, s" WHERE (SELECT cnt FROM nn) <= $SrpSmallCorpusMaxN"),
+    (8, 2, s" WHERE (SELECT cnt FROM nn) > $SrpSmallCorpusMaxN")))
+
+  private def srpOracleSqlFor(geoms: Seq[(Int, Int, String)]): String = {
+    val nBits = geoms.map { case (r, b, _) => r * b }.max
     def dotSql(j: Int): String =
       sqlDot("embedding", planes(j).map(v => s"$v.0").mkString("[", ",", "]"))
-    val bitsSql = (0 until bandRows * nBands)
+    val bitsSql = (0 until nBits)
       .map(j => s"CASE WHEN ${dotSql(j)} >= 0 THEN 1 ELSE 0 END AS b$j")
       .mkString(",\n       ")
-    val bandSql = (0 until nBands).map { b =>
-      val key = (0 until bandRows).map(r => s"b${b * bandRows + r} * ${1 << r}").mkString(" + ")
-      s"SELECT vec_id, embedding, $b AS band, $key AS bkey FROM sig"
+    val bandSql = geoms.flatMap { case (bandRows, nBands, gate) =>
+      (0 until nBands).map { b =>
+        val key = (0 until bandRows).map(r => s"b${b * bandRows + r} * ${1 << r}").mkString(" + ")
+        s"SELECT vec_id, embedding, $b AS band, $key AS bkey FROM sig$gate"
+      }
     }.mkString("\nUNION ALL ")
-    s"""WITH sig AS (
+    s"""WITH nn AS (SELECT count(*) AS cnt FROM embeddings),
+       |sig AS (
        |  SELECT vec_id, embedding,
        |       $bitsSql
        |  FROM embeddings),
@@ -348,9 +380,21 @@ object Similarity {
        |FROM v WHERE cos >= $NearDupThreshold ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** Corpus-sized SRP geometry (the e4 headline): (4,4) recall-sized
+    * below [[SrpSmallCorpusMaxN]] vectors, wide (8,2) above. The single
+    * count() here is geometry SIZING, not data movement — the same class
+    * of O(1) statistic AQE consults before picking a join strategy; at
+    * 100 TB it reads parquet footers, not rows.
+    */
+  def srpNearDupAdaptive(s: SparkSession, dir: String): DataFrame =
+    if (Tables.embeddings(s, dir).count() <= SrpSmallCorpusMaxN)
+      srpNearDup(s, dir, SrpRows, SrpBands)
+    else srpNearDup(s, dir, 8, 2)
+
   /** The SRP-LSH banded near-dup plan with parameterized band geometry
     * (`rows` bits per band, `bands` bands, using the first rows*bands of
-    * the 16 deterministic hyperplanes). e4 runs (4, 4); e4w runs (8, 2).
+    * the 16 deterministic hyperplanes). e4 sizes the geometry to the
+    * corpus ([[srpNearDupAdaptive]]); e4w pins the wide (8, 2) dial.
     */
   def srpNearDup(s: SparkSession, dir: String, bandRows: Int, nBands: Int): DataFrame = {
     require(bandRows * nBands <= SrpBits, "not enough hyperplanes")
