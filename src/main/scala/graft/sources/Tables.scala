@@ -12,24 +12,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * here needs to change.
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Ingress normalization: the driver testdata stores timestamps as
+    * NAIVE parquet int64 µs (isAdjustedToUTC=false), which Spark 4 reads
+    * as TIMESTAMP_NTZ. The whole operator surface (unix_micros, bigint
+    * casts, instant arithmetic, the 9999-12-31 SCD2 sentinel) is written
+    * against the instant type, so every scan casts NTZ → TIMESTAMP here.
+    * Session tz is pinned UTC, making the cast wall-clock-exact — the
+    * same convention DuckDB applies reading the identical file, so the
+    * oracle stays aligned. (Egress mirrors this: Verify.egress casts
+    * back to NTZ so the dumped files are naive µs on every reader.)
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    if (!raw.schema.fields.exists(_.dataType == TimestampNTZType)) raw
+    else raw.select(raw.schema.fields.map { f =>
+      if (f.dataType == TimestampNTZType) col(f.name).cast(TimestampType).as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
+  }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
-    * type for — read it as raw nanos (`nanosAsLong`) and floor-convert to
-    * microseconds with exact integer division (`DIV`, not fp division:
-    * 2024 epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact range). DuckDB
-    * performs the identical ns->us truncation on read, keeping the oracle
-    * aligned.
+  /** Historical driver layouts wrote `events.ts` as parquet
+    * TIMESTAMP(NANOS), which Spark has no native type for — read it as
+    * raw nanos (`nanosAsLong`) and floor-convert to microseconds with
+    * exact integer division (`DIV`, not fp division: 2024 epoch-nanos
+    * ≈ 1.7e18 exceeds double's 2^53 exact range). Current layouts carry
+    * naive µs and take the normalized [[apply]] path directly.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(spark, dir, "events")
     raw.schema("ts").dataType match {
-      // driver testdata: TIMESTAMP(NANOS) surfaced as a long under the conf
+      // legacy driver testdata: TIMESTAMP(NANOS) surfaced as a long
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-      // re-written layouts (ScaleUp sf rungs) carry plain micros timestamps
+      // current layouts: µs timestamps, already instant-normalized
       case _ => raw
     }
   }
