@@ -110,11 +110,26 @@ object ScaleUp {
       shift("doc_id", 10000000L), newText.as("text"), col("lang"),
       col("source"), length(newText).cast("long").as("n_chars")))
 
-    // embeddings: rotate by r (dot-product-preserving permutation)
+    // embeddings: rotate by r mod dim (dot-product-preserving
+    // permutation; rotating by more than the dimension made slice()
+    // throw at factor 100), and negate every element when r div dim is
+    // odd — negating BOTH sides of a dot product also preserves it, so
+    // within-replica similarity/kNN/centroid structure still replicates
+    // exactly while no two replicas share the (rotation, sign) pair for
+    // any factor <= 2*dim (128 here): no cross-replica exact duplicates.
+    val rotated = expr(
+      "concat(slice(embedding, CAST(pmod(r, size(embedding)) AS INT) + 1, " +
+        "size(embedding) - CAST(pmod(r, size(embedding)) AS INT)), " +
+        "slice(embedding, 1, CAST(pmod(r, size(embedding)) AS INT)))")
     write(dst, "embeddings", reps(Tables.embeddings(spark, src)).select(
       shift("vec_id", 10000000L),
-      expr("concat(slice(embedding, CAST(r AS INT) + 1, size(embedding) - CAST(r AS INT)), " +
-        "slice(embedding, 1, CAST(r AS INT)))").as("embedding"),
+      when(expr("(r div size(embedding)) % 2 = 1"),
+        expr("transform(" +
+          "concat(slice(embedding, CAST(pmod(r, size(embedding)) AS INT) + 1, " +
+            "size(embedding) - CAST(pmod(r, size(embedding)) AS INT)), " +
+            "slice(embedding, 1, CAST(pmod(r, size(embedding)) AS INT)))" +
+          ", x -> -x)"))
+        .otherwise(rotated).as("embedding"),
       col("label")))
 
     println(s"""{"scaled": "$src -> $dst", "factor": $factor}""")
