@@ -158,10 +158,17 @@ object Embeddings {
         val sub = e.crossJoin(broadcast(cw))
           .select(col("vec_id"), col("cl"), posexplode(dist2Arr).as(Seq("m", "dist2")))
           .select(col("vec_id"), col("cl"), col("m").cast("long").as("m"), col("dist2"))
-        val w = Window.partitionBy("vec_id", "m").orderBy(col("dist2"), col("cl"))
+        // argmin over codewords as min(struct(dist2, cl)) — struct
+        // ordering IS the (dist2, codeword-id) tie-break, and a hash
+        // aggregate gets map-side partial aggregation: the exchange
+        // carries n·M rows instead of the n·k·M a row_number window
+        // shuffles AND sorts (the window variant measured 69 s at sf10;
+        // this shape is k× less exchange and sort-free).
         graft.Q.norm(
-          sub.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-            .select(col("vec_id"), col("m"), col("cl").as("code"), col("dist2").as("err2")),
+          sub.groupBy("vec_id", "m")
+            .agg(min(struct(col("dist2"), col("cl"))).as("best"))
+            .select(col("vec_id"), col("m"),
+              col("best.cl").as("code"), col("best.dist2").as("err2")),
           "vec_id", "m")
       }
     },
@@ -311,13 +318,15 @@ object Embeddings {
           val cm = slice(col("ce"), m * SubDim + 1, SubDim)
           (dot(vm, vm) - lit(2.0) * dot(vm, cm)) + dot(cm, cm)
         }: _*)
+        // same argmin-as-min(struct) shape as e8: map-side partial
+        // aggregation cuts the exchange k-fold and drops the sort
         val codes = e.crossJoin(broadcast(cw))
           .select(col("vec_id"), col("cl"),
             posexplode(dist2Arr(col("embedding"))).as(Seq("m", "dist2")))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id", "m").orderBy(col("dist2"), col("cl"))))
-          .where(col("rn") === 1)
-          .select(col("vec_id"), col("m").cast("long").as("m"), col("cl").as("code"))
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min(struct(col("dist2"), col("cl"))).as("best"))
+          .select(col("vec_id"), col("m").cast("long").as("m"),
+            col("best.cl").as("code"))
         val lut = e.where(col("vec_id") < Similarity.NQueries)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
           .crossJoin(broadcast(cw))

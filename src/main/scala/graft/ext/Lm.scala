@@ -76,11 +76,16 @@ object Lm {
          |GROUP BY db.doc_id
          |ORDER BY db.doc_id""".stripMargin) {
       (s, dir) => {
+        // the bigram key stays the (a, b) token PAIR on the Spark side
+        // (the oracle's `a || ' ' || b` string is only a display key):
+        // tokens never contain spaces, so the pair and the concat are
+        // bijective, and grouping/joining on two dictionary-encoded
+        // token columns skips materializing n_bigrams concat strings
+        // through two exchanges
         val db = pairs(Tables.documents(s, dir))
-          .select(col("doc_id"), concat_ws(" ", col("a"), col("b")).as("bg"))
-          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c_db"))
-        val df = db.groupBy("bg").agg(count(lit(1)).as("df_b"))
-        db.join(df, "bg")
+          .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("c_db"))
+        val df = db.groupBy("a", "b").agg(count(lit(1)).as("df_b"))
+        db.join(df, Seq("a", "b"))
           .groupBy("doc_id")
           .agg(sum("c_db").as("n_bigrams"),
             sum(col("c_db") * col("df_b")).as("sum_df"),

@@ -86,20 +86,26 @@ object Similarity {
   // --- SRP-LSH (e4): sign-random-projection hyperplanes, ±1 Rademacher
   // coefficients derived deterministically from sha256 so the SAME
   // constant matrix is embedded in the Spark plan and the oracle SQL.
-  val SrpBits = 16
+  val SrpBits = 24
   val SrpBands = 4
   val SrpRows = 4
 
-  /** Corpus-size switch for e4's band geometry. SRP candidate count is
+  /** Corpus-size switches for e4's band geometry. SRP candidate count is
     * Θ(n²/2^r) per band, so holding per-bucket occupancy constant needs
     * r ≈ log₂(n/occupancy): the (4,4) recall-sized dial saturates its 16
     * buckets/band once n outgrows a few thousand vectors and goes
-    * quadratic (round-5 sf1: 33.6 s vs 1.6 s for (8,2) on 20k vectors).
-    * Above this n the headline e4 runs the wide (8,2) geometry — the
-    * same integer threshold is evaluated inside the oracle SQL, so both
-    * engines always pick the same geometry.
+    * quadratic (round-5 sf1: 33.6 s vs 1.6 s for (8,2) on 20k vectors),
+    * and the (8,2) dial saturates its 256 buckets/band the same way one
+    * decade later (round-6 sf10: 48 s on 200k vectors — ~780 vectors per
+    * bucket — vs seconds for (12,2)'s 4096 buckets/band). The headline
+    * e4 therefore climbs a geometry LADDER with the corpus: (4,4) to
+    * 4k vectors, (8,2) to 40k, (12,2) beyond — each step holding
+    * per-bucket occupancy around or below ~50. The same integer
+    * thresholds are evaluated inside the oracle SQL, so both engines
+    * always pick the same geometry at every SF.
     */
   val SrpSmallCorpusMaxN = 4000L
+  val SrpMediumCorpusMaxN = 40000L
   lazy val planes: Seq[Seq[Int]] = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     (0 until SrpBits).map { j =>
@@ -301,12 +307,12 @@ object Similarity {
     // collide in >= 1 band; verified with exact cosine. At 100 TB this
     // replaces e1's all-pairs join with a bucket join whose cost tracks
     // the collision rate, not n^2. The band geometry is SIZED TO THE
-    // CORPUS (rows ≈ log₂(n/occupancy), quantized to the two in-repo
-    // dials): (4,4) recall-sized below SrpSmallCorpusMaxN vectors, (8,2)
-    // above — so the headline configuration never runs a saturated
-    // geometry at scale. The oracle SQL evaluates the same integer
-    // count threshold, keeping both engines on the identical geometry
-    // at every SF.
+    // CORPUS (rows ≈ log₂(n/occupancy), quantized to the in-repo
+    // ladder): (4,4) recall-sized to SrpSmallCorpusMaxN vectors, (8,2)
+    // to SrpMediumCorpusMaxN, (12,2) beyond — so the headline
+    // configuration never runs a saturated geometry at any scale. The
+    // oracle SQL evaluates the same integer count thresholds, keeping
+    // both engines on the identical geometry at every SF.
     Q("e4_srp_lsh", srpAdaptiveOracleSql) {
       (s, dir) => srpNearDupAdaptive(s, dir)
     },
@@ -344,7 +350,9 @@ object Similarity {
     */
   def srpAdaptiveOracleSql: String = srpOracleSqlFor(Seq(
     (SrpRows, SrpBands, s" WHERE (SELECT cnt FROM nn) <= $SrpSmallCorpusMaxN"),
-    (8, 2, s" WHERE (SELECT cnt FROM nn) > $SrpSmallCorpusMaxN")))
+    (8, 2, s" WHERE (SELECT cnt FROM nn) > $SrpSmallCorpusMaxN" +
+      s" AND (SELECT cnt FROM nn) <= $SrpMediumCorpusMaxN"),
+    (12, 2, s" WHERE (SELECT cnt FROM nn) > $SrpMediumCorpusMaxN")))
 
   private def srpOracleSqlFor(geoms: Seq[(Int, Int, String)]): String = {
     val nBits = geoms.map { case (r, b, _) => r * b }.max
@@ -386,10 +394,12 @@ object Similarity {
     * of O(1) statistic AQE consults before picking a join strategy; at
     * 100 TB it reads parquet footers, not rows.
     */
-  def srpNearDupAdaptive(s: SparkSession, dir: String): DataFrame =
-    if (Tables.embeddings(s, dir).count() <= SrpSmallCorpusMaxN)
-      srpNearDup(s, dir, SrpRows, SrpBands)
-    else srpNearDup(s, dir, 8, 2)
+  def srpNearDupAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    if (n <= SrpSmallCorpusMaxN) srpNearDup(s, dir, SrpRows, SrpBands)
+    else if (n <= SrpMediumCorpusMaxN) srpNearDup(s, dir, 8, 2)
+    else srpNearDup(s, dir, 12, 2)
+  }
 
   /** The SRP-LSH banded near-dup plan with parameterized band geometry
     * (`rows` bits per band, `bands` bands, using the first rows*bands of
