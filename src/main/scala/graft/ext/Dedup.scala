@@ -282,53 +282,44 @@ object Dedup {
     * cluster; the loop exits on convergence well before it. */
   val CcMaxIters = 15
 
-  /** The jaccard-gated pair list (doc_a < doc_b), shared by d7/d8.
+  /** The jaccard-gated pair list (doc_a < doc_b), shared by d7/d8 —
+    * same inverted-index plan as d4 without the jaccard payload: one
+    * self-join on the exploded shingle index counts every pair's exact
+    * intersection in a single partial-aggregated pass (cost Σ_g df(g)²,
+    * which this corpus bounds at ~10·|index| — max shingle df is ~25 at
+    * every SF because near-dup clusters are small; d6 is the df-capped
+    * variant for corpora where hot shingles DO blow that sum up).
     *
-    * Candidate generation uses PREFIX FILTERING (the SSJoin/PPJoin
-    * lemma): under any global total order on shingles, two sets with
-    * |A∩B| >= α must share an element within their first |x|-α+1
-    * elements; J >= t implies |A∩B| >= ⌈t·max(|A|,|B|)⌉, so indexing
-    * only each doc's |sh|-⌈t·|sh|⌉+1 globally RAREST shingles (order =
-    * ascending document frequency) loses no qualifying pair. This is
-    * what keeps the self-join off the df² cliff at scale: the uncapped
-    * inverted-index join costs Σ_g df(g)² — 222 s at sf10 (200k docs),
-    * run-to-run degrading under memory pressure — because stop-word
-    * shingles with df in the thousands dominate; under the rarity
-    * order those shingles land outside almost every prefix, and the
-    * join cost tracks the RARE-shingle df², which is bounded by
-    * construction. Candidates then verify with EXACT Jaccard via
-    * array_intersect on the full shingle sets (shingles3 emits
-    * distinct shingles), so the result is identical to the exhaustive
-    * join — the oracle keeps the uncapped CTE precisely because the
-    * two plans must agree. A symmetric length filter (t·|A| <= |B| <=
-    * |A|/t, implied by J >= t) prunes candidates before the dedup.
+    * A PPJoin-style prefix-filter rewrite (index each doc's rarest
+    * |sh|-⌈t|sh|⌉+1 shingles, verify candidates by array_intersect on
+    * the full shingle sets) measured 3.6× SLOWER at sf1 and filled
+    * 70 GB of shuffle at sf10: with no df skew the candidate set is
+    * barely smaller than the exact pair set, so the rewrite pays an
+    * extra window sort, a distinct, and two joins that ship full
+    * shingle ARRAYS per candidate — the counting join ships 16-byte
+    * pair rows. Prefix filtering only buys anything when hot shingles
+    * dominate Σ df²; this index is verified flat.
+    *
+    * Memory hygiene at scale: the reused artifact is the exploded
+    * (doc_id, g) index — cached COLUMNAR (strings compress), with the
+    * per-doc lengths derived from it by a count (shingles3 emits
+    * distinct shingles, so index rows per doc = |sh|). The earlier
+    * shape cached the full shingle-ARRAY rows: 500k deserialized array
+    * rows pin gigabytes of MemoryStore at sf10 and destabilize the
+    * very runs the cache was meant to help.
     */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir).cache()
-    val n = sh.select(col("doc_id"), size(col("sh")).as("ns"))
-    val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-    val df = e.groupBy("g").agg(count(lit(1)).as("df"))
-    val byRarity = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("df"), col("g"))
-    val prefix = e.join(df, "g")
-      .withColumn("pos", row_number().over(byRarity))
-      .join(n, "doc_id")
-      .where(col("pos") <= col("ns") - ceil(col("ns") * JaccardThreshold) + 1)
-      .select(col("doc_id"), col("g"), col("ns"))
-    val cand = prefix.as("a").join(prefix.as("b").hint("shuffle_hash"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.ns") * JaccardThreshold <= col("b.ns") &&
-          col("b.ns") * JaccardThreshold <= col("a.ns"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
-        size(col("sh_a")).as("nsa"), size(col("sh_b")).as("nsb"))
+    val e = shingled(s, dir)
+      .select(col("doc_id"), explode(col("sh")).as("g")).cache()
+    val n = e.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val p = e.as("a").join(e.as("b").hint("shuffle_hash"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    p.join(n.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
       .where(col("inter") * 1.0 /
-        (col("nsa") + col("nsb") - col("inter")) >= JaccardThreshold)
+        (col("na.ns") + col("nb.ns") - col("inter")) >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"))
   }
 

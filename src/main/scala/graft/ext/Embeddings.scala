@@ -2,7 +2,7 @@ package graft.ext
 
 import graft.Q
 import graft.sources.Tables
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -39,6 +39,31 @@ object Embeddings {
   private def dotD(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  /** The deterministic per-label codebook (min-vec_id representative),
+    * collected to the driver so e8/e10 can unroll the per-subspace
+    * argmin into a single codegen'd projection. O(#labels · Dims)
+    * floats — the PQ codebook is driver/broadcast state by design (it
+    * is what gets trained); the guard keeps an unexpected label
+    * explosion from turning the unrolled expression quadratic.
+    */
+  private def codebook(e: DataFrame): Array[(Any, Array[Float])] = {
+    val cb = e.withColumn("rn",
+        row_number().over(Window.partitionBy("label").orderBy("vec_id")))
+      .where(col("rn") === 1)
+      .select(col("label").as("cl"), col("embedding").as("ce"))
+      .orderBy("cl")
+      .collect()
+      // label keeps its NATIVE type (int32 in the parquet schema) so the
+      // unrolled literals reproduce the exact egress schema the
+      // DataFrame codebook produced
+      .map(r => (r.get(0), r.getSeq[Float](1).toArray))
+    require(cb.length <= 1024,
+      s"codebook has ${cb.length} codewords; the unrolled argmin is sized " +
+        "for PQ-scale codebooks (<= 1024) — train a smaller codebook or " +
+        "fall back to the banded crossJoin shape")
+    cb
+  }
 
   def queries: Seq[Q] = Seq(
     Q("e6_centroids",
@@ -144,30 +169,35 @@ object Embeddings {
       (s, dir) => {
         import Portable._
         val e = Portable.spread(Tables.embeddings(s, dir), "vec_id")
-        val cw = e.withColumn("rn",
-            row_number().over(Window.partitionBy("label").orderBy("vec_id")))
-          .where(col("rn") === 1)
-          .select(col("label").as("cl"), col("embedding").as("ce"))
-        // all-literal slice bounds: each subspace distance is three dotF
-        // codegen kernels on float slices, evaluated once per (vec, cw)
-        val dist2Arr = array((0 until PqM).map { m =>
-          val v = slice(col("embedding"), m * SubDim + 1, SubDim)
-          val c = slice(col("ce"), m * SubDim + 1, SubDim)
-          (dot(v, v) - lit(2.0) * dot(v, c)) + dot(c, c)
-        }: _*)
-        val sub = e.crossJoin(broadcast(cw))
-          .select(col("vec_id"), col("cl"), posexplode(dist2Arr).as(Seq("m", "dist2")))
-          .select(col("vec_id"), col("cl"), col("m").cast("long").as("m"), col("dist2"))
-        // argmin over codewords as min(struct(dist2, cl)) — struct
-        // ordering IS the (dist2, codeword-id) tie-break, and a hash
-        // aggregate gets map-side partial aggregation: the exchange
-        // carries n·M rows instead of the n·k·M a row_number window
-        // shuffles AND sorts (the window variant measured 69 s at sf10;
-        // this shape is k× less exchange and sort-free).
+        // The codebook is O(#labels) rows — collect it and UNROLL the
+        // per-subspace argmin into the row expression: for each m,
+        // least(struct(dist2_to_cw0, cl0), ..., struct(dist2_to_cwk, clk))
+        // — struct ordering is the (dist2, codeword-id) tie-break. The
+        // whole query becomes ONE codegen'd scan projection with zero
+        // joins, zero explode and zero shuffle; the n·k·M-row
+        // crossJoin+explode+aggregate it replaces (the PQ-coding shape
+        // both the window and min(struct) variants shared) measured
+        // ~70 s at sf10 on memory traffic alone. The collect is the
+        // codebook-training driver step every PQ deployment has — k·d
+        // floats, independent of corpus size. ||c_m||² folds on the
+        // driver in the same index-ascending double order as the dotF
+        // kernel and the oracle's list_reduce, so distances stay
+        // bit-identical.
+        val cb: Array[(Any, Array[Float])] = codebook(e)
+        val bests = (0 until PqM).map { m =>
+          val vm = slice(col("embedding"), m * SubDim + 1, SubDim)
+          val vv = dot(vm, vm)
+          val cands = cb.map { case (cl, ce) =>
+            val cm = ce.slice(m * SubDim, (m + 1) * SubDim)
+            val cc = cm.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+            struct(((vv - lit(2.0) * dot(vm, typedlit(cm))) + lit(cc)).as("dist2"),
+              lit(cl).as("cl"))
+          }
+          least(cands.toIndexedSeq: _*)
+        }
         graft.Q.norm(
-          sub.groupBy("vec_id", "m")
-            .agg(min(struct(col("dist2"), col("cl"))).as("best"))
-            .select(col("vec_id"), col("m"),
+          e.select(col("vec_id"), posexplode(array(bests: _*)).as(Seq("m", "best")))
+            .select(col("vec_id"), col("m").cast("long").as("m"),
               col("best.cl").as("code"), col("best.dist2").as("err2")),
           "vec_id", "m")
       }
@@ -309,36 +339,50 @@ object Embeddings {
       (s, dir) => {
         import Portable._
         val e = Portable.spread(Tables.embeddings(s, dir), "vec_id")
-        val cw = e.withColumn("rn",
-            row_number().over(Window.partitionBy("label").orderBy("vec_id")))
-          .where(col("rn") === 1)
-          .select(col("label").as("cl"), col("embedding").as("ce"))
-        def dist2Arr(v: Column): Column = array((0 until PqM).map { m =>
+        // same unrolled-codebook shape as e8: PQ codes come out of one
+        // codegen'd scan projection as an M-array per vector — no
+        // crossJoin, no explode, no argmin shuffle
+        val cb = codebook(e)
+        def bestFor(v: Column, m: Int): Column = {
           val vm = slice(v, m * SubDim + 1, SubDim)
-          val cm = slice(col("ce"), m * SubDim + 1, SubDim)
-          (dot(vm, vm) - lit(2.0) * dot(vm, cm)) + dot(cm, cm)
-        }: _*)
-        // same argmin-as-min(struct) shape as e8: map-side partial
-        // aggregation cuts the exchange k-fold and drops the sort
-        val codes = e.crossJoin(broadcast(cw))
-          .select(col("vec_id"), col("cl"),
-            posexplode(dist2Arr(col("embedding"))).as(Seq("m", "dist2")))
-          .groupBy(col("vec_id"), col("m"))
-          .agg(min(struct(col("dist2"), col("cl"))).as("best"))
-          .select(col("vec_id"), col("m").cast("long").as("m"),
-            col("best.cl").as("code"))
-        val lut = e.where(col("vec_id") < Similarity.NQueries)
+          val vv = dot(vm, vm)
+          least(cb.toIndexedSeq.map { case (cl, ce) =>
+            val cm = ce.slice(m * SubDim, (m + 1) * SubDim)
+            val cc = cm.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+            struct(((vv - lit(2.0) * dot(vm, typedlit(cm))) + lit(cc)).as("dist2"),
+              lit(cl).as("cl"))
+          }: _*)
+        }
+        val codes = e.select(col("vec_id"),
+          array((0 until PqM).map(m => bestFor(col("embedding"), m).getField("cl")): _*)
+            .as("codes"))
+        // LUT: per query, the 1e-6-quantized distance to every (m, cl)
+        // cell, folded into ONE map row — |Q|·k·M entries total. ADC is
+        // then a broadcast crossJoin (|Q| rows) against the codes scan:
+        // each output row sums M map lookups — exact integer math in
+        // any order — replacing the (n·M)⋈LUT join + hash re-aggregate
+        // with a single pass that never re-keys the corpus.
+        val lutPerQ = e.where(col("vec_id") < Similarity.NQueries)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-          .crossJoin(broadcast(cw))
-          .select(col("qid"), col("cl"),
-            posexplode(dist2Arr(col("qe"))).as(Seq("m", "d2")))
-          .select(col("qid"), col("cl").as("lcl"), col("m").cast("long").as("lm"),
-            round(col("d2") * 1e6, 0).cast("long").as("d2q"))
-        val a = codes.join(broadcast(lut),
-            codes("m") === lut("lm") && codes("code") === lut("lcl"))
+          .select(col("qid"), posexplode(array((0 until PqM).flatMap { m =>
+            val qm = slice(col("qe"), m * SubDim + 1, SubDim)
+            val qq = dot(qm, qm)
+            cb.toIndexedSeq.map { case (cl, ce) =>
+              val cm = ce.slice(m * SubDim, (m + 1) * SubDim)
+              val cc = cm.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+              struct(concat_ws("_", lit(m), lit(cl)).as("k"),
+                round(((qq - lit(2.0) * dot(qm, typedlit(cm))) + lit(cc)) * 1e6, 0)
+                  .cast("long").as("v"))
+            }
+          }: _*)).as(Seq("i", "kv")))
+          .groupBy("qid")
+          .agg(map_from_entries(collect_list(col("kv"))).as("lut"))
+        val a = codes.crossJoin(broadcast(lutPerQ))
           .where(col("vec_id") =!= col("qid"))
-          .groupBy(col("qid"), col("vec_id"))
-          .agg(sum(col("d2q")).as("adist2_e6"))
+          .select(col("qid"), col("vec_id"),
+            (0 until PqM).map(m => element_at(col("lut"),
+              concat_ws("_", lit(m), element_at(col("codes"), m + 1))))
+              .reduce(_ + _).as("adist2_e6"))
         val wr = Window.partitionBy("qid").orderBy(col("adist2_e6"), col("vec_id"))
         a.withColumn("rk", row_number().over(wr).cast("long"))
           .where(col("rk") <= Similarity.K)

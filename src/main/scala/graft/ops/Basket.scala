@@ -263,12 +263,17 @@ object Basket {
           .distinct().cache()
         val nodes = basket.select(col("pk")).distinct().cache()
         val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
-        val deg = edges.groupBy("u").agg(count(lit(1)).as("d")).cache()
+        val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+        // hoist the static edges⋈deg join out of the loop: the cached
+        // (u, v, d) list keeps its hash(u) partitioning, so each
+        // superstep's join shuffles only the NODE-cardinality rank
+        // frontier to meet it — the edge list (the big side) never
+        // re-exchanges after round 1
+        val contribBase = edges.join(deg, "u").cache()
         var rank = nodes.crossJoin(nn)
           .select(col("pk"), expr("1000000000000 div n").as("r"))
         for (_ <- 1 to 3) {
-          val contrib = edges
-            .join(deg, "u")
+          val contrib = contribBase
             .join(rank.withColumnRenamed("pk", "u"), "u")
             .groupBy(col("v").as("pk"))
             .agg(sum(expr("r div d")).as("s"))
