@@ -353,9 +353,17 @@ object Embeddings {
               lit(cl).as("cl"))
           }: _*)
         }
+        // the eager materialization barrier matters: without it,
+        // CollapseProject inlines the `codes` alias into every one of
+        // the M element_at references below, re-evaluating the whole
+        // unrolled-argmin tree M times per scored row (measured: the
+        // ADC stage ran at the cost of the full coding pass per
+        // reference). The checkpointed (vec_id, codes) frame is
+        // n·(M+1) longs — tiny — and the coding pass runs exactly once.
         val codes = e.select(col("vec_id"),
           array((0 until PqM).map(m => bestFor(col("embedding"), m).getField("cl")): _*)
             .as("codes"))
+          .localCheckpoint()
         // LUT: per query, the 1e-6-quantized distance to every (m, cl)
         // cell, folded into ONE map row — |Q|·k·M entries total. ADC is
         // then a broadcast crossJoin (|Q| rows) against the codes scan:

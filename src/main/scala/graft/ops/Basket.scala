@@ -264,12 +264,17 @@ object Basket {
         val nodes = basket.select(col("pk")).distinct().cache()
         val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
         val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
-        // hoist the static edges⋈deg join out of the loop: the cached
-        // (u, v, d) list keeps its hash(u) partitioning, so each
-        // superstep's join shuffles only the NODE-cardinality rank
-        // frontier to meet it — the edge list (the big side) never
-        // re-exchanges after round 1
-        val contribBase = edges.join(deg, "u").cache()
+        // hoist the static edges⋈deg join out of the loop: the
+        // materialized (u, v, d) list keeps its hash(u) partitioning,
+        // so each superstep's join shuffles only the NODE-cardinality
+        // rank frontier to meet it — the edge list (the big side)
+        // never re-exchanges after round 1. localCheckpoint (eager) +
+        // unpersisting the edge cache keeps exactly ONE |E|-sized
+        // artifact in the store: holding both measured 1.6× slower at
+        // sf10 with run-over-run degradation (memory pressure evicting
+        // the blocks the loop needs).
+        val contribBase = edges.join(deg, "u").localCheckpoint()
+        edges.unpersist()
         var rank = nodes.crossJoin(nn)
           .select(col("pk"), expr("1000000000000 div n").as("r"))
         for (_ <- 1 to 3) {
