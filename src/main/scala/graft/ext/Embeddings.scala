@@ -65,6 +65,23 @@ object Embeddings {
     cb
   }
 
+  /** The M distance terms of one subspace: (codeword label, squared
+    * distance of the vector's m-th slice to that codeword's m-th
+    * slice), with ||c_m||^2 folded on the DRIVER in the same
+    * index-ascending double order as the dotF kernel and the oracle's
+    * list_reduce — distances stay bit-identical across engines.
+    */
+  private def subDists(v: Column, m: Int,
+      cb: Array[(Any, Array[Float])]): Seq[(Any, Column)] = {
+    val vm = slice(v, m * SubDim + 1, SubDim)
+    val vv = Portable.dot(vm, vm)
+    cb.toIndexedSeq.map { case (cl, ce) =>
+      val cm = ce.slice(m * SubDim, (m + 1) * SubDim)
+      val cc = cm.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+      (cl, (vv - lit(2.0) * Portable.dot(vm, typedlit(cm))) + lit(cc))
+    }
+  }
+
   def queries: Seq[Q] = Seq(
     Q("e6_centroids",
       s"""WITH x AS (
@@ -184,21 +201,32 @@ object Embeddings {
         // kernel and the oracle's list_reduce, so distances stay
         // bit-identical.
         val cb: Array[(Any, Array[Float])] = codebook(e)
-        val bests = (0 until PqM).map { m =>
-          val vm = slice(col("embedding"), m * SubDim + 1, SubDim)
-          val vv = dot(vm, vm)
-          val cands = cb.map { case (cl, ce) =>
-            val cm = ce.slice(m * SubDim, (m + 1) * SubDim)
-            val cc = cm.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
-            struct(((vv - lit(2.0) * dot(vm, typedlit(cm))) + lit(cc)).as("dist2"),
-              lit(cl).as("cl"))
+        // Two-step shape, for CODEGEN reasons: the heavy unrolled
+        // distance math lives in a ProjectExec (which gets
+        // subexpression elimination and per-column method splitting),
+        // and the posexplode above it only touches plain attribute
+        // references. Inlining the unrolled tree into the Generate
+        // stage put everything in one un-splittable doConsume method
+        // and blew janino's 64 KB limit (codegen_errors=6, interpreted
+        // fallback). The argmin itself is primitive-only: dmin =
+        // least(doubles), code = first codeword matching dmin (the
+        // codebook is cl-ascending, so first-match IS the (dist2, cl)
+        // tie-break; dmin is bit-identical to one of its inputs, so
+        // the equality is exact).
+        val scored = e.select(col("vec_id") +: (0 until PqM).flatMap { m =>
+          val ds = subDists(col("embedding"), m, cb)
+          val dmin = least(ds.map(_._2).toIndexedSeq: _*)
+          val code = ds.tail.foldLeft(when(ds.head._2 === dmin, lit(ds.head._1))) {
+            case (acc, (cl, d)) => acc.when(d === dmin, lit(cl))
           }
-          least(cands.toIndexedSeq: _*)
-        }
+          Seq(dmin.as(s"err$m"), code.as(s"code$m"))
+        }: _*)
         graft.Q.norm(
-          e.select(col("vec_id"), posexplode(array(bests: _*)).as(Seq("m", "best")))
+          scored.select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
+              struct(col(s"code$m").as("code"), col(s"err$m").as("err2"))): _*))
+              .as(Seq("m", "best")))
             .select(col("vec_id"), col("m").cast("long").as("m"),
-              col("best.cl").as("code"), col("best.dist2").as("err2")),
+              col("best.code").as("code"), col("best.err2").as("err2")),
           "vec_id", "m")
       }
     },
@@ -343,15 +371,14 @@ object Embeddings {
         // codegen'd scan projection as an M-array per vector — no
         // crossJoin, no explode, no argmin shuffle
         val cb = codebook(e)
-        def bestFor(v: Column, m: Int): Column = {
-          val vm = slice(v, m * SubDim + 1, SubDim)
-          val vv = dot(vm, vm)
-          least(cb.toIndexedSeq.map { case (cl, ce) =>
-            val cm = ce.slice(m * SubDim, (m + 1) * SubDim)
-            val cc = cm.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
-            struct(((vv - lit(2.0) * dot(vm, typedlit(cm))) + lit(cc)).as("dist2"),
-              lit(cl).as("cl"))
-          }: _*)
+        // same primitive-only argmin as e8 (least + first-match when):
+        // struct least in a fused stage was the 64 KB codegen breaker
+        def bestClFor(v: Column, m: Int): Column = {
+          val ds = subDists(v, m, cb)
+          val dmin = least(ds.map(_._2).toIndexedSeq: _*)
+          ds.tail.foldLeft(when(ds.head._2 === dmin, lit(ds.head._1))) {
+            case (acc, (cl, d)) => acc.when(d === dmin, lit(cl))
+          }
         }
         // the eager materialization barrier matters: without it,
         // CollapseProject inlines the `codes` alias into every one of
@@ -361,7 +388,7 @@ object Embeddings {
         // reference). The checkpointed (vec_id, codes) frame is
         // n·(M+1) longs — tiny — and the coding pass runs exactly once.
         val codes = e.select(col("vec_id"),
-          array((0 until PqM).map(m => bestFor(col("embedding"), m).getField("cl")): _*)
+          array((0 until PqM).map(m => bestClFor(col("embedding"), m)): _*)
             .as("codes"))
           .localCheckpoint()
         // LUT: per query, the 1e-6-quantized distance to every (m, cl)
@@ -370,21 +397,18 @@ object Embeddings {
         // each output row sums M map lookups — exact integer math in
         // any order — replacing the (n·M)⋈LUT join + hash re-aggregate
         // with a single pass that never re-keys the corpus.
+        // one map expression per query row — no Generate, no re-group:
+        // CreateArray/CreateMap children split across generated methods
+        // inside a ProjectExec, where the same 80-entry tree inlined
+        // into a Generate stage blew janino's method limit
         val lutPerQ = e.where(col("vec_id") < Similarity.NQueries)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-          .select(col("qid"), posexplode(array((0 until PqM).flatMap { m =>
-            val qm = slice(col("qe"), m * SubDim + 1, SubDim)
-            val qq = dot(qm, qm)
-            cb.toIndexedSeq.map { case (cl, ce) =>
-              val cm = ce.slice(m * SubDim, (m + 1) * SubDim)
-              val cc = cm.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+          .select(col("qid"), map_from_entries(array((0 until PqM).flatMap { m =>
+            subDists(col("qe"), m, cb).map { case (cl, d) =>
               struct(concat_ws("_", lit(m), lit(cl)).as("k"),
-                round(((qq - lit(2.0) * dot(qm, typedlit(cm))) + lit(cc)) * 1e6, 0)
-                  .cast("long").as("v"))
+                round(d * 1e6, 0).cast("long").as("v"))
             }
-          }: _*)).as(Seq("i", "kv")))
-          .groupBy("qid")
-          .agg(map_from_entries(collect_list(col("kv"))).as("lut"))
+          }: _*)).as("lut"))
         val a = codes.crossJoin(broadcast(lutPerQ))
           .where(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),
