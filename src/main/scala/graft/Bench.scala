@@ -105,7 +105,25 @@ object Bench {
     val loadavg = try {
       scala.io.Source.fromFile("/proc/loadavg").getLines().next().split(" ")(0)
     } catch { case _: Throwable => "-1" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","core_survey2_sec":$core,"iters":$Iters,"codegen_errors":${codegenErrors.get()},"loadavg_1m":$loadavg,"queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","core_survey2_sec":$core,"iters":$Iters,"codegen_errors":${codegenErrors.get()},"loadavg_1m":$loadavg,"queries":$qs,"sf":"$sfDir"}"""
+    // Harness hardening (round-6 advice: a snapshot committed 0-byte
+    // artifacts, and the driver's tail-window capture head-truncated the
+    // one printed line). Two defenses:
+    //   1. If SPARK_GRAFT_BENCH_OUT is set, the artifact is written by
+    //      Bench ITSELF — temp file + atomic move, so a crashed or
+    //      truncated outer redirect can never leave a half/empty file
+    //      that looks like a result.
+    // (The printed contract stays exactly ONE JSON line — the driver
+    // parses stdout; the file is the belt-and-suspenders copy.)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
+      val dst = java.nio.file.Paths.get(out)
+      val tmp = java.nio.file.Paths.get(out + ".tmp")
+      java.nio.file.Files.write(tmp, (json + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    println(json)
     spark.stop()
   }
 

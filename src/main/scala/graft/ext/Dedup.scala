@@ -284,11 +284,11 @@ object Dedup {
 
   /** The jaccard-gated pair list (doc_a < doc_b), shared by d7/d8 —
     * same inverted-index plan as d4 without the jaccard payload: one
-    * self-join on the exploded shingle index counts every pair's exact
+    * self-join on the exploded shingle index counts every pair's
     * intersection in a single partial-aggregated pass (cost Σ_g df(g)²,
     * which this corpus bounds at ~10·|index| — max shingle df is ~25 at
-    * every SF because near-dup clusters are small; d6 is the df-capped
-    * variant for corpora where hot shingles DO blow that sum up).
+    * every SF because near-dup clusters are small; d6 is the query whose
+    * ORACLE pins the df-cap semantics themselves).
     *
     * A PPJoin-style prefix-filter rewrite (index each doc's rarest
     * |sh|-⌈t|sh|⌉+1 shingles, verify candidates by array_intersect on
@@ -307,19 +307,51 @@ object Dedup {
     * shape cached the full shingle-ARRAY rows: 500k deserialized array
     * rows pin gigabytes of MemoryStore at sf10 and destabilize the
     * very runs the cache was meant to help.
+    *
+    * Skew guard (round-6 verdict, promoted from d6): the index is
+    * df-capped BY DEFAULT — postings whose shingle document frequency
+    * exceeds `dfCap` are dropped before the self-join, bounding the
+    * counting join at Σ_{df(g)<=cap} df(g)² <= cap·|index| no matter how
+    * hot a real corpus's stopword-like shingles get. Candidate gating
+    * then runs over the capped universe (d6's recall-oriented estimate
+    * tier) and every candidate is VERIFIED with exact full-shingle
+    * jaccard, so emitted pairs are true >= threshold pairs regardless of
+    * the cap; the only cap effect is possible false NEGATIVES among
+    * pairs whose similarity lives entirely in hot shingles — the
+    * standard (and intended) trade, since df>cap shingles carry no
+    * near-dup signal. At every gate SF max df ≈ 25 < 50 = DfCap, so the
+    * capped path is bit-identical to uncapped and the driver's UNCAPPED
+    * d7/d8 oracle SQL adjudicates it exactly.
     */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val e = shingled(s, dir)
-      .select(col("doc_id"), explode(col("sh")).as("g")).cache()
+  private def jaccardPairs(s: SparkSession, dir: String,
+      dfCap: Int = DfCap): DataFrame = {
+    val sh = shingled(s, dir).cache() // index AND both exact-verify sides
+    val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .where(col("df") <= dfCap)
+      .select(col("doc_id"), col("g"))
+      .cache()
     val n = e.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     val p = e.as("a").join(e.as("b").hint("shuffle_hash"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    p.join(n.as("na"), col("doc_a") === col("na.doc_id"))
+    val gated = p.join(n.as("na"), col("doc_a") === col("na.doc_id"))
       .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
       .where(col("inter") * 1.0 /
         (col("na.ns") + col("nb.ns") - col("inter")) >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    // exact verification against the FULL shingle sets: candidates are a
+    // near-dup-sized set (orders of magnitude smaller than the corpus),
+    // so these two joins ship almost nothing; with the cap not binding
+    // the predicate is a no-op re-check of the gate
+    val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
+    gated
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .where(inter * 1.0 /
+        (size(col("sa.sh")) + size(col("sb.sh")) - inter) >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"))
   }
 

@@ -47,7 +47,7 @@ object Embeddings {
     * is what gets trained); the guard keeps an unexpected label
     * explosion from turning the unrolled expression quadratic.
     */
-  private def codebook(e: DataFrame): Array[(Any, Array[Float])] = {
+  private[graft] def codebook(e: DataFrame): Array[(Any, Array[Float])] = {
     val cb = e.withColumn("rn",
         row_number().over(Window.partitionBy("label").orderBy("vec_id")))
       .where(col("rn") === 1)
@@ -58,10 +58,23 @@ object Embeddings {
       // unrolled literals reproduce the exact egress schema the
       // DataFrame codebook produced
       .map(r => (r.get(0), r.getSeq[Float](1).toArray))
+    // Guard, not a limit of the algorithm: the unrolled argmin emits one
+    // codegen'd distance term per codeword, and past ~1024 the generated
+    // method blows janino's 64 KB bytecode budget (measured at sf10 —
+    // commit 435edbc) and WSCG silently falls back to interpreted eval.
+    // Real PQ codebooks are <= 256 codewords per subspace by
+    // construction (one byte per code), so hitting this means the label
+    // column isn't a trained codebook. Remedies, in order: re-train with
+    // <= 256 centroids; or shard the codebook into <= 1024-codeword
+    // slices, run the unrolled argmin per shard, and reduce with
+    // least(argmin_shard_0, ..) — the shape stays a single projection,
+    // just split across registered methods.
     require(cb.length <= 1024,
       s"codebook has ${cb.length} codewords; the unrolled argmin is sized " +
-        "for PQ-scale codebooks (<= 1024) — train a smaller codebook or " +
-        "fall back to the banded crossJoin shape")
+        "for PQ-scale codebooks (<= 1024, one codegen'd distance term per " +
+        "codeword — more blows the janino 64 KB method budget). Re-train " +
+        "with <= 256 centroids, or shard the codebook into <= 1024-codeword " +
+        "slices and reduce the per-shard argmins with least().")
     cb
   }
 

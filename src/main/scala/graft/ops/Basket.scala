@@ -26,11 +26,21 @@ import org.apache.spark.sql.functions._
   */
 object Basket {
 
-  /** Minimum pair support for the affinity/triangle edge set: thins the
+  /** Minimum pair support for the affinity/lift edge set: thins the
     * near-complete small-scale graph and is the knob a 100 TB run sizes
     * down to keep the edge list sparse.
     */
   val MinSupport = 3
+
+  /** Triangle-query support. Lower than MinSupport on purpose: at the
+    * sf0.01 correctness gate the support-3 graph has 63 edges and ZERO
+    * triangles, which made the oracle row a vacuous 0-vs-0 comparison
+    * (round-6 verdict). Support 2 keeps 3445 edges / 61 triangles at the
+    * gate so the orientation + wedge-closure logic is actually
+    * adjudicated; a 100 TB run raises this back up — the threshold is
+    * the sparsity knob, not part of the operator's semantics.
+    */
+  val TriSupport = 2
 
   def queries: Seq[Q] = Seq(
 
@@ -82,14 +92,16 @@ object Basket {
 
     // Per-vertex triangle participation in the thresholded co-purchase
     // graph. Degree-oriented wedge join: every triangle is generated
-    // exactly once from its lowest-ranked vertex.
+    // exactly once from its lowest-ranked vertex. Every vertex of the
+    // edge set is emitted (zero counts included) so the gated comparison
+    // is never 0-rows-vs-0-rows.
     Q("x_triangles",
       s"""WITH basket AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |e0 AS (
         |  SELECT a.pk AS u, b.pk AS v
         |  FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk < b.pk
-        |  GROUP BY a.pk, b.pk HAVING count(*) >= $MinSupport),
+        |  GROUP BY a.pk, b.pk HAVING count(*) >= $TriSupport),
         |deg AS (
         |  SELECT pk, count(*) AS d FROM (
         |    SELECT u AS pk FROM e0 UNION ALL SELECT v AS pk FROM e0)
@@ -107,10 +119,13 @@ object Basket {
         |  SELECT w1.src AS x, w1.dst AS y, w2.dst AS z
         |  FROM e w1 JOIN e w2 ON w1.dst = w2.src
         |  JOIN e c ON c.src = w1.src AND c.dst = w2.dst),
-        |verts AS (
-        |  SELECT x AS pk FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
-        |SELECT pk AS part, CAST(count(*) AS BIGINT) AS n_triangles
-        |FROM verts GROUP BY pk ORDER BY part""".stripMargin) {
+        |tcount AS (
+        |  SELECT pk, count(*) AS n FROM (
+        |    SELECT x AS pk FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |  GROUP BY pk)
+        |SELECT deg.pk AS part, CAST(coalesce(tcount.n, 0) AS BIGINT) AS n_triangles
+        |FROM deg LEFT JOIN tcount ON tcount.pk = deg.pk
+        |ORDER BY part""".stripMargin) {
       (s, dir) => {
         val basket = Tables.lineitem(s, dir)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -120,7 +135,7 @@ object Basket {
             col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
           .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
           .agg(count(lit(1)).as("supp"))
-          .where(col("supp") >= MinSupport)
+          .where(col("supp") >= TriSupport)
           .select("u", "v")
         val deg = e0.select(col("u").as("pk"))
           .unionAll(e0.select(col("v").as("pk")))
@@ -141,10 +156,17 @@ object Basket {
           .join(e.as("c"),
             col("c.src") === col("w1.src") && col("c.dst") === col("w2.dst"))
           .select(col("w1.src").as("x"), col("w1.dst").as("y"), col("w2.dst").as("z"))
-        tri.select(col("x").as("part"))
+        val tcount = tri.select(col("x").as("part"))
           .unionAll(tri.select(col("y").as("part")))
           .unionAll(tri.select(col("z").as("part")))
-          .groupBy("part").agg(count(lit(1)).as("n_triangles"))
+          .groupBy("part").agg(count(lit(1)).as("n"))
+        // left-join back onto the vertex set so zero-triangle vertices
+        // egress too — deg is part-cardinality, so it broadcasts and the
+        // join adds no shuffle beyond the counts aggregation itself
+        deg.select(col("pk").as("part"))
+          .join(tcount, Seq("part"), "left")
+          .select(col("part"),
+            coalesce(col("n"), lit(0L)).cast("long").as("n_triangles"))
           .transform(d => graft.Q.sorted(d, "part"))
       }
     },

@@ -104,10 +104,13 @@ class Ext6Spec extends SparkTestBase {
     val edges = basket.as("a")
       .join(basket.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("u"), col("b.pk").as("v")).count()
-      .where(col("count") >= graft.ops.Basket.MinSupport)
+      .where(col("count") >= graft.ops.Basket.TriSupport)
       .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val verts = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
     val triPerVert = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    // zero-count vertices egress too (round-6 de-vacuation), so seed the
+    // ground-truth map with every vertex of the edge set
+    verts.foreach(v => triPerVert(v) = 0L)
     for {
       (u, v) <- edges
       w <- verts if v < w && edges((u, w)) && edges((v, w))
