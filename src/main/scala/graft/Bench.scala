@@ -92,7 +92,16 @@ object Bench {
       if (SparkEntry.queries.contains(n)) once(n)
     }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> median(n))
+    // Optional allowlist (comma-separated names) for targeted rungs —
+    // the sf10 scale table measures the expensive tail of the surface
+    // without paying 3 iterations of all 127 queries at 100x data. The
+    // artifact records which subset ran via the `queries` keys and the
+    // unchanged `sf` field; `total` is then the subset's total.
+    val allow = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => allow.forall(_.contains(n)))
+    val results = names.map(n => n -> median(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // SURVEY.md §2 reference-parity set (BASELINE.md's <60s envelope was

@@ -211,11 +211,16 @@ object Basket {
         val basket = Tables.lineitem(s, dir)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+        // the Σ|basket|² self-join edge build is the dominant cost and
+        // the plan references it from three subtrees (deg, contrib, and
+        // the final deg left join) — cache it so it runs once, the same
+        // reuse the x_pagerank3 loop gets from its cached edge list
+        // (ReusedExchange only dedupes within one stage graph)
         val edges = basket.as("a")
           .join(basket.as("b"),
             col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
           .select(col("a.pk").as("u"), col("b.pk").as("v"))
-          .distinct()
+          .distinct().cache()
         val nodes = basket.select(col("pk")).distinct()
         val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
         val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
