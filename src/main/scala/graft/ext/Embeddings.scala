@@ -435,5 +435,153 @@ object Embeddings {
             col("rk"), col("adist2_e6"))
           .transform(d => graft.Q.sorted(d, "query_id", "rk"))
       }
+    },
+
+    // e11: IVF-ADC — the full billion-vector retrieval shape (FAISS
+    // IVFPQ): a coarse quantizer prunes the corpus to the query's nprobe
+    // nearest clusters, and only those candidates are ranked by the
+    // compressed-domain ADC distance. Composes the verified pieces —
+    // e3's deterministic coarse assignment, e5's multi-probe, e8's
+    // unrolled PQ coding, e10's integer LUT — so the oracle is the same
+    // exact arithmetic end-to-end. (Here the coarse quantizer and the PQ
+    // codebook share the per-label representative set; separately
+    // trained codebooks drop in without changing the plan.)
+    //
+    // Scale: ONE codegen'd corpus pass emits (assignment, codes);
+    // queries×nprobe LUT rows broadcast; the probe join's cluster
+    // equality prunes each corpus row to the probes of its own cluster —
+    // candidate volume is nprobe/k of the corpus per query instead of
+    // e10's full crossJoin, and only candidates re-key for the top-K
+    // window. This is the documented 100 TB path past e1's exact
+    // quadratic tier.
+    Q("e11_ivf_adc", {
+      def va(m: Int) = s"(e.embedding)[${m * SubDim + 1}:${(m + 1) * SubDim}]"
+      def ca(m: Int) = s"(cw.ce)[${m * SubDim + 1}:${(m + 1) * SubDim}]"
+      def qa(m: Int) = s"(q.qe)[${m * SubDim + 1}:${(m + 1) * SubDim}]"
+      def d2(m: Int, v: Int => String) =
+        s"((${Portable.sqlDot(v(m), v(m))} - 2.0*${Portable.sqlDot(v(m), ca(m))}) + " +
+          s"${Portable.sqlDot(ca(m), ca(m))})"
+      val pCols = (0 until PqM).map(m => s"${d2(m, va)} AS d$m").mkString(",\n       ")
+      val unpivot = (0 until PqM)
+        .map(m => s"SELECT vec_id, cl, CAST($m AS BIGINT) AS m, d$m AS dist2 FROM p")
+        .mkString("\nUNION ALL ")
+      val lutCols = (0 until PqM)
+        .map(m => s"CAST(round(${d2(m, qa)} * 1e6, 0) AS BIGINT) AS l$m")
+        .mkString(",\n       ")
+      val lutUnpivot = (0 until PqM)
+        .map(m => s"SELECT qid, cl, CAST($m AS BIGINT) AS m, l$m AS d2q FROM lp")
+        .mkString("\nUNION ALL ")
+      val cosEC = Portable.sqlCosine("e.embedding", "cw.ce")
+      s"""WITH cw AS (
+         |  SELECT label AS cl, embedding AS ce FROM (
+         |    SELECT label, embedding,
+         |           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |p AS (SELECT e.vec_id, cw.cl,
+         |       $pCols
+         |      FROM embeddings e CROSS JOIN cw),
+         |sub AS ($unpivot),
+         |codes AS (SELECT vec_id, m, cl AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist2, cl) AS rn
+         |    FROM sub) WHERE rn = 1),
+         |assign AS (SELECT vec_id, cl FROM (
+         |    SELECT e.vec_id, cw.cl,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY $cosEC DESC, cw.cl) AS rn
+         |    FROM embeddings e CROSS JOIN cw) WHERE rn = 1),
+         |qprobe AS (SELECT vec_id AS qid, cl FROM (
+         |    SELECT e.vec_id, cw.cl,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY $cosEC DESC, cw.cl) AS rn
+         |    FROM embeddings e CROSS JOIN cw
+         |    WHERE e.vec_id < ${Similarity.NQueries}) WHERE rn <= ${Similarity.NProbe}),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |      WHERE vec_id < ${Similarity.NQueries}),
+         |lp AS (SELECT q.qid, cw.cl,
+         |       $lutCols
+         |      FROM q CROSS JOIN cw),
+         |lut AS ($lutUnpivot),
+         |a AS (SELECT l.qid, c.vec_id, CAST(sum(l.d2q) AS BIGINT) AS adist2_e6
+         |      FROM codes c
+         |      JOIN assign av ON av.vec_id = c.vec_id
+         |      JOIN qprobe qp ON qp.cl = av.cl
+         |      JOIN lut l ON l.qid = qp.qid AND l.m = c.m AND l.cl = c.code
+         |      WHERE c.vec_id != l.qid
+         |      GROUP BY 1, 2),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |         ORDER BY adist2_e6, vec_id) AS rk FROM a)
+         |SELECT qid AS query_id, vec_id AS neighbor_id, CAST(rk AS BIGINT) AS rk,
+         |       adist2_e6
+         |FROM r2 WHERE rk <= ${Similarity.K} ORDER BY query_id, rk""".stripMargin
+    }) {
+      (s, dir) => {
+        import Portable._
+        val e = Portable.spread(Tables.embeddings(s, dir), "vec_id")
+        val cb = codebook(e)
+        // e10's primitive-only PQ coder (least + first-match when)
+        def bestClFor(v: Column, m: Int): Column = {
+          val ds = subDists(v, m, cb)
+          val dmin = least(ds.map(_._2).toIndexedSeq: _*)
+          ds.tail.foldLeft(when(ds.head._2 === dmin, lit(ds.head._1))) {
+            case (acc, (cl, d)) => acc.when(d === dmin, lit(cl))
+          }
+        }
+        // coarse assignment, ALSO unrolled into the same projection:
+        // greatest() of the k cosines, first codeword matching it — the
+        // cl-ascending codebook makes first-match the (cos DESC, cl)
+        // tie-break of the oracle's row_number. One corpus pass emits
+        // (vec_id, cluster, codes); the checkpoint is the same
+        // CollapseProject barrier e10 needs (n·(M+2) small values).
+        def assignCl(v: Column): Column = {
+          val cs = cb.toIndexedSeq.map { case (cl, ce) =>
+            (cl, Portable.cosine(v, typedlit(ce)))
+          }
+          val cmax = greatest(cs.map(_._2): _*)
+          cs.tail.foldLeft(when(cs.head._2 === cmax, lit(cs.head._1))) {
+            case (acc, (cl, c)) => acc.when(c === cmax, lit(cl))
+          }
+        }
+        val codes = e.select(col("vec_id"),
+          assignCl(col("embedding")).as("cl"),
+          array((0 until PqM).map(m => bestClFor(col("embedding"), m)): _*)
+            .as("codes"))
+          .localCheckpoint()
+        // query side is NQueries rows: the window-over-crossJoin probe
+        // selection is driver-trivial and broadcast downstream
+        val centDf = e.withColumn("rn",
+            row_number().over(Window.partitionBy("label").orderBy("vec_id")))
+          .where(col("rn") === 1)
+          .select(col("label").as("ccl"), col("embedding").as("ce"))
+        val qe = e.where(col("vec_id") < Similarity.NQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val qprobe = qe.crossJoin(broadcast(centDf))
+          .withColumn("rn", row_number().over(Window.partitionBy("qid")
+            .orderBy(Portable.cosine(col("qe"), col("ce")).desc, col("ccl"))))
+          .where(col("rn") <= Similarity.NProbe)
+          .select(col("qid"), col("ccl"))
+        val lutPerQ = qe
+          .select(col("qid"), map_from_entries(array((0 until PqM).flatMap { m =>
+            subDists(col("qe"), m, cb).map { case (cl, d) =>
+              struct(concat_ws("_", lit(m), lit(cl)).as("k"),
+                round(d * 1e6, 0).cast("long").as("v"))
+            }
+          }: _*)).as("lut"))
+        // (qid, probed cluster, LUT map): queries×nprobe rows, broadcast;
+        // the cluster-equality join prunes each corpus row to its own
+        // cluster's probes before any ADC math or re-keying happens
+        val qps = qprobe.join(lutPerQ, "qid")
+        val a = codes.join(broadcast(qps),
+            col("cl") === col("ccl") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            (0 until PqM).map(m => element_at(col("lut"),
+              concat_ws("_", lit(m), element_at(col("codes"), m + 1))))
+              .reduce(_ + _).as("adist2_e6"))
+        val wr = Window.partitionBy("qid").orderBy(col("adist2_e6"), col("vec_id"))
+        a.withColumn("rk", row_number().over(wr).cast("long"))
+          .where(col("rk") <= Similarity.K)
+          .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+            col("rk"), col("adist2_e6"))
+          .transform(d => graft.Q.sorted(d, "query_id", "rk"))
+      }
     })
 }
