@@ -99,6 +99,11 @@ object Bench {
     // unchanged `sf` field; `total` is then the subset's total.
     val allow = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    allow.foreach { a =>
+      val unknown = a -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[bench] allowlist names not in SparkEntry.queries (ignored): ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => allow.forall(_.contains(n)))
     val results = names.map(n => n -> median(n))
@@ -108,31 +113,52 @@ object Bench {
     // authored for this set) as an EXPLICIT whitelist — prefix filters
     // silently absorbed new beyond-reference queries (a9-a12, w10, t5,
     // m2-m4) into the core metric and skewed the BASELINE comparison.
-    val core = results.filter { case (k, _) => CoreSurvey2(k) }.map(_._2).sum
+    // With an allowlist that drops any core query, the sum would be a
+    // partial (often zero) number still wearing the BASELINE-comparable
+    // field name — emit null instead, and record the allowlist so the
+    // artifact says which subset ran.
+    val coreRan = CoreSurvey2.subsetOf(names.toSet)
+    val core =
+      if (coreRan) results.filter { case (k, _) => CoreSurvey2(k) }.map(_._2).sum.toString
+      else "null"
+    val allowJson = allow
+      .map(_.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
+      .getOrElse("null")
     // 1-min load average (this box has noisy neighbors; round-1 runs
     // disagreed 4x — a high loadavg in the artifact explains a slow run)
     val loadavg = try {
       scala.io.Source.fromFile("/proc/loadavg").getLines().next().split(" ")(0)
     } catch { case _: Throwable => "-1" }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","core_survey2_sec":$core,"iters":$Iters,"codegen_errors":${codegenErrors.get()},"loadavg_1m":$loadavg,"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","core_survey2_sec":$core,"iters":$Iters,"codegen_errors":${codegenErrors.get()},"loadavg_1m":$loadavg,"allowlist":$allowJson,"queries":$qs,"sf":"$sfDir"}"""
+    // The printed contract stays exactly ONE JSON line — the driver
+    // parses stdout. Print FIRST so a failed file write (unwritable
+    // path, cross-filesystem atomic move) can never lose the stdout
+    // artifact of a possibly hours-long run.
+    println(json)
     // Harness hardening (round-6 advice: a snapshot committed 0-byte
     // artifacts, and the driver's tail-window capture head-truncated the
-    // one printed line). Two defenses:
-    //   1. If SPARK_GRAFT_BENCH_OUT is set, the artifact is written by
-    //      Bench ITSELF — temp file + atomic move, so a crashed or
-    //      truncated outer redirect can never leave a half/empty file
-    //      that looks like a result.
-    // (The printed contract stays exactly ONE JSON line — the driver
-    // parses stdout; the file is the belt-and-suspenders copy.)
+    // one printed line). If SPARK_GRAFT_BENCH_OUT is set, the artifact is
+    // written by Bench ITSELF — temp file + atomic move, so a crashed or
+    // truncated outer redirect can never leave a half/empty file that
+    // looks like a result. Falls back to a plain copy where ATOMIC_MOVE
+    // is unsupported (cross-filesystem rename); any failure is a stderr
+    // note, never an abort.
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
-      val dst = java.nio.file.Paths.get(out)
-      val tmp = java.nio.file.Paths.get(out + ".tmp")
-      java.nio.file.Files.write(tmp, (json + "\n").getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      try {
+        val dst = java.nio.file.Paths.get(out)
+        val tmp = java.nio.file.Paths.get(out + ".tmp")
+        java.nio.file.Files.write(tmp, (json + "\n").getBytes("UTF-8"))
+        try java.nio.file.Files.move(tmp, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(tmp, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] failed to write $out: $e")
+      }
     }
-    println(json)
     spark.stop()
   }
 

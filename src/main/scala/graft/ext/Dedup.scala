@@ -300,13 +300,17 @@ object Dedup {
     * pair rows. Prefix filtering only buys anything when hot shingles
     * dominate Σ df²; this index is verified flat.
     *
-    * Memory hygiene at scale: the reused artifact is the exploded
-    * (doc_id, g) index — cached COLUMNAR (strings compress), with the
-    * per-doc lengths derived from it by a count (shingles3 emits
-    * distinct shingles, so index rows per doc = |sh|). The earlier
-    * shape cached the full shingle-ARRAY rows: 500k deserialized array
-    * rows pin gigabytes of MemoryStore at sf10 and destabilize the
-    * very runs the cache was meant to help.
+    * Memory hygiene at scale: the reused artifacts are the capped
+    * exploded (doc_id, g) index (cached COLUMNAR — strings compress;
+    * per-doc lengths derive from it by a count, since shingles3 emits
+    * distinct shingles) and, since the r7 exact-verify promotion, the
+    * full shingle-ARRAY rows that feed both verify sides. Array rows
+    * pinning gigabytes of MemoryStore destabilized sf10 runs when the
+    * cache outlived the query — so BOTH caches are scoped: the returned
+    * pair list is eagerly materialized via localCheckpoint (it is
+    * near-dup-sized, orders of magnitude smaller than the corpus) and
+    * sh/e are unpersisted before this method returns. Callers hold
+    * checkpointed pairs; no corpus-sized block survives the call.
     *
     * Skew guard (round-6 verdict, promoted from d6): the index is
     * df-capped BY DEFAULT — postings whose shingle document frequency
@@ -347,12 +351,17 @@ object Dedup {
     // so these two joins ship almost nothing; with the cap not binding
     // the predicate is a no-op re-check of the gate
     val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
-    gated
+    val pairs = gated
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
       .where(inter * 1.0 /
         (size(col("sa.sh")) + size(col("sb.sh")) - inter) >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // materialize the (tiny) pair list, then drop the
+                         // corpus-sized caches — see "Memory hygiene" above
+    e.unpersist()
+    sh.unpersist()
+    pairs
   }
 
   /** Connected components over the near-dup pair graph via min-label
@@ -433,17 +442,34 @@ object Dedup {
     * closure) arriving at the same fixpoint, which is exactly what makes
     * it a trustworthy oracle. Defines CTE `comp(doc_id, component)`;
     * must follow `WITH RECURSIVE $shingledCte`.
+    *
+    * The pair stage mirrors the ENGINE's production semantics exactly
+    * (round-7 advice): df-capped gate over the capped index, then exact
+    * verification on the full shingle sets — so on a corpus where df
+    * exceeds DfCap the oracle pins the documented capped-recall
+    * behavior the engine actually ships, instead of reporting a
+    * mismatch that needs hand-adjudication. d4/d5 remain the UNCAPPED
+    * exact-Jaccard reference queries.
     */
   private val compCte =
-    s"""n AS (SELECT doc_id, len(sh) AS ns FROM shingled),
-       |e AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
+    s"""e0 AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
+       |e AS (SELECT doc_id, g FROM (
+       |        SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM e0)
+       |      WHERE df <= $DfCap),
+       |nk AS (SELECT doc_id, count(*) AS nks FROM e GROUP BY 1),
        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
        |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
        |      GROUP BY 1, 2),
+       |gated AS (SELECT doc_a, doc_b
+       |      FROM p JOIN nk na ON na.doc_id = p.doc_a
+       |             JOIN nk nb ON nb.doc_id = p.doc_b
+       |      WHERE inter * 1.0 / (na.nks + nb.nks - inter) >= $JaccardThreshold),
        |pairs AS (SELECT doc_a, doc_b
-       |      FROM p JOIN n na ON na.doc_id = p.doc_a
-       |             JOIN n nb ON nb.doc_id = p.doc_b
-       |      WHERE inter * 1.0 / (na.ns + nb.ns - inter) >= $JaccardThreshold),
+       |      FROM gated JOIN shingled sa ON sa.doc_id = gated.doc_a
+       |                 JOIN shingled sb ON sb.doc_id = gated.doc_b
+       |      WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+       |            (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+       |            >= $JaccardThreshold),
        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
        |          UNION SELECT doc_b, doc_a FROM pairs),
        |reach(u, r) AS (

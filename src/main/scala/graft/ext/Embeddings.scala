@@ -78,6 +78,41 @@ object Embeddings {
     cb
   }
 
+  /** Query-batch ceiling for the BROADCAST LUT side of e10/e11 (round-7
+    * verdict task 6 — the honesty note e4's geometry ladder carries).
+    *
+    * Each query row carries a k·M-entry integer map (k = codebook size,
+    * M = subspaces) at ~48 bytes per entry (string key + long + struct
+    * overhead), and e11 replicates it ×nprobe through the probe join. The
+    * broadcast stops being the right plan near Spark's default 10 MB
+    * autoBroadcastJoinThreshold:
+    *
+    *   bytes ≈ |Q| · nprobe · k · M · 48
+    *   k=20  (this corpus), M=8, nprobe=2:  ~15 KB/query → ~500 queries
+    *   k=256 (max real PQ), M=8, nprobe=2: ~200 KB/query → ~40 queries
+    *
+    * Past the ceiling, remedies in order: (1) BATCH the query set — run
+    * the scoring join once per <= ceiling-sized slice and union the
+    * top-k results (each batch is an independent broadcast; the corpus
+    * scan re-runs per batch, the standard query-throughput vs scan-count
+    * trade); (2) drop the broadcast() hint so the LUT side shuffle-hash
+    * joins on the cluster key — right once |Q| itself is corpus-like.
+    * The guard fails LOUDLY instead of letting a silently oversized
+    * broadcast degrade into driver OOM.
+    */
+  def adcMaxQueryBatch(codebookSize: Int, nprobe: Int = 1): Int = {
+    val bytesPerQuery = nprobe.toLong * codebookSize * PqM * 48
+    math.max(1, (8L * 1024 * 1024 / bytesPerQuery).toInt)
+  }
+
+  private def requireAdcBatch(nQueries: Long, codebookSize: Int, nprobe: Int): Unit =
+    require(nQueries <= adcMaxQueryBatch(codebookSize, nprobe),
+      s"ADC query batch of $nQueries queries with a $codebookSize-codeword " +
+        s"codebook (nprobe=$nprobe) oversizes the broadcast LUT " +
+        s"(ceiling ${adcMaxQueryBatch(codebookSize, nprobe)}). Batch the " +
+        "query set and union per-batch top-k, or drop the broadcast hint " +
+        "so the LUT side shuffles — see adcMaxQueryBatch scaladoc.")
+
   /** The M distance terms of one subspace: (codeword label, squared
     * distance of the vector's m-th slice to that codeword's m-th
     * slice), with ||c_m||^2 folded on the DRIVER in the same
@@ -414,6 +449,7 @@ object Embeddings {
         // CreateArray/CreateMap children split across generated methods
         // inside a ProjectExec, where the same 80-entry tree inlined
         // into a Generate stage blew janino's method limit
+        requireAdcBatch(Similarity.NQueries, cb.length, nprobe = 1)
         val lutPerQ = e.where(col("vec_id") < Similarity.NQueries)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
           .select(col("qid"), map_from_entries(array((0 until PqM).flatMap { m =>
@@ -568,7 +604,10 @@ object Embeddings {
           }: _*)).as("lut"))
         // (qid, probed cluster, LUT map): queries×nprobe rows, broadcast;
         // the cluster-equality join prunes each corpus row to its own
-        // cluster's probes before any ADC math or re-keying happens
+        // cluster's probes before any ADC math or re-keying happens.
+        // The batch guard bounds the replicated-LUT broadcast size —
+        // past it, batch the queries (see adcMaxQueryBatch)
+        requireAdcBatch(Similarity.NQueries, cb.length, Similarity.NProbe)
         val qps = qprobe.join(lutPerQ, "qid")
         val a = codes.join(broadcast(qps),
             col("cl") === col("ccl") && col("vec_id") =!= col("qid"))

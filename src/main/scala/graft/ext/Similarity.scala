@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   *   - e2_knn_brute: exact top-k for a small query set. Per-pair cosine is
   *     a sequential fold (codegen'd Column algebra, no UDF); the query
   *     side is tiny so Catalyst broadcasts it — cost O(|Q| * n), one scan.
-  *   - e1_cosine_neardup: all-pairs >= threshold. Brute at test scale;
-  *     the d2-style LSH banding (random hyperplanes) is the 100 TB path —
-  *     same join shape as Dedup.d2, bucketed instead of pairwise.
+  *   - e1_cosine_neardup: all-pairs >= threshold. Corpus-size-adaptive:
+  *     exact grid-blocked all-pairs to E1ExactMaxN vectors (the
+  *     verification tier), SRP band ladder beyond — same join shape as
+  *     Dedup.d2, bucketed instead of pairwise; the gates are evaluated
+  *     identically inside the oracle SQL.
   *   - e3_knn_ivf: IVF-style cluster pruning. Centroids derived
   *     deterministically from the data (min vec_id per label), vectors
   *     assigned to nearest centroid, queries probe ONLY their own cluster:
@@ -106,6 +108,14 @@ object Similarity {
     */
   val SrpSmallCorpusMaxN = 4000L
   val SrpMediumCorpusMaxN = 40000L
+
+  /** Largest corpus e1 surveys with the EXACT grid-blocked all-pairs
+    * join. n² at 4000 vectors is 8M comparisons — trivially affordable
+    * and the tier that adjudicates the banded arms' recall; beyond it
+    * the headline climbs onto the SRP ladder (round-7 verdict task 3:
+    * the exact tier is the oracle tier, not the scale path).
+    */
+  val E1ExactMaxN = 4000L
   lazy val planes: Seq[Seq[Int]] = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     (0 until SrpBits).map { j =>
@@ -147,38 +157,27 @@ object Similarity {
       }
     },
 
-    // e1: all-pairs cosine >= threshold (embedding near-dup survey),
-    // EXACT — same result set as the brute oracle — but planned as a
-    // GRID-BLOCKED EQUI-JOIN instead of a theta-join:
+    // e1: the HEADLINE near-dup survey — corpus-size-adaptive (round-7
+    // verdict: the Θ(n²) exact tier must not be the headline at scale).
+    // Below E1ExactMaxN vectors it runs the exact grid-blocked all-pairs
+    // join ([[gridNearDup]] — B(B+1)/2 bounded-memory block tasks, the
+    // distributed all-pairs layout); above it, it climbs onto e4's SRP
+    // band ladder ((8,2) to SrpMediumCorpusMaxN, (12,2) beyond), whose
+    // cost tracks bucket collisions instead of n². The oracle SQL
+    // evaluates the SAME integer corpus-count gates, so both engines
+    // pick the same tier at every SF: the driver gate (sf0.01) and
+    // sf0.1 adjudicate the exact arm bit-for-bit, sf1/sf10 run the
+    // bucketed arm on both sides.
     //
-    //   - Vectors are assigned a deterministic block g = vec_id % B.
-    //   - The B(B+1)/2 unordered block pairs (bi <= bj) form a 36-row
-    //     driver-side table; each side broadcast-joins it to tag every
-    //     vector with the block pairs it participates in, then the two
-    //     sides meet in a SHUFFLE-HASH EQUI-JOIN on (bi, bj).
-    //   - Each task compares exactly two blocks (bounded memory ~2n/B
-    //     vectors, never the whole corpus) and the B(B+1)/2 tasks run in
-    //     parallel across executors. Shuffle volume is ~n(B+1)/2 rows per
-    //     side — replication factor (B+1)/2, the standard distributed
-    //     all-pairs layout; B scales with the executor count.
-    //
-    // Why not LSH here: this dataset's qualifying pairs sit at cos
-    // 0.45-0.60 (63-72 deg) where SRP bit-agreement is only ~0.65, and
-    // the corpus has no angular cluster structure (measured label-cluster
-    // radii ~90 deg) — at that operating point NO sub-quadratic method
-    // (banding or exact triangle-inequality cluster pruning) reaches
-    // recall 1; the compare count is inherently O(n^2) and the win
-    // available is distributing it with bounded per-task memory, which
-    // this plan does. The sub-threshold-recall scale path at real
-    // near-dup thresholds (>= 0.8) is e4's SRP banding; RecallSpec pins
-    // e4-vs-e1 recall and this plan's exact equivalence to the theta join.
-    Q("e1_cosine_neardup",
-      s"""WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |                  ${sqlCosine("a.embedding", "b.embedding")} AS cos
-         |           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-         |SELECT vec_a, vec_b, round(cos, 6) AS cos
-         |FROM p WHERE cos >= $NearDupThreshold ORDER BY vec_a, vec_b""".stripMargin) {
-      (s, dir) => gridNearDup(s, dir)
+    // Why the small-corpus tier is exact rather than (4,4) banding: this
+    // dataset's qualifying pairs sit at cos 0.45-0.60 (63-72 deg) where
+    // SRP bit-agreement is only ~0.65 and the corpus has no angular
+    // cluster structure — no sub-quadratic method reaches recall 1
+    // there, so exact IS the verification tier, kept exactly to the
+    // corpus sizes where n² is trivially affordable. RecallSpec pins the
+    // banded tiers' recall against it at gate scale.
+    Q("e1_cosine_neardup", e1AdaptiveOracleSql) {
+      (s, dir) => nearDupAdaptive(s, dir)
     },
 
     // e3: IVF cluster pruning. Centroid c_l = embedding of min vec_id per
@@ -354,7 +353,21 @@ object Similarity {
       s" AND (SELECT cnt FROM nn) <= $SrpMediumCorpusMaxN"),
     (12, 2, s" WHERE (SELECT cnt FROM nn) > $SrpMediumCorpusMaxN")))
 
-  private def srpOracleSqlFor(geoms: Seq[(Int, Int, String)]): String = {
+  /** Oracle twin of [[nearDupAdaptive]] (the e1 headline): an exact
+    * all-pairs candidate arm gated to corpora <= [[E1ExactMaxN]], plus
+    * the two wide SRP band arms above it — every arm gated on the same
+    * integer corpus count the Spark side switches on, one static SQL
+    * string valid at every SF.
+    */
+  def e1AdaptiveOracleSql: String = srpOracleSqlFor(
+    Seq(
+      (8, 2, s" WHERE (SELECT cnt FROM nn) > $E1ExactMaxN" +
+        s" AND (SELECT cnt FROM nn) <= $SrpMediumCorpusMaxN"),
+      (12, 2, s" WHERE (SELECT cnt FROM nn) > $SrpMediumCorpusMaxN")),
+    exactGate = s" WHERE (SELECT cnt FROM nn) <= $E1ExactMaxN")
+
+  private def srpOracleSqlFor(geoms: Seq[(Int, Int, String)],
+      exactGate: String = ""): String = {
     val nBits = geoms.map { case (r, b, _) => r * b }.max
     def dotSql(j: Int): String =
       sqlDot("embedding", planes(j).map(v => s"$v.0").mkString("[", ",", "]"))
@@ -367,7 +380,24 @@ object Similarity {
         s"SELECT vec_id, embedding, $b AS band, $key AS bkey FROM sig$gate"
       }
     }.mkString("\nUNION ALL ")
-    s"""WITH nn AS (SELECT count(*) AS cnt FROM embeddings),
+    // the optional exact arm (e1's small-corpus tier): all ordered pairs,
+    // gated on the corpus count — disjoint from the band arms' gates, so
+    // the UNION ALL never double-emits a candidate. The gate sits on the
+    // SCAN of each join side (exact_src), not after the theta join, so
+    // on a large corpus both sides are empty and the n² join never
+    // enumerates — the same push-down shape the band arms use.
+    val exactSrc =
+      if (exactGate.isEmpty) ""
+      else s"""
+         |exact_src AS (SELECT vec_id FROM embeddings$exactGate),""".stripMargin
+    val exactArm =
+      if (exactGate.isEmpty) ""
+      else """
+         |         UNION ALL
+         |         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM exact_src a JOIN exact_src b
+         |           ON a.vec_id < b.vec_id""".stripMargin
+    s"""WITH nn AS (SELECT count(*) AS cnt FROM embeddings),$exactSrc
        |sig AS (
        |  SELECT vec_id, embedding,
        |       $bitsSql
@@ -375,7 +405,7 @@ object Similarity {
        |bands AS ($bandSql),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |         FROM bands a JOIN bands b
-       |           ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id$exactArm),
        |n AS (SELECT vec_id, sqrt(${sqlDot("embedding", "embedding")}) AS nrm,
        |             embedding FROM embeddings),
        |v AS (SELECT vec_a, vec_b,
@@ -397,6 +427,17 @@ object Similarity {
   def srpNearDupAdaptive(s: SparkSession, dir: String): DataFrame = {
     val n = Tables.embeddings(s, dir).count()
     if (n <= SrpSmallCorpusMaxN) srpNearDup(s, dir, SrpRows, SrpBands)
+    else if (n <= SrpMediumCorpusMaxN) srpNearDup(s, dir, 8, 2)
+    else srpNearDup(s, dir, 12, 2)
+  }
+
+  /** The e1 headline dispatch: exact grid-blocked all-pairs to
+    * [[E1ExactMaxN]] vectors, SRP band ladder beyond ((8,2) then
+    * (12,2)). Same O(1) sizing statistic as [[srpNearDupAdaptive]].
+    */
+  def nearDupAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    if (n <= E1ExactMaxN) gridNearDup(s, dir)
     else if (n <= SrpMediumCorpusMaxN) srpNearDup(s, dir, 8, 2)
     else srpNearDup(s, dir, 12, 2)
   }

@@ -323,5 +323,142 @@ object Basket {
         rank.select(col("pk"), col("r").as("rank_units"))
           .transform(d => graft.Q.sorted(d, "pk"))
       }
+    },
+
+    // The FULL PageRank solver (round-7 verdict task 4): the superstep
+    // shape x_pagerank3 proved flat at sf10, under a convergence-probe
+    // driver loop with DANGLING-MASS REDISTRIBUTION — the two semantics
+    // the step/3 queries deliberately simplified away. The graph here is
+    // the DIRECTED co-purchase graph (u -> v iff co-purchased and
+    // u < v), which guarantees sink vertices (every component's max
+    // part id has out-degree 0), so the redistribution term is
+    // non-vacuous at every SF — the lesson of round 6's vacuous
+    // triangle oracle. Mass is conserved: Σr stays within n floor-units
+    // of the 1e12 total each round (Ext8Spec pins this), where the
+    // step/3 recurrences silently leak the dangling share.
+    //
+    // Convergence: the loop exits when the L1 delta between rounds is
+    // EXACTLY ZERO in scaled-integer units — an integer fixpoint, after
+    // which every further round reproduces the same vector, so the
+    // early exit is bit-safe against the fixed-$PrFullIters-round
+    // oracle chain at any SF (an eps > 0 exit would not be). The probe
+    // is an O(1)-row driver read per round, same as ext/Dedup's CC
+    // loop; graphs that hit the fixpoint early (regular graphs do at
+    // round 1) stop paying supersteps immediately.
+    Q("x_pagerank_full", pagerankFullOracleSql) {
+      (s, dir) => {
+        val basket = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = basket.as("a")
+          .join(basket.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v"))
+          .distinct()
+        val nodes = basket.select(col("pk")).distinct()
+        val (rank, _) = pagerankConverged(edges, nodes, PrFullIters)
+        rank.select(col("pk"), col("r").as("rank_units"))
+          .transform(d => graft.Q.sorted(d, "pk"))
+      }
     })
+
+  /** Fixed oracle round count for x_pagerank_full. The engine loop may
+    * exit earlier ONLY on an exact integer fixpoint, which subsequent
+    * rounds reproduce verbatim — so engine and oracle agree at every SF
+    * regardless of where convergence lands. 5 rounds keeps the oracle
+    * CTE chain and the gate-scale superstep cost bounded; a production
+    * run raises it with epsilon semantics unchanged.
+    */
+  val PrFullIters = 5
+
+  /** PageRank with dangling-mass redistribution under a convergence
+    * probe:
+    *
+    *   r_{k+1}(v) = 15·S div (100n)
+    *              + (85 · (Σ_{u→v} (r_k(u) div d_u)  +  D_k div n)) div 100
+    *
+    * where S = 1e12 scaled-integer units, d_u = out-degree, and
+    * D_k = Σ r_k(u) over u with no outgoing edge (the dangling mass,
+    * redistributed uniformly). All arithmetic is long floor division —
+    * bit-reproducible against the DuckDB twin.
+    *
+    * Scale shape (same as x_pagerank3, verified flat sf1→sf10): the
+    * loop-invariant edges⋈deg artifact materializes once via
+    * localCheckpoint and keeps its hash(u) partitioning, so each round
+    * shuffles only the node-cardinality rank frontier; the dangling
+    * aggregate is a 1-row broadcast (anti-join of the frontier against
+    * the degree keys); the delta probe reads ONE row on the driver.
+    * Returns (final rank frame (pk, r), rounds executed).
+    */
+  def pagerankConverged(edgesIn: org.apache.spark.sql.DataFrame,
+      nodesIn: org.apache.spark.sql.DataFrame,
+      maxIters: Int): (org.apache.spark.sql.DataFrame, Int) = {
+    val edges = edgesIn.localCheckpoint()
+    val nodes = nodesIn.localCheckpoint()
+    val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+    val contribBase = edges.join(deg, "u").localCheckpoint()
+    var rank = nodes.crossJoin(nn)
+      .select(col("pk"), expr("1000000000000 div n").as("r"))
+      .localCheckpoint()
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val dang = broadcast(
+        rank.join(deg, rank("pk") === deg("u"), "left_anti")
+          .agg(coalesce(sum("r"), lit(0L)).as("dm")))
+      val contrib = contribBase
+        .join(rank.withColumnRenamed("pk", "u"), "u")
+        .groupBy(col("v").as("pk"))
+        .agg(sum(expr("r div d")).as("s"))
+      val next = nodes.crossJoin(nn).crossJoin(dang)
+        .join(contrib, Seq("pk"), "left")
+        .select(col("pk"),
+          (expr("15 * 1000000000000 div (100 * n)")
+            + expr("(85 * (coalesce(s, 0) + (dm div n))) div 100")).as("r"))
+        .localCheckpoint()
+      val delta = next
+        .join(rank.select(col("pk"), col("r").as("rp")), "pk")
+        .agg(sum(abs(col("r") - col("rp")))).head().getLong(0)
+      converged = delta == 0L
+      rank = next
+      iters += 1
+    }
+    (rank, iters)
+  }
+
+  /** Oracle twin of x_pagerank_full: the identical integer recurrence
+    * chained for exactly [[PrFullIters]] rounds, each round's dangling
+    * mass computed by the same anti-join shape (LEFT JOIN deg … WHERE
+    * deg.u IS NULL).
+    *
+    * The rank CTEs (and the loop-invariant edges/deg) are declared
+    * `AS MATERIALIZED`: each r_{k-1} is referenced TWICE per round
+    * (contribution sum + dangling mass), and DuckDB 1.0 inlines CTEs by
+    * default, so without the hint the chain re-evaluates the full
+    * upstream pipeline 2^k times — measured 65 GB of temp spill at sf1
+    * before materialization pinned each round to one evaluation.
+    */
+  private def pagerankFullOracleSql: String = {
+    val rounds = (1 to PrFullIters).map { k =>
+      val prev = s"r${k - 1}"
+      s"""c$k AS (SELECT e.v AS pk, sum($prev.r // deg.d) AS s
+         |       FROM edges e JOIN deg ON e.u = deg.u JOIN $prev ON e.u = $prev.pk GROUP BY e.v),
+         |d$k AS (SELECT coalesce(sum($prev.r), 0) AS dm
+         |       FROM $prev LEFT JOIN deg ON $prev.pk = deg.u WHERE deg.u IS NULL),
+         |r$k AS MATERIALIZED (SELECT nodes.pk,
+         |              (15 * 1000000000000 // (100 * nn.n))
+         |              + (85 * (coalesce(c$k.s, 0) + (d$k.dm // nn.n))) // 100 AS r
+         |       FROM nodes CROSS JOIN nn CROSS JOIN d$k LEFT JOIN c$k ON nodes.pk = c$k.pk)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH basket AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |edges AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+       |          FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk < b.pk),
+       |nodes AS MATERIALIZED (SELECT DISTINCT pk FROM basket),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u),
+       |r0 AS MATERIALIZED (SELECT pk, 1000000000000 // nn.n AS r FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT pk, CAST(r AS BIGINT) AS rank_units FROM r$PrFullIters ORDER BY pk""".stripMargin
+  }
 }

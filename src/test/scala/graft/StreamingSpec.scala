@@ -351,4 +351,58 @@ class StreamingSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming indicator cascade equals the batch window cascade on the same frames") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // deterministic non-monotone closes: exercises RSI gain/loss
+      // branches, SMA warm-up, and both MACD signs
+      def mkBar(sym: String, i: Int): Bar = {
+        val close = 50.0 + 10.0 * math.sin(i * 0.7) + (i % 7)
+        bar(sym, i).copy(open = close - 0.5, high = close + 1, low = close - 1,
+          close = close)
+      }
+      val bars = for (sym <- Seq("AAPL", "MSFT"); i <- 0 until 40) yield mkBar(sym, i)
+
+      val input = MemoryStream[Bar](spark)
+      val q = Pipeline.indicatorCascade(input.toDS())
+        .writeStream.format("memory").queryName("casc")
+        .outputMode("append").start()
+      // two waves, each internally SHUFFLED (deterministic interleave) —
+      // the processor must sort within the batch; state carries across
+      def interleave(xs: Seq[Bar]) = {
+        val (a, b) = xs.zipWithIndex.partition(_._2 % 2 == 0)
+        (a ++ b.reverse).map(_._1)
+      }
+      input.addData(interleave(bars.filter(_.datetime.getTime < bars(25).datetime.getTime)): _*)
+      q.processAllAvailable()
+      input.addData(interleave(bars.filterNot(_.datetime.getTime < bars(25).datetime.getTime)): _*)
+      q.processAllAvailable()
+      q.stop()
+
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[String]("symbol"), r.getAs[java.sql.Timestamp]("datetime"))
+      def vals(r: org.apache.spark.sql.Row) = (
+        r.getAs[Double]("close"), r.getAs[Double]("ema5"), r.getAs[Double]("ema15"),
+        Option(r.getAs[Any]("sma")).map(_.asInstanceOf[Double]),
+        Option(r.getAs[Any]("rsi")).map(_.asInstanceOf[Double]),
+        r.getAs[Double]("macd"), r.getAs[Double]("macd_signal"))
+
+      val streamed = spark.table("casc").collect().map(r => key(r) -> vals(r)).toMap
+      val batch = Pipeline.indicatorCascadeBatch(bars.toDF()
+          .select($"symbol", $"datetime", $"close"))
+        .collect().map(r => key(r) -> vals(r)).toMap
+
+      assert(streamed.size == 80 && batch.size == 80)
+      // bit-exact row equality: the incremental recurrences replicate the
+      // batch window folds' accumulation order, so no tolerance is needed
+      val diffs = batch.keys.filter(k => streamed(k) != batch(k))
+      assert(diffs.isEmpty,
+        s"${diffs.size} rows diverge, e.g. ${diffs.headOption.map(k => (k, streamed(k), batch(k)))}")
+    } finally {
+      spark.streams.active.foreach(_.stop())
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
