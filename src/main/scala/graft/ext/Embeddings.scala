@@ -58,25 +58,30 @@ object Embeddings {
       // unrolled literals reproduce the exact egress schema the
       // DataFrame codebook produced
       .map(r => (r.get(0), r.getSeq[Float](1).toArray))
-    // Guard, not a limit of the algorithm: the unrolled argmin emits one
-    // codegen'd distance term per codeword, and past ~1024 the generated
-    // method blows janino's 64 KB bytecode budget (measured at sf10 —
-    // commit 435edbc) and WSCG silently falls back to interpreted eval.
-    // Real PQ codebooks are <= 256 codewords per subspace by
-    // construction (one byte per code), so hitting this means the label
-    // column isn't a trained codebook. Remedies, in order: re-train with
-    // <= 256 centroids; or shard the codebook into <= 1024-codeword
-    // slices, run the unrolled argmin per shard, and reduce with
-    // least(argmin_shard_0, ..) — the shape stays a single projection,
-    // just split across registered methods.
-    require(cb.length <= 1024,
-      s"codebook has ${cb.length} codewords; the unrolled argmin is sized " +
-        "for PQ-scale codebooks (<= 1024, one codegen'd distance term per " +
-        "codeword — more blows the janino 64 KB method budget). Re-train " +
-        "with <= 256 centroids, or shard the codebook into <= 1024-codeword " +
-        "slices and reduce the per-shard argmins with least().")
+    // Past ArgminShardSize codewords the unrolled argmin SHARDS across
+    // projection layers (see [[pqPass]]) instead of failing — janino's
+    // 64 KB method budget is per generated method, and the shard columns
+    // land in separate methods. What remains guarded is the driver
+    // collect itself: real PQ codebooks are <= 256 codewords per
+    // subspace by construction (one byte per code), so a six-figure
+    // "codebook" means the label column isn't a trained codebook and
+    // the k·d-float driver state would become the actual bottleneck.
+    require(cb.length <= 65536,
+      s"codebook has ${cb.length} codewords; driver/broadcast codebook " +
+        "state is sized for trained PQ codebooks (<= 65536). Re-train " +
+        "with fewer centroids — PQ uses <= 256 per subspace.")
     cb
   }
+
+  /** Codewords per unrolled-argmin shard. One codegen'd distance term is
+    * emitted per codeword; past ~1024 in ONE method janino's 64 KB
+    * bytecode budget blows and WSCG silently falls back to interpreted
+    * eval (measured at sf10 — commit 435edbc). [[pqPass]] keeps each
+    * shard's argmin in its own projection column (its own generated
+    * method) and reduces shards with least() + first-match, so any
+    * codebook size up to the [[codebook]] driver bound stays codegen'd.
+    */
+  val ArgminShardSize = 1024
 
   /** Query-batch ceiling for the BROADCAST LUT side of e10/e11 (round-7
     * verdict task 6 — the honesty note e4's geometry ladder carries).
@@ -127,6 +132,96 @@ object Embeddings {
       val cm = ce.slice(m * SubDim, (m + 1) * SubDim)
       val cc = cm.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
       (cl, (vv - lit(2.0) * Portable.dot(vm, typedlit(cm))) + lit(cc))
+    }
+  }
+
+  /** (min distance, first codeword attaining it) over one shard's
+    * distance terms. The codebook (and every cl-ascending shard of it)
+    * makes first-match the (dist2, cl) tie-break; the extremum is
+    * bit-identical to one of its inputs, so the equality is exact.
+    * least() needs >= 2 children, hence the singleton special case.
+    */
+  private def argminOf(ds: Seq[(Any, Column)]): (Column, Column) = {
+    val dmin = if (ds.length == 1) ds.head._2 else least(ds.map(_._2): _*)
+    val code = ds.tail.foldLeft(when(ds.head._2 === dmin, lit(ds.head._1))) {
+      case (acc, (cl, d)) => acc.when(d === dmin, lit(cl))
+    }
+    (dmin, code)
+  }
+
+  /** (max cosine, first codeword attaining it) — the coarse-assignment
+    * twin of [[argminOf]] ((cos DESC, cl) tie-break). */
+  private def argmaxOf(cs: Seq[(Any, Column)]): (Column, Column) = {
+    val cmax = if (cs.length == 1) cs.head._2 else greatest(cs.map(_._2): _*)
+    val cl = cs.tail.foldLeft(when(cs.head._2 === cmax, lit(cs.head._1))) {
+      case (acc, (c, v)) => acc.when(v === cmax, lit(c))
+    }
+    (cmax, cl)
+  }
+
+  private def coarseCosines(v: Column,
+      cb: Seq[(Any, Array[Float])]): Seq[(Any, Column)] =
+    cb.toIndexedSeq.map { case (cl, ce) => (cl, Portable.cosine(v, typedlit(ce))) }
+
+  /** ONE corpus pass emitting the per-subspace PQ code (plus, on
+    * request, its squared error and the coarse IVF assignment), with the
+    * unrolled argmin/argmax SHARDED past [[ArgminShardSize]] codewords:
+    * each shard's extremum materializes as its own projection column —
+    * its own generated method, which is what keeps janino's per-method
+    * 64 KB budget intact — and a second projection reduces the shards
+    * with least()/greatest() + first-match. Shards are cl-ascending
+    * slices, so the first shard attaining the extremum contains the
+    * lowest attaining cl and the global (dist2, cl) / (cos DESC, cl)
+    * tie-break is preserved exactly (Ext8Spec pins sharded ≡ unsharded).
+    * At or below the shard size this degenerates to the single
+    * projection e8/e10/e11 always ran — the identical plan.
+    */
+  private[graft] def pqPass(e: DataFrame, cb: Array[(Any, Array[Float])],
+      withErr: Boolean, withAssign: Boolean,
+      shardSize: Int = ArgminShardSize): DataFrame = {
+    require(shardSize >= 1)
+    val shards = cb.grouped(shardSize).toSeq
+    if (shards.length == 1) {
+      val cols = (0 until PqM).flatMap { m =>
+        val (dmin, code) = argminOf(subDists(col("embedding"), m, cb))
+        (if (withErr) Seq(dmin.as(s"err$m")) else Nil) :+ code.as(s"code$m")
+      }
+      val asg =
+        if (withAssign) Seq(argmaxOf(coarseCosines(col("embedding"), cb))._2.as("cl"))
+        else Nil
+      e.select(col("vec_id") +: (asg ++ cols): _*)
+    } else {
+      val l1cols = (for {
+        m <- 0 until PqM; (sh, si) <- shards.zipWithIndex
+      } yield {
+        val (dmin, code) = argminOf(subDists(col("embedding"), m, sh))
+        Seq(dmin.as(s"d${m}_$si"), code.as(s"c${m}_$si"))
+      }).flatten
+      val a1cols =
+        if (withAssign) shards.zipWithIndex.flatMap { case (sh, si) =>
+          val (cmax, cl) = argmaxOf(coarseCosines(col("embedding"), sh))
+          Seq(cmax.as(s"a_$si"), cl.as(s"acl_$si"))
+        } else Nil
+      val l1 = e.select(Seq(col("vec_id")) ++ l1cols ++ a1cols: _*)
+      val red = (0 until PqM).flatMap { m =>
+        val ds = shards.indices.map(si => col(s"d${m}_$si"))
+        val cs = shards.indices.map(si => col(s"c${m}_$si"))
+        val dmin = least(ds: _*)
+        val code = (ds.tail zip cs.tail).foldLeft(when(ds.head === dmin, cs.head)) {
+          case (acc, (d, c)) => acc.when(d === dmin, c)
+        }
+        (if (withErr) Seq(dmin.as(s"err$m")) else Nil) :+ code.as(s"code$m")
+      }
+      val asgRed =
+        if (withAssign) {
+          val as = shards.indices.map(si => col(s"a_$si"))
+          val cls = shards.indices.map(si => col(s"acl_$si"))
+          val cmax = greatest(as: _*)
+          Seq((as.tail zip cls.tail).foldLeft(when(as.head === cmax, cls.head)) {
+            case (acc, (a, c)) => acc.when(a === cmax, c)
+          }.as("cl"))
+        } else Nil
+      l1.select(col("vec_id") +: (asgRed ++ red): _*)
     }
   }
 
@@ -256,19 +351,10 @@ object Embeddings {
         // references. Inlining the unrolled tree into the Generate
         // stage put everything in one un-splittable doConsume method
         // and blew janino's 64 KB limit (codegen_errors=6, interpreted
-        // fallback). The argmin itself is primitive-only: dmin =
-        // least(doubles), code = first codeword matching dmin (the
-        // codebook is cl-ascending, so first-match IS the (dist2, cl)
-        // tie-break; dmin is bit-identical to one of its inputs, so
-        // the equality is exact).
-        val scored = e.select(col("vec_id") +: (0 until PqM).flatMap { m =>
-          val ds = subDists(col("embedding"), m, cb)
-          val dmin = least(ds.map(_._2).toIndexedSeq: _*)
-          val code = ds.tail.foldLeft(when(ds.head._2 === dmin, lit(ds.head._1))) {
-            case (acc, (cl, d)) => acc.when(d === dmin, lit(cl))
-          }
-          Seq(dmin.as(s"err$m"), code.as(s"code$m"))
-        }: _*)
+        // fallback). The argmin itself is primitive-only (least +
+        // first-match — see pqPass, which also shards codebooks past
+        // ArgminShardSize across projection layers).
+        val scored = pqPass(e, cb, withErr = true, withAssign = false)
         graft.Q.norm(
           scored.select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
               struct(col(s"code$m").as("code"), col(s"err$m").as("err2"))): _*))
@@ -415,19 +501,11 @@ object Embeddings {
       (s, dir) => {
         import Portable._
         val e = Portable.spread(Tables.embeddings(s, dir), "vec_id")
-        // same unrolled-codebook shape as e8: PQ codes come out of one
-        // codegen'd scan projection as an M-array per vector — no
+        // same unrolled-codebook shape as e8 (pqPass: primitive-only
+        // argmin, sharded past ArgminShardSize): PQ codes come out of
+        // one codegen'd scan projection as an M-array per vector — no
         // crossJoin, no explode, no argmin shuffle
         val cb = codebook(e)
-        // same primitive-only argmin as e8 (least + first-match when):
-        // struct least in a fused stage was the 64 KB codegen breaker
-        def bestClFor(v: Column, m: Int): Column = {
-          val ds = subDists(v, m, cb)
-          val dmin = least(ds.map(_._2).toIndexedSeq: _*)
-          ds.tail.foldLeft(when(ds.head._2 === dmin, lit(ds.head._1))) {
-            case (acc, (cl, d)) => acc.when(d === dmin, lit(cl))
-          }
-        }
         // the eager materialization barrier matters: without it,
         // CollapseProject inlines the `codes` alias into every one of
         // the M element_at references below, re-evaluating the whole
@@ -435,9 +513,9 @@ object Embeddings {
         // ADC stage ran at the cost of the full coding pass per
         // reference). The checkpointed (vec_id, codes) frame is
         // n·(M+1) longs — tiny — and the coding pass runs exactly once.
-        val codes = e.select(col("vec_id"),
-          array((0 until PqM).map(m => bestClFor(col("embedding"), m)): _*)
-            .as("codes"))
+        val codes = pqPass(e, cb, withErr = false, withAssign = false)
+          .select(col("vec_id"),
+            array((0 until PqM).map(m => col(s"code$m")): _*).as("codes"))
           .localCheckpoint()
         // LUT: per query, the 1e-6-quantized distance to every (m, cl)
         // cell, folded into ONE map row — |Q|·k·M entries total. ADC is
@@ -554,33 +632,16 @@ object Embeddings {
         import Portable._
         val e = Portable.spread(Tables.embeddings(s, dir), "vec_id")
         val cb = codebook(e)
-        // e10's primitive-only PQ coder (least + first-match when)
-        def bestClFor(v: Column, m: Int): Column = {
-          val ds = subDists(v, m, cb)
-          val dmin = least(ds.map(_._2).toIndexedSeq: _*)
-          ds.tail.foldLeft(when(ds.head._2 === dmin, lit(ds.head._1))) {
-            case (acc, (cl, d)) => acc.when(d === dmin, lit(cl))
-          }
-        }
-        // coarse assignment, ALSO unrolled into the same projection:
-        // greatest() of the k cosines, first codeword matching it — the
-        // cl-ascending codebook makes first-match the (cos DESC, cl)
-        // tie-break of the oracle's row_number. One corpus pass emits
-        // (vec_id, cluster, codes); the checkpoint is the same
+        // coarse assignment unrolled into the SAME projection as the PQ
+        // coder (pqPass withAssign: greatest() of the k cosines, first
+        // codeword matching — the cl-ascending codebook makes
+        // first-match the (cos DESC, cl) tie-break of the oracle's
+        // row_number; sharded past ArgminShardSize). One corpus pass
+        // emits (vec_id, cluster, codes); the checkpoint is the same
         // CollapseProject barrier e10 needs (n·(M+2) small values).
-        def assignCl(v: Column): Column = {
-          val cs = cb.toIndexedSeq.map { case (cl, ce) =>
-            (cl, Portable.cosine(v, typedlit(ce)))
-          }
-          val cmax = greatest(cs.map(_._2): _*)
-          cs.tail.foldLeft(when(cs.head._2 === cmax, lit(cs.head._1))) {
-            case (acc, (cl, c)) => acc.when(c === cmax, lit(cl))
-          }
-        }
-        val codes = e.select(col("vec_id"),
-          assignCl(col("embedding")).as("cl"),
-          array((0 until PqM).map(m => bestClFor(col("embedding"), m)): _*)
-            .as("codes"))
+        val codes = pqPass(e, cb, withErr = false, withAssign = true)
+          .select(col("vec_id"), col("cl"),
+            array((0 until PqM).map(m => col(s"code$m")): _*).as("codes"))
           .localCheckpoint()
         // query side is NQueries rows: the window-over-crossJoin probe
         // selection is driver-trivial and broadcast downstream

@@ -74,6 +74,26 @@ class Ext8Spec extends SparkTestBase {
     assert(sinks > 0, "no dangling vertices — the redistribution term would be vacuous")
   }
 
+  test("pqPass: sharded argmin/argmax equals the single-projection unrolled form") {
+    // 10 codewords, shard sizes 3 and 1 force the layered shard-reduce
+    // path; 1024 is the production single-projection shape — all three
+    // must agree bit-for-bit on every (cl, code, err) cell, including
+    // the cross-shard (dist2, cl)/(cos DESC, cl) tie-breaks
+    val dims = ext.Embeddings.Dims
+    val rows = (0 until 30).map { i =>
+      val emb = Array.tabulate(dims)(d => (((i * 31 + d * 7) % 17) - 8) / 8.0f)
+      (i.toLong, i % 10, emb)
+    }
+    val e = rows.toDF("vec_id", "label", "embedding")
+    val cb = ext.Embeddings.codebook(e)
+    def run(shard: Int) =
+      ext.Embeddings.pqPass(e, cb, withErr = true, withAssign = true, shardSize = shard)
+        .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val single = run(1024)
+    assert(single == run(3), "3-codeword shards diverge from unrolled")
+    assert(single == run(1), "1-codeword shards diverge from unrolled")
+  }
+
   test("e1 adaptive dispatch: banded tier is a subset of the exact tier at gate scale") {
     // below E1ExactMaxN the headline runs the exact grid join; the (8,2)
     // banded tier it switches to at scale must emit only true pairs
