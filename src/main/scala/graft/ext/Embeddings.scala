@@ -225,6 +225,70 @@ object Embeddings {
     }
   }
 
+  /** The 1e-6-quantized ADC lookup table for one query vector, folded
+    * into a single map column — k·M integer entries keyed "m_cl" (the
+    * e10 convention; shared by e10, e11 and [[adcTopK]]). */
+  private def lutMap(qe: Column, cb: Array[(Any, Array[Float])]): Column =
+    map_from_entries(array((0 until PqM).flatMap { m =>
+      subDists(qe, m, cb).map { case (cl, d) =>
+        struct(concat_ws("_", lit(m), lit(cl)).as("k"),
+          round(d * 1e6, 0).cast("long").as("v"))
+      }
+    }: _*))
+
+  /** Exact-integer ADC distance: sum over subspaces of LUT[m][code[m]]. */
+  private def adcSum(codes: Column, lut: Column): Column =
+    (0 until PqM).map(m =>
+      element_at(lut, concat_ws("_", lit(m), element_at(codes, m + 1))))
+      .reduce(_ + _)
+
+  /** PRODUCTION ADC top-k over an ARBITRARY query set — the batching
+    * remedy [[adcMaxQueryBatch]] documents, as code. The corpus is
+    * PQ-coded once (one codegen'd pass, checkpointed: n·(M+1) longs);
+    * queries are assigned contiguous batch ids and each <= batchSize
+    * slice runs the e10 broadcast-LUT scoring join independently —
+    * queries are mutually independent, so slicing changes no result row.
+    * Per batch the codes scan re-runs: the standard query-throughput vs
+    * scan-count trade (the alternative past corpus-like |Q| is dropping
+    * the broadcast so the LUT side shuffles).
+    *
+    * The global row_number over qid is a sort of the QUERY side only —
+    * small by definition here; a corpus-sized query set belongs in the
+    * shuffle-join formulation, not this one.
+    *
+    * `queries`: (qid, qe) with qe an embedding array. Returns
+    * (query_id, neighbor_id, rk, adist2_e6), k rows per query, ranked by
+    * (adist2_e6, neighbor_id) — identical to e10's contract (Ext8Spec
+    * pins adcTopK ≡ e10 on the gate corpus at a forced 2-query batch).
+    */
+  def adcTopK(e: DataFrame, queriesIn: DataFrame, k: Int,
+      batchSize: Int = 0): DataFrame = {
+    val cb = codebook(e)
+    val bs = if (batchSize > 0) batchSize else adcMaxQueryBatch(cb.length)
+    val codes = pqPass(e, cb, withErr = false, withAssign = false)
+      .select(col("vec_id"),
+        array((0 until PqM).map(m => col(s"code$m")): _*).as("codes"))
+      .localCheckpoint()
+    val q = queriesIn
+      .withColumn("bi", ((row_number().over(
+        Window.orderBy("qid")) - 1) / bs).cast("int"))
+      .localCheckpoint()
+    val nB = q.agg(coalesce(max("bi"), lit(0)).as("m")).head().getInt(0) + 1
+    val scored = (0 until nB).map { i =>
+      val lut = q.where(col("bi") === i)
+        .select(col("qid"), lutMap(col("qe"), cb).as("lut"))
+      codes.crossJoin(broadcast(lut))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          adcSum(col("codes"), col("lut")).as("adist2_e6"))
+    }.reduce(_ unionAll _)
+    val wr = Window.partitionBy("qid").orderBy(col("adist2_e6"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(wr).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("rk"), col("adist2_e6"))
+  }
+
   def queries: Seq[Q] = Seq(
     Q("e6_centroids",
       s"""WITH x AS (
@@ -530,18 +594,11 @@ object Embeddings {
         requireAdcBatch(Similarity.NQueries, cb.length, nprobe = 1)
         val lutPerQ = e.where(col("vec_id") < Similarity.NQueries)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-          .select(col("qid"), map_from_entries(array((0 until PqM).flatMap { m =>
-            subDists(col("qe"), m, cb).map { case (cl, d) =>
-              struct(concat_ws("_", lit(m), lit(cl)).as("k"),
-                round(d * 1e6, 0).cast("long").as("v"))
-            }
-          }: _*)).as("lut"))
+          .select(col("qid"), lutMap(col("qe"), cb).as("lut"))
         val a = codes.crossJoin(broadcast(lutPerQ))
           .where(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),
-            (0 until PqM).map(m => element_at(col("lut"),
-              concat_ws("_", lit(m), element_at(col("codes"), m + 1))))
-              .reduce(_ + _).as("adist2_e6"))
+            adcSum(col("codes"), col("lut")).as("adist2_e6"))
         val wr = Window.partitionBy("qid").orderBy(col("adist2_e6"), col("vec_id"))
         a.withColumn("rk", row_number().over(wr).cast("long"))
           .where(col("rk") <= Similarity.K)
@@ -657,12 +714,7 @@ object Embeddings {
           .where(col("rn") <= Similarity.NProbe)
           .select(col("qid"), col("ccl"))
         val lutPerQ = qe
-          .select(col("qid"), map_from_entries(array((0 until PqM).flatMap { m =>
-            subDists(col("qe"), m, cb).map { case (cl, d) =>
-              struct(concat_ws("_", lit(m), lit(cl)).as("k"),
-                round(d * 1e6, 0).cast("long").as("v"))
-            }
-          }: _*)).as("lut"))
+          .select(col("qid"), lutMap(col("qe"), cb).as("lut"))
         // (qid, probed cluster, LUT map): queries×nprobe rows, broadcast;
         // the cluster-equality join prunes each corpus row to its own
         // cluster's probes before any ADC math or re-keying happens.
@@ -673,9 +725,7 @@ object Embeddings {
         val a = codes.join(broadcast(qps),
             col("cl") === col("ccl") && col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),
-            (0 until PqM).map(m => element_at(col("lut"),
-              concat_ws("_", lit(m), element_at(col("codes"), m + 1))))
-              .reduce(_ + _).as("adist2_e6"))
+            adcSum(col("codes"), col("lut")).as("adist2_e6"))
         val wr = Window.partitionBy("qid").orderBy(col("adist2_e6"), col("vec_id"))
         a.withColumn("rk", row_number().over(wr).cast("long"))
           .where(col("rk") <= Similarity.K)

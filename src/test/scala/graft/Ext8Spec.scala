@@ -94,6 +94,20 @@ class Ext8Spec extends SparkTestBase {
     assert(single == run(1), "1-codeword shards diverge from unrolled")
   }
 
+  test("adcTopK: broadcast-batched query slices reproduce e10 exactly") {
+    // 5 queries at batchSize 2 → 3 batches; query independence means the
+    // union of per-batch scoring joins must equal e10's single-broadcast
+    // result row-for-row (same exact-integer distances, same ranks)
+    val e = ext.Portable.spread(sources.Tables.embeddings(spark, sf), "vec_id")
+    val queries = e.where(col("vec_id") < ext.Similarity.NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val batched = ext.Embeddings.adcTopK(e, queries, ext.Similarity.K, batchSize = 2)
+      .orderBy("query_id", "rk").collect().map(_.toSeq).toSeq
+    val single = SparkEntry.queries("e10_adc")(spark, sf)
+      .orderBy("query_id", "rk").collect().map(_.toSeq).toSeq
+    assert(batched == single)
+  }
+
   test("e1 adaptive dispatch: banded tier is a subset of the exact tier at gate scale") {
     // below E1ExactMaxN the headline runs the exact grid join; the (8,2)
     // banded tier it switches to at scale must emit only true pairs
