@@ -334,6 +334,35 @@ object Pipeline {
       col("macd"), col("macd_signal"))
   }
 
+  /** The full streaming analytics pipeline as ONE continuous query —
+    * raw ticks → tumbling re-bar (watermark-closed OHLC) → BUY/SELL/HOLD
+    * score → per-symbol indicator cascade — i.e. the reference's
+    * producer→Flink→provider chain ([[rebar]] + [[score]]'s CASE +
+    * [[indicatorCascade]]) with no store-and-repoll hop in the middle.
+    * Two chained STATEFUL operators (windowed agg, then
+    * transformWithState) in append mode: bars only reach the cascade
+    * when their window closes, and the watermark is monotone, so bars
+    * arrive per-symbol in event-time order across micro-batches — the
+    * ordering contract the cascade's incremental state needs (within a
+    * batch the processor sorts).
+    *
+    * `events`: (symbol, ts, price, qty) — the same input as [[rebar]].
+    */
+  def rebarCascade(events: DataFrame, window: String = "1 minute",
+      watermark: String = "1 second"): Dataset[CascRow] = {
+    import events.sparkSession.implicits._
+    val bars = rebar(events, window, watermark)
+    val scored = bars.select(col("symbol"), col("datetime"),
+      col("open").cast("double").as("open"),
+      col("high").cast("double").as("high"),
+      col("low").cast("double").as("low"),
+      col("close").cast("double").as("close"),
+      col("volume").cast("long").as("volume"),
+      lit(0.0).as("dividends"), lit(0.0).as("stock_splits"),
+      Core.indicator(col("close"), col("open")).as("indicator")).as[Bar]
+    indicatorCascade(scored)
+  }
+
   /** Streaming gap sessionization — the streaming twin of the batch
     * `a6_sessionize` operator, on Spark's native session windows: each
     * user's events merge into sessions separated by >= `gap` of

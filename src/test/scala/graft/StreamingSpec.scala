@@ -352,6 +352,69 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("rebar→cascade composition: ticks to indicators in one query equals the batch twin") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // 22 one-minute bars per symbol (enough to fill SMA20 and RSI14),
+      // two ticks per bar so the OHLC agg does real work
+      val ticks = for {
+        sym <- Seq("AAPL", "MSFT"); m <- 0 until 22; t <- 0 until 2
+      } yield {
+        val price = 50.0 + 7.0 * math.sin(m * 0.9) + (m % 5) + t * 0.25
+        (sym, ts(f"2024-01-01 10:$m%02d:${10 + t * 30}%02d"), price, 1L)
+      }
+      val input = MemoryStream[(String, java.sql.Timestamp, Double, Long)](spark)
+      val events = input.toDF().toDF("symbol", "ts", "price", "qty")
+      val q = Pipeline.rebarCascade(events, "1 minute", "1 second")
+        .writeStream.format("memory").queryName("rbcasc")
+        .outputMode("append").start()
+
+      val (w1, w2) = ticks.partition(_._2.before(ts("2024-01-01 10:10:00")))
+      input.addData(w1: _*)
+      q.processAllAvailable()
+      input.addData(w2: _*)
+      q.processAllAvailable()
+      // far-future tick closes every real window (its own stays open and
+      // is excluded from the comparison)
+      input.addData(("AAPL", ts("2024-01-01 11:00:00"), 1.0, 1L))
+      q.processAllAvailable()
+      q.stop()
+
+      // batch twin: same ticks -> batch OHLC bars -> batch window cascade
+      import org.apache.spark.sql.functions.{window => fwindow}
+      val batchBars = ticks.toDF("symbol", "ts", "price", "qty")
+        .groupBy(col("symbol"), fwindow(col("ts"), "1 minute"))
+        .agg(min_by(col("price"), col("ts")).as("open"),
+          max(col("price")).as("high"), min(col("price")).as("low"),
+          max_by(col("price"), col("ts")).as("close"))
+        .select(col("symbol"), col("window.start").as("datetime"), col("close"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[String]("symbol"), r.getAs[java.sql.Timestamp]("datetime"))
+      def vals(r: org.apache.spark.sql.Row) = (
+        r.getAs[Double]("close"), r.getAs[Double]("ema5"), r.getAs[Double]("ema15"),
+        Option(r.getAs[Any]("sma")).map(_.asInstanceOf[Double]),
+        Option(r.getAs[Any]("rsi")).map(_.asInstanceOf[Double]),
+        r.getAs[Double]("macd"), r.getAs[Double]("macd_signal"))
+      val batch = Pipeline.indicatorCascadeBatch(batchBars)
+        .collect().map(r => key(r) -> vals(r)).toMap
+      val streamed = spark.table("rbcasc")
+        .collect().map(r => key(r) -> vals(r)).toMap
+
+      assert(streamed.size == 44, s"expected 44 closed bars, got ${streamed.size}")
+      val diffs = streamed.keys.filter(k => streamed(k) != batch(k))
+      assert(diffs.isEmpty,
+        s"${diffs.size} rows diverge, e.g. ${diffs.headOption.map(k => (k, streamed(k), batch(k)))}")
+      // RSI and SMA actually engaged (non-null tail) — not a vacuous pass
+      assert(streamed.values.count(_._5.isDefined) > 0, "rsi never materialized")
+      assert(streamed.values.count(_._4.isDefined) > 0, "sma never materialized")
+    } finally {
+      spark.streams.active.foreach(_.stop())
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming indicator cascade equals the batch window cascade on the same frames") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
