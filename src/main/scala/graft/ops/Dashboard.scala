@@ -130,8 +130,10 @@ object Dashboard {
   }
 
   // one CTE stage per dependency depth; each stage SELECT *-extends the
-  // previous so the chain mirrors the Spark column cascade exactly
-  private val oracle: String = {
+  // previous so the chain mirrors the Spark column cascade exactly.
+  // Shared with [[DashboardScan]]: both implementations answer to the
+  // SAME SQL, so the gate pins them to one semantics.
+  private[ops] val oracle: String = {
     val ctes =
       s"""c1 AS (SELECT *,
          |  ${Sql.ewmaSpan("close", 5)} AS ema5, ${Sql.ewmaSpan("close", 15)} AS ema15,
@@ -215,5 +217,12 @@ object Dashboard {
         col("breakout_signal"), col("ascending_triangle"),
         col("descending_triangle"), col("rounding_bottom"), col("color"),
         col("trend")), "symbol", "datetime")
+    },
+
+    // The same cascade on the key-count-independent two-phase scan path
+    // (see [[DashboardScan]]) — oracle-checked against the identical SQL,
+    // so the gate proves both tiers compute the same function.
+    Q("dashboard_cascade_scan", oracle) { (s, dir) =>
+      Q.norm(DashboardScan.cascade(s, dir), "symbol", "datetime")
     })
 }
