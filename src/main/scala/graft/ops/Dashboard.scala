@@ -31,6 +31,27 @@ object Dashboard {
     * same function.
     */
   def cascade(spark: SparkSession, dir: String): DataFrame = {
+    // History-depth-adaptive tier dispatch (the e1 pattern). The window
+    // tier's parallelism is #symbols; the scan tier's is #partitions.
+    // With the fixed 3-symbol universe, events-per-symbol IS the per-key
+    // history depth — an O(1) parquet-footer count, not a data pass.
+    // Both tiers answer to the SAME oracle (dashboard_cascade_scan keeps
+    // the scan arm gate-checked at every SF), so the dispatch cannot
+    // change semantics, only the plan. Measured crossover: the scan wins
+    // from sf0.1 up (1.6 s vs 2.4 s; sf10 13.2 s vs 61.6 s).
+    val eventsPerKey = graft.sources.Tables.events(spark, dir).count() /
+      math.max(1, graft.sources.Bars.symbols.size.toLong)
+    if (eventsPerKey >= DeepHistoryMinEventsPerKey) DashboardScan.cascade(spark, dir)
+    else cascadeWindows(spark, dir)
+  }
+
+  /** Scan-tier threshold: ~20k bars per key. Below it (the gate SFs and
+    * the many-symbols regime) the single-exchange window cascade wins;
+    * above it the per-key sort serializes and the chunked replay wins. */
+  val DeepHistoryMinEventsPerKey = 100000L
+
+  /** The window-tier cascade (one exchange, four Window operators). */
+  def cascadeWindows(spark: SparkSession, dir: String): DataFrame = {
     val Seq(_, _, l3) = layers(spark, dir)
     finalSelect(l3)
   }

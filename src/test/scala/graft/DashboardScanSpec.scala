@@ -31,7 +31,7 @@ class DashboardScanSpec extends SparkTestBase {
   }
 
   test("scan cascade matches the window cascade (default partitioning)") {
-    val w = rows(Dashboard.cascade(spark, sf))
+    val w = rows(Dashboard.cascadeWindows(spark, sf))
     val s = rows(DashboardScan.cascade(spark, sf))
     assert(w.nonEmpty)
     assert(w.head.length == s.head.length, "column arity differs")
@@ -39,7 +39,7 @@ class DashboardScanSpec extends SparkTestBase {
   }
 
   test("scan cascade is partitioning-invariant (chained multi-partition warm-up)") {
-    val w = rows(Dashboard.cascade(spark, sf))
+    val w = rows(Dashboard.cascadeWindows(spark, sf))
     // 64 partitions over ~hundreds of rows: every chunk is far below
     // TailLen, so warm-up tails compose across MANY partitions, and some
     // partitions are empty — the adversarial case for the driver fold.
