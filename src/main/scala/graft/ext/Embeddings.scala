@@ -40,6 +40,102 @@ object Embeddings {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  // ---- Lloyd-iteration building blocks (shared by e9 and e12) ---------
+
+  /** Per-(cluster, pos) sufficient statistics over 1e-6-quantized
+    * components: (cl, pos, n, qsum). Exact integer sums — identical
+    * across engines and shuffle orders; one hash agg with map-side
+    * partials bounding the exchange at O(k·d·partitions) rows. */
+  private def kmStats(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol).as("cl"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("cl"), col("pos").cast("long").as("pos"),
+        round(col("v").cast("double") * 1e6, 0).cast("long").as("qv"))
+      .groupBy("cl", "pos")
+      .agg(count(lit(1)).as("n"), sum(col("qv")).cast("double").as("qsum"))
+
+  /** pos-ordered centroid arrays from the stats frame (array_sort on
+    * struct<pos,..> sorts by pos — the x_mixture sorted-fold pattern).
+    * Components are qsum/(1e6·n): a single correctly-rounded division
+    * over exact integers, so both engines see the same doubles. */
+  private def kmCentroids(g: DataFrame): DataFrame =
+    g.select(col("cl"),
+        struct(col("pos"), (col("qsum") / (lit(1e6) * col("n"))).as("c")).as("pc"))
+      .groupBy("cl").agg(
+        transform(array_sort(collect_list(col("pc"))), p => p.getField("c")).as("ce"))
+
+  /** Nearest-centroid assignment: centroids broadcast (O(k·d)), distance
+    * is per-row math, the (dist², cl) tie-break mirrors the oracle's
+    * row_number ORDER BY exactly. */
+  private def kmAssign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val dist2 = (graft.functions.ArrayOps.dotF(col("embedding"), col("embedding"))
+      - lit(2.0) * dotD(col("embedding"), col("ce"))) + dotD(col("ce"), col("ce"))
+    val wv = Window.partitionBy("vec_id").orderBy(dist2, col("cl"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("rn", row_number().over(wv))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cl"))
+  }
+
+  /** Fixed oracle round count for e12_kmeans_full. The engine loop may
+    * exit earlier ONLY on an exact integer fixpoint of the (cl, pos, n,
+    * qsum) statistics — identical stats give identical centroids, which
+    * give identical assignments, so every further round reproduces the
+    * same frame verbatim and engine and oracle agree at every SF
+    * regardless of where convergence lands (the x_pagerank_full
+    * contract). */
+  val KmFullIters = 3
+
+  /** Lloyd's k-means under a convergence probe: init = per-label means
+    * (the e6/e9 seed), then assign → re-estimate rounds until the
+    * integer-exact statistics reach a fixpoint or `maxIters`.
+    *
+    * Scale shape: the corpus frame is the ONE data-sized artifact
+    * (localCheckpoint — every round cross-joins it against a broadcast
+    * k·d centroid frame, so reuse beats re-deriving the scan + spread);
+    * per-round state is the k·d-row stats frame; the fixpoint probe is
+    * an O(1)-row driver read of a full-outer self-join of two k·d-row
+    * frames. Returns (stats, rounds executed, converged?).
+    */
+  def kmeansConverged(eIn: DataFrame, maxIters: Int): (DataFrame, Int, Boolean) = {
+    val e = eIn.localCheckpoint()
+    var g = kmStats(e, "label").localCheckpoint()
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val g2 = kmStats(kmAssign(e, kmCentroids(g)), "cl").localCheckpoint()
+      val prev = g.select(col("cl"), col("pos"),
+        col("n").as("pn"), col("qsum").as("pq"))
+      val mismatches = g2.join(prev, Seq("cl", "pos"), "full_outer")
+        .agg(count(when(!(col("n") <=> col("pn")) || !(col("qsum") <=> col("pq")), 1))
+          .as("m"))
+        .first().getLong(0)
+      g = g2
+      iters += 1
+      converged = mismatches == 0
+    }
+    (g, iters, converged)
+  }
+
+  /** One DuckDB Lloyd round (assign against cent${i-1}, re-estimate
+    * g$i, rebuild cent$i) — the oracle twin of [[kmAssign]]+[[kmStats]]. */
+  private def kmIterSql(i: Int): String = {
+    val dvv = Portable.sqlDot("e.embedding", "e.embedding")
+    val dvc = Portable.sqlDot("e.embedding", "c.ce")
+    val dcc = Portable.sqlDot("c.ce", "c.ce")
+    s"""a$i AS (SELECT vec_id, embedding, cl FROM (
+       |  SELECT e.vec_id, e.embedding, c.cl,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY (($dvv - 2.0*$dvc) + $dcc), c.cl) AS rn
+       |  FROM embeddings e CROSS JOIN cent${i - 1} c) WHERE rn = 1),
+       |y$i AS (SELECT cl, i AS pos,
+       |        CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1e6, 0) AS BIGINT) AS qv
+       |        FROM a$i CROSS JOIN (SELECT unnest(range(0, $Dims)) AS i) r),
+       |g$i AS (SELECT cl, pos, count(*) AS n, CAST(sum(qv) AS DOUBLE) AS qsum
+       |        FROM y$i GROUP BY 1, 2),
+       |cent$i AS (SELECT cl, list(qsum / (1e6 * n) ORDER BY pos) AS ce
+       |           FROM g$i GROUP BY cl)""".stripMargin
+  }
+
   /** The deterministic per-label codebook (min-vec_id representative),
     * collected to the driver so e8/e10 can unroll the per-subspace
     * argmin into a single codegen'd projection. O(#labels · Dims)
@@ -469,32 +565,10 @@ object Embeddings {
          |FROM g ORDER BY cluster, pos""".stripMargin
     }) {
       (s, dir) => {
-        import Portable._
         val e = Portable.spread(Tables.embeddings(s, dir), "vec_id")
-        val x = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .select(col("label"), col("pos").cast("long").as("pos"),
-            round(col("v").cast("double") * 1e6, 0).cast("long").as("qv"))
-        val g0 = x.groupBy("label", "pos")
-          .agg(count(lit(1)).as("n"), sum(col("qv")).cast("double").as("qsum"))
-        // pos-ordered centroid arrays (array_sort on struct<pos,..> sorts
-        // by pos — the x_mixture sorted-fold pattern)
-        val cent = g0
-          .select(col("label"), struct(col("pos"), (col("qsum") / (lit(1e6) * col("n"))).as("c")).as("pc"))
-          .groupBy("label").agg(
-            transform(array_sort(collect_list(col("pc"))), p => p.getField("c")).as("ce"))
-          .select(col("label").as("cl"), col("ce"))
-        val dist2 = (dot(col("embedding"), col("embedding"))
-          - lit(2.0) * dotD(col("embedding"), col("ce"))) + dotD(col("ce"), col("ce"))
-        val wv = Window.partitionBy("vec_id").orderBy(dist2, col("cl"))
-        val asn = e.crossJoin(broadcast(cent))
-          .withColumn("rn", row_number().over(wv))
-          .where(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("cl"))
-        val y = asn.select(col("cl"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .select(col("cl"), col("pos").cast("long").as("pos"),
-            round(col("v").cast("double") * 1e6, 0).cast("long").as("qv"))
-        val g = y.groupBy("cl", "pos")
-          .agg(count(lit(1)).as("n"), sum(col("qv")).cast("double").as("qsum"))
+        // one assign + re-estimate round over the per-label seed, via
+        // the shared Lloyd blocks (e12 iterates the identical round)
+        val g = kmStats(kmAssign(e, kmCentroids(kmStats(e, "label"))), "cl")
         g.select(col("cl").as("cluster"), col("pos"), col("n"),
             graft.Q.r6(col("qsum") / (lit(1e6) * col("n"))).as("centroid"))
           .transform(d => graft.Q.sorted(d, "cluster", "pos"))
@@ -732,6 +806,43 @@ object Embeddings {
           .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
             col("rk"), col("adist2_e6"))
           .transform(d => graft.Q.sorted(d, "query_id", "rk"))
+      }
+    },
+
+    // e12: the FULL Lloyd solver — e9's single training round iterated
+    // under a convergence probe, the same step→solver completion
+    // x_pagerank_full gave x_pagerank_step. Per-label seed, then
+    // assign → re-estimate rounds; the loop exits early only on an
+    // EXACT integer fixpoint of the (cluster, pos, n, qsum) statistics,
+    // after which every further round reproduces the same frame — so
+    // the early exit is bit-safe against the fixed-$KmFullIters-round
+    // oracle chain at any SF. Ext9Spec pins the fixpoint property.
+    //
+    // Scale: per round, one broadcast of k·d centroid doubles, one
+    // corpus pass for assignment (no shuffle), one hash agg whose
+    // map-side partials bound the exchange at O(k·d·partitions) rows;
+    // the probe reads ONE row. The corpus is the single checkpointed
+    // data-sized artifact (the x_pagerank3 lesson).
+    Q("e12_kmeans_full", {
+      val iters = (1 to KmFullIters).map(kmIterSql).mkString(",\n")
+      s"""WITH x AS (
+         |  SELECT label, i AS pos,
+         |         CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1e6, 0) AS BIGINT) AS qv
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, $Dims)) AS i) r),
+         |g0 AS (SELECT label AS cl, pos, count(*) AS n, CAST(sum(qv) AS DOUBLE) AS qsum
+         |       FROM x GROUP BY 1, 2),
+         |cent0 AS (SELECT cl, list(qsum / (1e6 * n) ORDER BY pos) AS ce
+         |          FROM g0 GROUP BY cl),
+         |$iters
+         |SELECT cl AS cluster, pos, n, round(qsum / (1e6 * n), 6) AS centroid
+         |FROM g$KmFullIters ORDER BY cluster, pos""".stripMargin
+    }) {
+      (s, dir) => {
+        val e = Portable.spread(Tables.embeddings(s, dir), "vec_id")
+        val (g, _, _) = kmeansConverged(e, KmFullIters)
+        g.select(col("cl").as("cluster"), col("pos"), col("n"),
+            graft.Q.r6(col("qsum") / (lit(1e6) * col("n"))).as("centroid"))
+          .transform(d => graft.Q.sorted(d, "cluster", "pos"))
       }
     })
 }
