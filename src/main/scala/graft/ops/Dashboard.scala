@@ -45,10 +45,12 @@ object Dashboard {
     else cascadeWindows(spark, dir)
   }
 
-  /** Scan-tier threshold: ~20k bars per key. Below it (the gate SFs and
-    * the many-symbols regime) the single-exchange window cascade wins;
-    * above it the per-key sort serializes and the chunked replay wins. */
-  val DeepHistoryMinEventsPerKey = 100000L
+  /** Scan-tier threshold: ~30k events (≈10k bars) per key. Below it
+    * (the gate SFs and the many-symbols regime) the single-exchange
+    * window cascade wins; at and above it the per-key sort serializes
+    * and the chunked replay wins (measured from sf0.1 up: 1.6 s vs
+    * 2.4 s there, 13.2 s vs 61.6 s at sf10). */
+  val DeepHistoryMinEventsPerKey = 30000L
 
   /** The window-tier cascade (one exchange, four Window operators). */
   def cascadeWindows(spark: SparkSession, dir: String): DataFrame = {
