@@ -33,24 +33,35 @@ object Dashboard {
   def cascade(spark: SparkSession, dir: String): DataFrame = {
     // History-depth-adaptive tier dispatch (the e1 pattern). The window
     // tier's parallelism is #symbols; the scan tier's is #partitions.
-    // With the fixed 3-symbol universe, events-per-symbol IS the per-key
-    // history depth — an O(1) parquet-footer count, not a data pass.
-    // Both tiers answer to the SAME oracle (dashboard_cascade_scan keeps
-    // the scan arm gate-checked at every SF), so the dispatch cannot
-    // change semantics, only the plan. Measured crossover: the scan wins
-    // from sf0.1 up (1.6 s vs 2.4 s; sf10 13.2 s vs 61.6 s).
-    val eventsPerKey = graft.sources.Tables.events(spark, dir).count() /
+    // With the fixed 3-symbol universe, events-bytes-per-symbol tracks
+    // the per-key history depth. The statistic is DRIVER-SIDE FILESYSTEM
+    // METADATA (a `count()` job measured ~0.7 s of dispatch overhead at
+    // sf0.1 — a third of the query itself; the FS probe is sub-ms and
+    // launches nothing). Both tiers answer to the SAME oracle
+    // (dashboard_cascade_scan keeps the scan arm gate-checked at every
+    // SF), so the dispatch cannot change semantics, only the plan.
+    // Measured crossover: the scan wins from sf0.1 up (1.6 s vs 2.4 s;
+    // sf10 13.2 s vs 61.6 s).
+    val bytesPerKey = eventsBytes(spark, dir) /
       math.max(1, graft.sources.Bars.symbols.size.toLong)
-    if (eventsPerKey >= DeepHistoryMinEventsPerKey) DashboardScan.cascade(spark, dir)
+    if (bytesPerKey >= DeepHistoryMinBytesPerKey) DashboardScan.cascade(spark, dir)
     else cascadeWindows(spark, dir)
   }
 
-  /** Scan-tier threshold: ~30k events (≈10k bars) per key. Below it
-    * (the gate SFs and the many-symbols regime) the single-exchange
-    * window cascade wins; at and above it the per-key sort serializes
-    * and the chunked replay wins (measured from sf0.1 up: 1.6 s vs
-    * 2.4 s there, 13.2 s vs 61.6 s at sf10). */
-  val DeepHistoryMinEventsPerKey = 30000L
+  /** Scan-tier threshold: ~600 KB of events parquet (≈30k events, ≈10k
+    * bars) per key. Below it (the gate SFs and the many-symbols regime)
+    * the single-exchange window cascade wins; at and above it the
+    * per-key sort serializes and the chunked replay wins. */
+  val DeepHistoryMinBytesPerKey = 600L * 1024
+
+  /** Total bytes of the events source — pure filesystem metadata
+    * (handles both a single parquet file and a partitioned directory
+    * tree, the 100 TB layout). */
+  private def eventsBytes(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(p).getLength
+  }
 
   /** The window-tier cascade (one exchange, four Window operators). */
   def cascadeWindows(spark: SparkSession, dir: String): DataFrame = {
