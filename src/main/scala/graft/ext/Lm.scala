@@ -176,5 +176,129 @@ object Lm {
               least(col("start_tok") + 63, col("n")).cast("int")).as("last_tok"))
           .transform(d => graft.Q.sorted(d, "doc_id", "chunk_id"))
       }
+    },
+
+    // CCNet-style perplexity-proxy quality filter: per-document mean
+    // negative log-likelihood under the corpus's OWN unigram LM (the
+    // "does this doc look like the corpus" scalar that perplexity
+    // filtering thresholds; x_lm_df is the df-based cousin). Exactness:
+    // the only transcendental (ln) is evaluated per VOCABULARY TERM and
+    // immediately 1e-6-quantized to a BIGINT (the e7/e9 shared-double
+    // convention), so every cross-row sum is exact integer math —
+    // identical across engines and shuffle orders. Scale: the unigram
+    // table is vocabulary-sized (broadcasts), the (doc, term) tf
+    // pre-aggregation shuffles once on the doc-local pair with map-side
+    // partials, and the per-doc roll-up reuses the doc keying.
+    Q("x_unigram_nll",
+      """WITH tok AS (
+        |  SELECT doc_id, u.t AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |       UNNEST(toks) u(t)),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+        |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS ct FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM cnt),
+        |q AS (SELECT tok,
+        |             CAST(round(ln(CAST(n AS DOUBLE) / CAST(ct AS DOUBLE)) * 1e6, 0) AS BIGINT)
+        |               AS qnll
+        |      FROM cnt, tot)
+        |SELECT tf.doc_id, CAST(sum(tf.c) AS BIGINT) AS n_tokens,
+        |       CAST(sum(tf.c * q.qnll) AS BIGINT) AS sum_qnll,
+        |       CAST(sum(tf.c * q.qnll) // sum(tf.c) AS BIGINT) AS micro_mean_nll
+        |FROM tf JOIN q USING (tok)
+        |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin) {
+      (s, dir) => {
+        val tok = Portable.spread(Tables.documents(s, dir), "doc_id")
+          .select(col("doc_id"), explode(Portable.tokens(col("text"))).as("tok"))
+        val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        val cnt = tok.groupBy("tok").agg(count(lit(1)).as("ct"))
+        val tot = broadcast(cnt.agg(sum("ct").as("n")))
+        val q = cnt.crossJoin(tot)
+          .select(col("tok"),
+            round(log(col("n").cast("double") / col("ct").cast("double")) * 1e6, 0)
+              .cast("long").as("qnll"))
+        tf.join(broadcast(q), Seq("tok"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_tokens"), sum(col("c") * col("qnll")).as("sum_qnll"))
+          .select(col("doc_id"), col("n_tokens"), col("sum_qnll"),
+            expr("sum_qnll div n_tokens").as("micro_mean_nll"))
+          .transform(d => graft.Q.sorted(d, "doc_id"))
+      }
+    },
+
+    // DSIR-style importance weighting (Xie et al., "Data Selection for
+    // Language Models via Importance Resampling"): hashed-unigram bucket
+    // features, Laplace-smoothed log-likelihood ratio of a TARGET
+    // distribution (here the 'src0' slice — the in-domain sample) vs the
+    // RAW corpus, per-doc weight = Σ tf_h · log-ratio_h, then the top-K
+    // selection a resampling pass would keep. Same quantized-ln
+    // discipline as x_unigram_nll: ln is per-BUCKET (1024 rows),
+    // 1e-6-quantized, so doc weights are exact integers and the top-K
+    // rank key (micro_logratio, doc_id) is a total integer order. Scale:
+    // bucket tables are fixed-size (broadcast), the doc-side tf shuffles
+    // once, top-K is TakeOrdered — no global sort.
+    Q("x_dsir", {
+      val h = Portable.sqlHash32("tok")
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, u.t AS tok
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+         |       UNNEST(toks) u(t)),
+         |f AS (SELECT doc_id, source, $h % $DsirBuckets AS h FROM tok),
+         |cr AS (SELECT h, CAST(count(*) AS BIGINT) AS cr FROM f GROUP BY 1),
+         |ct AS (SELECT h, CAST(count(*) AS BIGINT) AS ct
+         |       FROM f WHERE source = '$DsirTarget' GROUP BY 1),
+         |nt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM ct),
+         |nr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM cr),
+         |q AS (SELECT cr.h,
+         |             CAST(round(ln(CAST((coalesce(ct.ct, 0) + 1) * (nr + $DsirBuckets) AS DOUBLE)
+         |                        / CAST((cr.cr + 1) * (nt + $DsirBuckets) AS DOUBLE)) * 1e6, 0)
+         |               AS BIGINT) AS qlr
+         |      FROM cr LEFT JOIN ct USING (h), nt, nr),
+         |tfh AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY 1, 2),
+         |w AS (SELECT tfh.doc_id, CAST(sum(tfh.c) AS BIGINT) AS n_feats,
+         |             CAST(sum(tfh.c * q.qlr) AS BIGINT) AS micro_logratio
+         |      FROM tfh JOIN q USING (h) GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (ORDER BY micro_logratio DESC, doc_id) AS rk
+         |      FROM w)
+         |SELECT doc_id, n_feats, micro_logratio, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= $DsirTopK ORDER BY rk""".stripMargin
+    }) {
+      (s, dir) => {
+        val f = Portable.spread(Tables.documents(s, dir), "doc_id")
+          .select(col("doc_id"), col("source"),
+            explode(Portable.tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), col("source"),
+            (Portable.hash32(col("tok")) % DsirBuckets).as("h"))
+        val cr = f.groupBy("h").agg(count(lit(1)).as("cr"))
+        val ct = f.where(col("source") === DsirTarget)
+          .groupBy("h").agg(count(lit(1)).as("ct"))
+        val nt = broadcast(ct.agg(coalesce(sum("ct"), lit(0L)).as("nt")))
+        val nr = broadcast(cr.agg(sum("cr").as("nr")))
+        val q = cr.join(ct, Seq("h"), "left").crossJoin(nt).crossJoin(nr)
+          .select(col("h"),
+            round(log(((coalesce(col("ct"), lit(0L)) + 1) * (col("nr") + DsirBuckets)).cast("double")
+              / ((col("cr") + 1) * (col("nt") + DsirBuckets)).cast("double")) * 1e6, 0)
+              .cast("long").as("qlr"))
+        val tfh = f.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+        val w = tfh.join(broadcast(q), Seq("h"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_feats"), sum(col("c") * col("qlr")).as("micro_logratio"))
+        val ord = Seq(col("micro_logratio").desc, col("doc_id").asc)
+        // TakeOrderedAndProject bounds the candidate set, then the rank
+        // window runs on DsirTopK rows only
+        w.orderBy(ord: _*).limit(DsirTopK)
+          .withColumn("rk",
+            row_number().over(org.apache.spark.sql.expressions.Window.orderBy(ord: _*))
+              .cast("long"))
+          .select(col("doc_id"), col("n_feats"), col("micro_logratio"), col("rk"))
+          .transform(d => graft.Q.sorted(d, "rk"))
+      }
     })
+
+  /** DSIR feature space: hashed unigram buckets (the paper's hashed
+    * n-gram features at n=1), Laplace-smoothed by +1 per bucket. */
+  val DsirBuckets = 1024
+  /** The in-domain target slice the importance ratio aims at. */
+  val DsirTarget = "src0"
+  /** Rows kept by the resampling selection. */
+  val DsirTopK = 50
 }

@@ -103,26 +103,26 @@ class Ext5Spec extends SparkTestBase {
     adc.unpersist()
   }
 
-  test("PQ codebook guard: >1024 codewords fails fast with the documented remedies") {
+  test("PQ codebook guard: shards past 1024 codewords, refuses past the driver bound") {
     import spark.implicits._
     def frame(labels: Int) =
       (0 until labels).map(l => (l.toLong, Array(l.toFloat, 1.0f), l))
         .toDF("vec_id", "embedding", "label")
-    // failure path: an untrained "codebook" with a codeword per row would
-    // blow the janino 64 KB method budget if unrolled — the guard must
-    // refuse before planning, naming the actual remedies (re-train small,
-    // or shard + least()-reduce), not a fallback that doesn't exist
-    val e = intercept[IllegalArgumentException] {
-      graft.ext.Embeddings.codebook(frame(1025))
-    }
-    assert(e.getMessage.contains("1025 codewords"))
-    assert(e.getMessage.contains("256 centroids"))
-    assert(e.getMessage.contains("least()"))
-    // happy path at the boundary: exactly 1024 codewords is accepted and
-    // the codebook is label-ascending with the min-vec_id representative
-    val cb = graft.ext.Embeddings.codebook(frame(1024))
-    assert(cb.length == 1024)
-    assert(cb.map(_._1.asInstanceOf[Int]).toSeq == (0 until 1024))
+    // since dd247de the unrolled argmin SHARDS past ArgminShardSize
+    // (janino's 64 KB budget is per generated method), so 1025 codewords
+    // is a working codebook, label-ascending with the min-vec_id
+    // representative
+    val cb = graft.ext.Embeddings.codebook(frame(1025))
+    assert(cb.length == 1025)
+    assert(cb.map(_._1.asInstanceOf[Int]).toSeq == (0 until 1025))
     assert(cb(7)._2.head == 7.0f)
+    // what remains guarded is the DRIVER collect: a six-figure "codebook"
+    // is not a trained PQ codebook, and the failure must be loud and name
+    // the remedy (re-train with fewer centroids)
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Embeddings.codebook(frame(65537))
+    }
+    assert(e.getMessage.contains("65537 codewords"))
+    assert(e.getMessage.contains("Re-train"))
   }
 }
