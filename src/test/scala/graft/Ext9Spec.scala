@@ -36,4 +36,31 @@ class Ext9Spec extends SparkTestBase {
       assert(mism == 0, s"$mism stat rows changed after convergence")
     }
   }
+
+  test("kcore solver: converged core has min degree >= K; pruning is monotone; adversarial graphs") {
+    import spark.implicits._
+    def undirected(pairs: Seq[(Long, Long)]) =
+      (pairs ++ pairs.map(p => (p._2, p._1))).toDF("u", "v")
+
+    // triangle + pendant chain: the 2-core is exactly the triangle (the
+    // chain cascades away one vertex per round — the deep-cascade case)
+    val chain = undirected(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 6L)))
+    val (core, iters, conv) = graft.ops.Basket.kcoreConverged(chain, k = 2, maxRounds = 10)
+    assert(conv, "chain graph must converge within 10 rounds")
+    assert(iters >= 3, s"pendant chain should cascade over rounds, converged in $iters")
+    val deg = core.groupBy("u").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg.keySet == Set(1L, 2L, 3L), s"2-core should be the triangle, got ${deg.keySet}")
+    assert(deg.values.forall(_ >= 2))
+
+    // clique minus nothing: a K4 is its own 3-core, fixpoint in round 1
+    val k4 = undirected(for {
+      a <- 0L to 3L; b <- 0L to 3L if a < b
+    } yield (a, b))
+    val (c4, it4, conv4) = graft.ops.Basket.kcoreConverged(k4, k = 3, maxRounds = 10)
+    assert(conv4 && it4 == 1 && c4.count() == 12)
+
+    // K above the max degree: everything prunes, empty core
+    val (c0, _, conv0) = graft.ops.Basket.kcoreConverged(k4, k = 10, maxRounds = 10)
+    assert(conv0 && c0.count() == 0)
+  }
 }
