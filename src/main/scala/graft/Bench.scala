@@ -61,12 +61,22 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val codegenErrors = installCodegenErrorCounter()
 
+    // Per-query failures must be FIRST-CLASS in the artifact. The first
+    // cut only printed them to stderr and still recorded the elapsed
+    // time — so a failing query wore a plausible-looking duration in the
+    // committed JSON (the corrupt-sf10 d7/d8 divide-by-zero ran that way
+    // for a round before the stderr line was noticed). `errors` in the
+    // JSON makes a red run impossible to mistake for a green one.
+    val queryErrors = scala.collection.mutable.SortedMap[String, String]()
+
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        queryErrors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(1).mkString.take(200)
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries are independent units: drop any cache a query built so
@@ -129,7 +139,16 @@ object Bench {
     val loadavg = try {
       scala.io.Source.fromFile("/proc/loadavg").getLines().next().split(" ")(0)
     } catch { case _: Throwable => "-1" }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","core_survey2_sec":$core,"iters":$Iters,"codegen_errors":${codegenErrors.get()},"loadavg_1m":$loadavg,"allowlist":$allowJson,"queries":$qs,"sf":"$sfDir"}"""
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
+    val errJson = queryErrors
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","core_survey2_sec":$core,"iters":$Iters,"codegen_errors":${codegenErrors.get()},"n_query_errors":${queryErrors.size},"errors":$errJson,"loadavg_1m":$loadavg,"allowlist":$allowJson,"queries":$qs,"sf":"$sfDir"}"""
     // The printed contract stays exactly ONE JSON line — the driver
     // parses stdout. Print FIRST so a failed file write (unwritable
     // path, cross-filesystem atomic move) can never lose the stdout

@@ -62,40 +62,86 @@ object ScaleUp {
 
     def shift(c: String, by: Long): Column = (col(c) + col("r") * lit(by)).as(c)
 
+    // Shift strides are derived from the SOURCE key spans, never
+    // constants. The first cut shifted by fixed multipliers (doc_id +
+    // r·1e7, orderkey + r·1e9, …), which SILENTLY COLLIDES when ScaleUp
+    // output is fed back in: chaining x10 twice gives id + (r1+r2)·C,
+    // and distinct (r1, r2) pairs with equal sums alias — the original
+    // data/sf10 carried 500k document rows over 95k distinct doc_ids,
+    // merged cross-replica baskets/users, and a divide-by-zero in the
+    // jaccard gate was the first visible symptom. A span-derived stride
+    // makes replica key ranges disjoint REGARDLESS of what the source
+    // looks like, so composition is safe for every keyed table.
+    def keySpan(roundTo: Long, cols: (DataFrame, String)*): Long = {
+      val m = cols.map { case (df, c) =>
+        df.agg(max(col(c).cast("long"))).first().getLong(0)
+      }.max + 1L
+      ((m + roundTo - 1) / roundTo) * roundTo
+    }
+
+    /** LOUD post-replication uniqueness guard for primary-entity keys —
+      * the invariant whose silent violation corrupted the first sf10. */
+    def requireUnique(name: String, df: DataFrame, key: String): DataFrame = {
+      val Array(n, nd) = df.agg(count(lit(1)), countDistinct(col(key)))
+        .first().toSeq.map(_.asInstanceOf[Long]).toArray
+      require(n == nd,
+        s"ScaleUp produced colliding $key in $name: $n rows, $nd distinct — " +
+          "replica key ranges overlap (stride bug or corrupt source)")
+      df
+    }
+
     // events: whole-minute time shift keeps re-bar minute boundaries
     // aligned across replicas (each replica is a later block of history)
     val ev = Tables.events(spark, src)
+    val li = Tables.lineitem(spark, src)
+    val ord = Tables.orders(spark, src)
+    val cust = Tables.customer(spark, src)
+    val sup = Tables.supplier(spark, src)
+    val pt = Tables.part(spark, src)
+    val docs = Tables.documents(spark, src)
+
+    val eventIdSpan = keySpan(1, (ev, "event_id"))
+    // multiple of 3: preserves symbolFor(user_id % 3)
+    val userSpan = keySpan(3, (ev, "user_id"))
+    // FK domains span ALL tables sharing the key, so every edge shifts
+    // by the same stride and join fan-out is exactly preserved
+    val orderkeySpan = keySpan(1, (li, "l_orderkey"), (ord, "o_orderkey"))
+    val partkeySpan = keySpan(1, (li, "l_partkey"), (pt, "p_partkey"))
+    val suppkeySpan = keySpan(1, (li, "l_suppkey"), (sup, "s_suppkey"))
+    val custkeySpan = keySpan(1, (ord, "o_custkey"), (cust, "c_custkey"))
+    val docSpan = keySpan(1, (docs, "doc_id"))
+
     val Array(spanMin) = ev
       .agg((floor((unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))) / 60) + 2).cast("long"))
       .collect().map(_.getLong(0))
-    write(dst, "events", reps(ev).select(
-      shift("event_id", 1000000000L),
+    write(dst, "events", requireUnique("events", reps(ev).select(
+      shift("event_id", eventIdSpan),
       expr(s"timestampadd(MINUTE, CAST(r * $spanMin AS INT), ts)").as("ts"),
-      shift("user_id", 300000L), // multiple of 3: preserves symbolFor(user_id)
-      col("event_type"), col("value"), col("props")))
+      shift("user_id", userSpan),
+      col("event_type"), col("value"), col("props")), "event_id"))
 
-    write(dst, "lineitem", reps(Tables.lineitem(spark, src)).select(
-      shift("l_orderkey", 1000000000L), shift("l_partkey", 10000000L),
-      shift("l_suppkey", 10000000L), col("l_linenumber"), col("l_quantity"),
+    write(dst, "lineitem", reps(li).select(
+      shift("l_orderkey", orderkeySpan), shift("l_partkey", partkeySpan),
+      shift("l_suppkey", suppkeySpan), col("l_linenumber"), col("l_quantity"),
       col("l_extendedprice"), col("l_discount"), col("l_tax"),
       col("l_returnflag"), col("l_linestatus"), col("l_shipdate")))
 
-    write(dst, "orders", reps(Tables.orders(spark, src)).select(
-      shift("o_orderkey", 1000000000L), shift("o_custkey", 10000000L),
+    write(dst, "orders", requireUnique("orders", reps(ord).select(
+      shift("o_orderkey", orderkeySpan), shift("o_custkey", custkeySpan),
       col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
-      col("o_orderpriority")))
+      col("o_orderpriority")), "o_orderkey"))
 
-    write(dst, "customer", reps(Tables.customer(spark, src)).select(
-      shift("c_custkey", 10000000L), col("c_name"), col("c_nationkey"),
-      col("c_acctbal"), col("c_mktsegment")))
+    write(dst, "customer", requireUnique("customer", reps(cust).select(
+      shift("c_custkey", custkeySpan), col("c_name"), col("c_nationkey"),
+      col("c_acctbal"), col("c_mktsegment")), "c_custkey"))
 
-    write(dst, "supplier", reps(Tables.supplier(spark, src)).select(
-      shift("s_suppkey", 10000000L), col("s_name"), col("s_nationkey"),
-      col("s_acctbal")))
+    write(dst, "supplier", requireUnique("supplier", reps(sup).select(
+      shift("s_suppkey", suppkeySpan), col("s_name"), col("s_nationkey"),
+      col("s_acctbal")), "s_suppkey"))
 
-    write(dst, "part", reps(Tables.part(spark, src)).select(
-      shift("p_partkey", 10000000L), col("p_name"), col("p_brand"),
-      col("p_type"), col("p_size"), col("p_retailprice")))
+    write(dst, "part", requireUnique("part", reps(pt).select(
+      shift("p_partkey", partkeySpan), col("p_name"), col("p_brand"),
+      col("p_type"), col("p_size"), col("p_retailprice")), "p_partkey"))
 
     // shared dims: copied unscaled
     write(dst, "nation", Tables.nation(spark, src))
@@ -106,9 +152,9 @@ object ScaleUp {
     val newText = when(col("r") === 0, col("text")).otherwise(
       array_join(transform(split(col("text"), " "),
         t => concat(t, lit("~"), col("r").cast("string"))), " "))
-    write(dst, "documents", reps(Tables.documents(spark, src)).select(
-      shift("doc_id", 10000000L), newText.as("text"), col("lang"),
-      col("source"), length(newText).cast("long").as("n_chars")))
+    write(dst, "documents", requireUnique("documents", reps(docs).select(
+      shift("doc_id", docSpan), newText.as("text"), col("lang"),
+      col("source"), length(newText).cast("long").as("n_chars")), "doc_id"))
 
     // embeddings: rotate by r mod dim (dot-product-preserving
     // permutation; rotating by more than the dimension made slice()
@@ -121,8 +167,15 @@ object ScaleUp {
       "concat(slice(embedding, CAST(pmod(r, size(embedding)) AS INT) + 1, " +
         "size(embedding) - CAST(pmod(r, size(embedding)) AS INT)), " +
         "slice(embedding, 1, CAST(pmod(r, size(embedding)) AS INT)))")
-    write(dst, "embeddings", reps(Tables.embeddings(spark, src)).select(
-      shift("vec_id", 10000000L),
+    // NOTE on composition: vec_id strides are span-derived like every
+    // other key, but the (rotation, sign) decorrelation argument holds
+    // only for a SINGLE application with factor <= 2*dim — chained runs
+    // alias rotations for equal r-sums. Scale embeddings in one shot
+    // from the base SF (the guard below still catches the id half).
+    val emb = Tables.embeddings(spark, src)
+    val vecSpan = keySpan(1, (emb, "vec_id"))
+    write(dst, "embeddings", requireUnique("embeddings", reps(emb).select(
+      shift("vec_id", vecSpan),
       when(expr("(r div size(embedding)) % 2 = 1"),
         expr("transform(" +
           "concat(slice(embedding, CAST(pmod(r, size(embedding)) AS INT) + 1, " +
@@ -130,7 +183,7 @@ object ScaleUp {
             "slice(embedding, 1, CAST(pmod(r, size(embedding)) AS INT)))" +
           ", x -> -x)"))
         .otherwise(rotated).as("embedding"),
-      col("label")))
+      col("label")), "vec_id"))
 
     println(s"""{"scaled": "$src -> $dst", "factor": $factor}""")
     spark.stop()
