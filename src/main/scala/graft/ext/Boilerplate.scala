@@ -164,66 +164,73 @@ object Boilerplate {
     // shuffles once on doc_id. Within-doc-only repeats are kept (nd
     // counts distinct docs) — the cross-doc contamination signal, not
     // intra-doc repetition (x_repetition's job).
-    Q("x_substr_dedup", {
-      val h = Portable.sqlHash60(s"array_to_string(toks[u.s:u.s+${SubLen - 1}], ' ')")
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
-         |                 len(string_split(text, ' ')) AS n FROM documents),
-         |w AS (SELECT doc_id, u.s AS start, $h AS h
-         |      FROM t, UNNEST(range(1, n - $SubLen + 2)) u(s) WHERE n >= $SubLen),
-         |nd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM w GROUP BY h),
-         |dup AS (SELECT doc_id, start FROM w JOIN nd USING (h) WHERE nd.nd >= 2),
-         |cov AS (SELECT doc_id, u.p AS pos
-         |        FROM dup, UNNEST(range(start, start + $SubLen)) u(p)),
-         |tok AS (SELECT doc_id, u.p AS pos, toks[u.p] AS tok
-         |        FROM t, UNNEST(range(1, n + 1)) u(p)),
-         |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
-         |         WHERE NOT EXISTS (SELECT 1 FROM cov c
-         |                           WHERE c.doc_id = tok.doc_id AND c.pos = tok.pos)),
-         |k AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text,
-         |             count(*) AS n_kept
-         |      FROM kept GROUP BY doc_id)
+    Q("x_substr_dedup",
+      s"""WITH $substrCleanSqlCtes
          |SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
          |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
          |       CAST(t.n - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
          |       coalesce(k.cleaned_text, '') AS cleaned_text
-         |FROM t LEFT JOIN k USING (doc_id) ORDER BY t.doc_id""".stripMargin
-    }) {
-      (s, dir) => {
-        val toksC = tokens(col("text"))
-        val t = docs(s, dir)
-          .select(col("doc_id"), toksC.as("toks"), size(toksC).as("n"))
-        val w = t.where(col("n") >= SubLen)
-          .select(col("doc_id"), col("toks"),
-            explode(sequence(lit(1), col("n") - (SubLen - 1))).as("start"))
-          .select(col("doc_id"), col("start"),
-            Portable.hash60(
-              array_join(slice(col("toks"), col("start"), lit(SubLen)), " ")).as("h"))
-        val nd = w.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
-        // df agg + flag join share the `h` partitioning -> ReusedExchange
-        val dup = w.join(nd.where(col("nd") >= 2).select("h"), Seq("h"))
-          .select(col("doc_id"), col("start"))
-        val cov = dup.select(col("doc_id"),
-          explode(sequence(col("start"), col("start") + (SubLen - 1))).as("pos"))
-        val tok = t.select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
-          .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
-        val kept = tok.join(cov, Seq("doc_id", "pos"), "left_anti")
-        val k = kept.groupBy("doc_id").agg(
-          array_join(
-            transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-              x => x.getField("tok")), " ").as("cleaned_text"),
-          count(lit(1)).as("n_kept"))
-        Q.norm(
-          t.select(col("doc_id"), col("n")).join(k, Seq("doc_id"), "left")
-            .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
-              coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-              (col("n").cast("long") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-              coalesce(col("cleaned_text"), lit("")).as("cleaned_text")),
-          "doc_id")
-      }
+         |FROM t LEFT JOIN k USING (doc_id) ORDER BY t.doc_id""".stripMargin) {
+      (s, dir) => Q.norm(substrCleaned(s, dir), "doc_id")
     })
 
   /** Window width (tokens) for x_substr_dedup — the exact-substring
     * grain; Lee et al. use 50 BPE tokens, scaled here to the synthetic
     * corpus's short documents. */
   val SubLen = 8
+
+  /** The x_substr_dedup frame (doc_id, n_tokens, n_kept, n_removed,
+    * cleaned_text), exposed for the curation-pipeline composition. */
+  def substrCleaned(s: SparkSession, dir: String): DataFrame = {
+    val toksC = tokens(col("text"))
+    val t = docs(s, dir)
+      .select(col("doc_id"), toksC.as("toks"), size(toksC).as("n"))
+    val w = t.where(col("n") >= SubLen)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), col("n") - (SubLen - 1))).as("start"))
+      .select(col("doc_id"), col("start"),
+        Portable.hash60(
+          array_join(slice(col("toks"), col("start"), lit(SubLen)), " ")).as("h"))
+    val nd = w.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+    // df agg + flag join share the `h` partitioning -> ReusedExchange
+    val dup = w.join(nd.where(col("nd") >= 2).select("h"), Seq("h"))
+      .select(col("doc_id"), col("start"))
+    val cov = dup.select(col("doc_id"),
+      explode(sequence(col("start"), col("start") + (SubLen - 1))).as("pos"))
+    val tok = t.select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val kept = tok.join(cov, Seq("doc_id", "pos"), "left_anti")
+    val k = kept.groupBy("doc_id").agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("cleaned_text"),
+      count(lit(1)).as("n_kept"))
+    t.select(col("doc_id"), col("n")).join(k, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n").cast("long") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
+  /** The x_substr_dedup CTE chain (everything up to `k`), shared with
+    * the curation-pipeline oracle. Expects table `documents`. */
+  private[ext] val substrCleanSqlCtes: String = {
+    val h = Portable.sqlHash60(s"array_to_string(toks[u.s:u.s+${SubLen - 1}], ' ')")
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+       |                 len(string_split(text, ' ')) AS n FROM documents),
+       |w AS (SELECT doc_id, u.s AS start, $h AS h
+       |      FROM t, UNNEST(range(1, n - $SubLen + 2)) u(s) WHERE n >= $SubLen),
+       |nd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM w GROUP BY h),
+       |dup AS (SELECT doc_id, start FROM w JOIN nd USING (h) WHERE nd.nd >= 2),
+       |cov AS (SELECT doc_id, u.p AS pos
+       |        FROM dup, UNNEST(range(start, start + $SubLen)) u(p)),
+       |tok AS (SELECT doc_id, u.p AS pos, toks[u.p] AS tok
+       |        FROM t, UNNEST(range(1, n + 1)) u(p)),
+       |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+       |         WHERE NOT EXISTS (SELECT 1 FROM cov c
+       |                           WHERE c.doc_id = tok.doc_id AND c.pos = tok.pos)),
+       |k AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text,
+       |             count(*) AS n_kept
+       |      FROM kept GROUP BY doc_id)""".stripMargin
+  }
 }

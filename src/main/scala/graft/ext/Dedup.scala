@@ -682,18 +682,7 @@ object Dedup {
          |ORDER BY doc_id""".stripMargin
     }) {
       (s, dir) => {
-        val sh = shingled(s, dir).cache()
-        val n = sh.select(col("doc_id"), size(col("sh")).as("ns"))
-        val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-        val p = e.as("a").join(e.as("b").hint("shuffle_hash"),
-            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-        val losers = p.join(n.as("na"), col("doc_a") === col("na.doc_id"))
-          .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
-          .where(col("inter") * 1.0 /
-            (col("na.ns") + col("nb.ns") - col("inter")) >= JaccardThreshold)
-          .select(col("doc_b")).distinct()
+        val losers = nearDupLosers(s, dir)
         val t = Portable.spread(Tables.documents(s, dir), "doc_id")
           .select(col("doc_id"), col("lang"), col("n_chars"),
             tokens(col("text")).as("toks"))
@@ -706,5 +695,93 @@ object Dedup {
           .select(col("doc_id"), col("lang"), graft.Q.r6(col("quality")).as("quality"))
           .transform(d => graft.Q.sorted(d, "doc_id"))
       }
+    },
+
+    // The round-8 curation capstone: the query that WRITES the training
+    // set. A document survives iff (a) it is long enough, (b) its
+    // unigram-LM mean NLL says it looks like the corpus (the x_unigram_nll
+    // perplexity-proxy, ceiling in exact integer micro-nats), and (c) it
+    // is not the losing side of a >= 0.5-Jaccard near-dup pair; survivors
+    // egress with their exact-substring-CLEANED text (x_substr_dedup's
+    // removal pass). Every gate is integer-exact or an established
+    // float-compare; the three signal frames are the already-verified
+    // building blocks, so this is pure composition — the x_keep_pipeline
+    // shape upgraded with this round's in-distribution and span-cleaning
+    // signals. Scale: three independent linear passes plus one anti join
+    // and one doc-keyed join; nothing new shuffles more than its
+    // standalone query already did.
+    Q("x_curation_pipeline", {
+      s"""WITH $shingledCte,
+         |sn AS (SELECT doc_id, len(sh) AS ns FROM shingled),
+         |se AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
+         |sp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |       FROM se a JOIN se b ON a.g = b.g AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |losers AS (SELECT DISTINCT doc_b
+         |       FROM sp JOIN sn na ON na.doc_id = sp.doc_a
+         |              JOIN sn nb ON nb.doc_id = sp.doc_b
+         |       WHERE inter * 1.0 / (na.ns + nb.ns - inter) >= $JaccardThreshold),
+         |ut AS (SELECT doc_id, u.t AS tok
+         |       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |            UNNEST(toks) u(t)),
+         |utf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM ut GROUP BY 1, 2),
+         |ucnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS ct FROM ut GROUP BY 1),
+         |utot AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM ucnt),
+         |uq AS (SELECT tok,
+         |              CAST(round(ln(CAST(n AS DOUBLE) / CAST(ct AS DOUBLE)) * 1e6, 0) AS BIGINT)
+         |                AS qnll
+         |       FROM ucnt, utot),
+         |unll AS (SELECT utf.doc_id, CAST(sum(utf.c) AS BIGINT) AS n_tokens,
+         |                CAST(sum(utf.c * uq.qnll) // sum(utf.c) AS BIGINT) AS micro_mean_nll
+         |         FROM utf JOIN uq USING (tok) GROUP BY 1),
+         |${Boilerplate.substrCleanSqlCtes}
+         |SELECT unll.doc_id, unll.n_tokens, unll.micro_mean_nll,
+         |       CAST(t.n - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+         |       coalesce(k.cleaned_text, '') AS cleaned_text
+         |FROM unll JOIN t USING (doc_id) LEFT JOIN k USING (doc_id)
+         |WHERE unll.n_tokens >= $CurationMinTokens
+         |  AND unll.micro_mean_nll <= $CurationNllCeiling
+         |  AND unll.doc_id NOT IN (SELECT doc_b FROM losers)
+         |ORDER BY unll.doc_id""".stripMargin
+    }) {
+      (s, dir) => {
+        val unll = Lm.unigramNll(s, dir)
+        val cleaned = Boilerplate.substrCleaned(s, dir)
+          .select(col("doc_id"), col("n_removed"), col("cleaned_text"))
+        val losers = nearDupLosers(s, dir)
+        unll
+          .where(col("n_tokens") >= CurationMinTokens &&
+            col("micro_mean_nll") <= CurationNllCeiling)
+          .join(losers, unll("doc_id") === losers("doc_b"), "left_anti")
+          .join(cleaned, Seq("doc_id"))
+          .select(col("doc_id"), col("n_tokens"), col("micro_mean_nll"),
+            col("n_removed"), col("cleaned_text"))
+          .transform(d => graft.Q.sorted(d, "doc_id"))
+      }
     })
+
+  /** Curation-pipeline gates: minimum document length and the
+    * in-distribution ceiling on x_unigram_nll's micro-nat mean NLL
+    * (~p95 of the gate corpus, so the filter is non-vacuous on BOTH
+    * sides at every SF). */
+  val CurationMinTokens = 20
+  val CurationNllCeiling = 3450000L
+
+  /** doc_ids that LOSE a >= JaccardThreshold near-dup pair (keep-lowest
+    * tie-break) over the UNCAPPED exact index — the anti-join side of
+    * x_keep_pipeline and x_curation_pipeline. */
+  def nearDupLosers(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir).cache()
+    val n = sh.select(col("doc_id"), size(col("sh")).as("ns"))
+    val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val p = e.as("a").join(e.as("b").hint("shuffle_hash"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    p.join(n.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .where(col("inter") * 1.0 /
+        (col("na.ns") + col("nb.ns") - col("inter")) >= JaccardThreshold)
+      .select(col("doc_b")).distinct()
+  }
 }

@@ -206,23 +206,7 @@ object Lm {
         |       CAST(sum(tf.c * q.qnll) // sum(tf.c) AS BIGINT) AS micro_mean_nll
         |FROM tf JOIN q USING (tok)
         |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin) {
-      (s, dir) => {
-        val tok = Portable.spread(Tables.documents(s, dir), "doc_id")
-          .select(col("doc_id"), explode(Portable.tokens(col("text"))).as("tok"))
-        val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-        val cnt = tok.groupBy("tok").agg(count(lit(1)).as("ct"))
-        val tot = broadcast(cnt.agg(sum("ct").as("n")))
-        val q = cnt.crossJoin(tot)
-          .select(col("tok"),
-            round(log(col("n").cast("double") / col("ct").cast("double")) * 1e6, 0)
-              .cast("long").as("qnll"))
-        tf.join(broadcast(q), Seq("tok"))
-          .groupBy("doc_id")
-          .agg(sum("c").as("n_tokens"), sum(col("c") * col("qnll")).as("sum_qnll"))
-          .select(col("doc_id"), col("n_tokens"), col("sum_qnll"),
-            expr("sum_qnll div n_tokens").as("micro_mean_nll"))
-          .transform(d => graft.Q.sorted(d, "doc_id"))
-      }
+      (s, dir) => graft.Q.sorted(unigramNll(s, dir), "doc_id")
     },
 
     // DSIR-style importance weighting (Xie et al., "Data Selection for
@@ -293,6 +277,25 @@ object Lm {
           .transform(d => graft.Q.sorted(d, "rk"))
       }
     })
+
+  /** The x_unigram_nll frame (doc_id, n_tokens, sum_qnll,
+    * micro_mean_nll), exposed for the curation-pipeline composition. */
+  def unigramNll(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val tok = Portable.spread(Tables.documents(s, dir), "doc_id")
+      .select(col("doc_id"), explode(Portable.tokens(col("text"))).as("tok"))
+    val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val cnt = tok.groupBy("tok").agg(count(lit(1)).as("ct"))
+    val tot = broadcast(cnt.agg(sum("ct").as("n")))
+    val q = cnt.crossJoin(tot)
+      .select(col("tok"),
+        round(log(col("n").cast("double") / col("ct").cast("double")) * 1e6, 0)
+          .cast("long").as("qnll"))
+    tf.join(broadcast(q), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), sum(col("c") * col("qnll")).as("sum_qnll"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_qnll"),
+        expr("sum_qnll div n_tokens").as("micro_mean_nll"))
+  }
 
   /** DSIR feature space: hashed unigram buckets (the paper's hashed
     * n-gram features at n=1), Laplace-smoothed by +1 per bucket. */
