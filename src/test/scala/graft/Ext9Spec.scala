@@ -63,4 +63,27 @@ class Ext9Spec extends SparkTestBase {
     val (c0, _, conv0) = graft.ops.Basket.kcoreConverged(k4, k = 10, maxRounds = 10)
     assert(conv0 && c0.count() == 0)
   }
+
+  test("curation pipeline: survivors satisfy every gate and carry the cleaned text") {
+    import graft.ext.{Boilerplate, Dedup}
+    val out = SparkEntry.queries("x_curation_pipeline")(spark, sf).collect()
+    assert(out.nonEmpty, "curation pipeline kept nothing — gates are vacuous")
+    // every survivor passes the integer gates its frame claims
+    out.foreach { r =>
+      assert(r.getLong(1) >= Dedup.CurationMinTokens, s"short doc survived: $r")
+      assert(r.getLong(2) <= Dedup.CurationNllCeiling, s"OOD doc survived: $r")
+    }
+    // no survivor is a near-dup loser
+    val losers = Dedup.nearDupLosers(spark, sf).collect().map(_.getLong(0)).toSet
+    val kept = out.map(_.getLong(0)).toSet
+    assert(kept.intersect(losers).isEmpty, "a near-dup loser survived")
+    assert(losers.nonEmpty, "loser gate is vacuous on the gate corpus")
+    // cleaned_text matches the standalone substring-dedup pass per doc
+    val cleaned = Boilerplate.substrCleaned(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    out.foreach(r => assert(r.getString(4) == cleaned(r.getLong(0)),
+      s"cleaned text diverged for doc ${r.getLong(0)}"))
+    // and at least one survivor actually had spans removed (non-vacuous)
+    assert(out.exists(_.getLong(3) > 0), "span removal vacuous among survivors")
+  }
 }
