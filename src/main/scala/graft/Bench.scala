@@ -41,6 +41,24 @@ object Bench {
     "c1_heikin_ashi", "c2_renko", "c3_raindrop",
     "dashboard_cascade")
 
+  /** JSON value for `core_survey2_sec`: the BASELINE-comparable sum, or
+    * "null" when it would not be comparable. Two ways to be incomparable:
+    * an allowlist that dropped a core query (the sum would be a partial
+    * wearing the full metric's name), or a core query that ERRORED — a
+    * failed query still has a near-zero elapsed duration in `results`,
+    * and summing it would silently DEFLATE the metric, making a red run
+    * look faster than a green one. The failure itself is first-class in
+    * the artifact's `errors` field either way.
+    */
+  def coreSurvey2Json(results: Seq[(String, Double)],
+      erroredQueries: Set[String]): String = {
+    val comparable = CoreSurvey2.subsetOf(results.map(_._1).toSet) &&
+      !erroredQueries.exists(CoreSurvey2)
+    if (comparable)
+      results.filter { case (k, _) => CoreSurvey2(k) }.map(_._2).sum.toString
+    else "null"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -127,10 +145,7 @@ object Bench {
     // partial (often zero) number still wearing the BASELINE-comparable
     // field name — emit null instead, and record the allowlist so the
     // artifact says which subset ran.
-    val coreRan = CoreSurvey2.subsetOf(names.toSet)
-    val core =
-      if (coreRan) results.filter { case (k, _) => CoreSurvey2(k) }.map(_._2).sum.toString
-      else "null"
+    val core = coreSurvey2Json(results, queryErrors.keySet.toSet)
     val allowJson = allow
       .map(_.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
       .getOrElse("null")

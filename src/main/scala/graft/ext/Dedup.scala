@@ -323,9 +323,11 @@ object Dedup {
     * the cap; the only cap effect is possible false NEGATIVES among
     * pairs whose similarity lives entirely in hot shingles — the
     * standard (and intended) trade, since df>cap shingles carry no
-    * near-dup signal. At every gate SF max df ≈ 25 < 50 = DfCap, so the
-    * capped path is bit-identical to uncapped and the driver's UNCAPPED
-    * d7/d8 oracle SQL adjudicates it exactly.
+    * near-dup signal. The d7/d8 oracle SQL (compCte) mirrors these
+    * capped-gate + exact-verify semantics, so it adjudicates this path
+    * exactly at any df distribution; d4/d5 remain the uncapped
+    * references. (At every gate SF max df ≈ 25 < 50 = DfCap, so capped
+    * and uncapped are additionally bit-identical there.)
     */
   private def jaccardPairs(s: SparkSession, dir: String,
       dfCap: Int = DfCap): DataFrame = {
@@ -778,10 +780,17 @@ object Dedup {
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    p.join(n.as("na"), col("doc_a") === col("na.doc_id"))
+    val losers = p.join(n.as("na"), col("doc_a") === col("na.doc_id"))
       .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
       .where(col("inter") * 1.0 /
         (col("na.ns") + col("nb.ns") - col("inter")) >= JaccardThreshold)
       .select(col("doc_b")).distinct()
+      .localCheckpoint() // materialize the (near-dup-sized) loser set,
+                         // then release the corpus-sized shingle cache —
+                         // same hygiene as jaccardPairs; before this the
+                         // cache was pinned in MemoryStore for the rest
+                         // of the session on every d8/keep/curation call
+    sh.unpersist()
+    losers
   }
 }

@@ -356,9 +356,15 @@ object Embeddings {
     * (query_id, neighbor_id, rk, adist2_e6), k rows per query, ranked by
     * (adist2_e6, neighbor_id) — identical to e10's contract (Ext8Spec
     * pins adcTopK ≡ e10 on the gate corpus at a forced 2-query batch).
+    *
+    * `excludeSelf` controls the e10 self-match convention: when the query
+    * set IS the corpus (e10's shape) each vector's zero-distance match
+    * with itself must be dropped, but for an EXTERNAL query set a qid
+    * that merely collides with a corpus vec_id would silently lose a
+    * valid neighbor — external callers pass excludeSelf = false.
     */
   def adcTopK(e: DataFrame, queriesIn: DataFrame, k: Int,
-      batchSize: Int = 0): DataFrame = {
+      batchSize: Int = 0, excludeSelf: Boolean = true): DataFrame = {
     val cb = codebook(e)
     val bs = if (batchSize > 0) batchSize else adcMaxQueryBatch(cb.length)
     val codes = pqPass(e, cb, withErr = false, withAssign = false)
@@ -373,8 +379,8 @@ object Embeddings {
     val scored = (0 until nB).map { i =>
       val lut = q.where(col("bi") === i)
         .select(col("qid"), lutMap(col("qe"), cb).as("lut"))
-      codes.crossJoin(broadcast(lut))
-        .where(col("vec_id") =!= col("qid"))
+      val joined = codes.crossJoin(broadcast(lut))
+      (if (excludeSelf) joined.where(col("vec_id") =!= col("qid")) else joined)
         .select(col("qid"), col("vec_id"),
           adcSum(col("codes"), col("lut")).as("adist2_e6"))
     }.reduce(_ unionAll _)

@@ -420,9 +420,11 @@ object Similarity {
 
   /** Corpus-sized SRP geometry (the e4 headline): (4,4) recall-sized
     * below [[SrpSmallCorpusMaxN]] vectors, wide (8,2) above. The single
-    * count() here is geometry SIZING, not data movement — the same class
-    * of O(1) statistic AQE consults before picking a join strategy; at
-    * 100 TB it reads parquet footers, not rows.
+    * count() here is geometry SIZING, not data movement — a zero-column
+    * count job whose scan prunes every column (the vectorized parquet
+    * reader serves it from row-group row counts, so it costs seconds,
+    * not a data pass, even at 100 TB; a catalog with table statistics
+    * would replace the job with a metadata lookup).
     */
   def srpNearDupAdaptive(s: SparkSession, dir: String): DataFrame = {
     val n = Tables.embeddings(s, dir).count()
@@ -433,7 +435,8 @@ object Similarity {
 
   /** The e1 headline dispatch: exact grid-blocked all-pairs to
     * [[E1ExactMaxN]] vectors, SRP band ladder beyond ((8,2) then
-    * (12,2)). Same O(1) sizing statistic as [[srpNearDupAdaptive]].
+    * (12,2)). Same zero-column count sizing job as
+    * [[srpNearDupAdaptive]].
     */
   def nearDupAdaptive(s: SparkSession, dir: String): DataFrame = {
     val n = Tables.embeddings(s, dir).count()
