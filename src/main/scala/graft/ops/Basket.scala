@@ -1,7 +1,8 @@
 package graft.ops
 
 import graft.Q
-import graft.sources.Tables
+import graft.sources.{Layout, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Market-basket analytics and graph closure over the order/part
@@ -24,6 +25,80 @@ import org.apache.spark.sql.functions._
   *     practice; the closing edge is verified with a semi-join against
   *     the oriented edge set.
   */
+/** The co-purchase graph as a build-once artifact family (round-10
+  * verdict task 1). Every graph query over the order/part structure —
+  * x_copurchase, x_triangles, x_pagerank_step, x_pagerank3,
+  * x_pagerank_full, x_kcore — consumes the SAME Σ|basket|² self-join
+  * edge list; before this object each of them (×3 bench iterations)
+  * re-ran that build from `lineitem`, 8 independent derivations of one
+  * 119.6M-edge artifact at sf10. Now the first consumer builds it and
+  * persists it bucketed via [[graft.sources.Layout.ensureBucketedArtifact]];
+  * everyone else (this session or a later JVM over the same fingerprinted
+  * testdata) scans the bucketed files.
+  *
+  * Three artifacts, one per reuse grain:
+  *   - [[basket]] — distinct (ok, pk), bucketed by ok: the pair build's
+  *     self-join runs exchange-free on the bucket key, and n_orders
+  *     (distinct-ok count) partial-aggregates in place.
+  *   - [[pairs]] — (u, v, supp) with u < v: support-thresholded views
+  *     (lift edges at MinSupport, triangle/kcore graph at TriSupport,
+  *     the undirected PageRank graph at supp >= 1) are all filters over
+  *     this ONE table, so the threshold is a scan predicate, not a
+  *     rebuild.
+  *   - [[symEdges]] — the symmetric directed closure, bucketed by u:
+  *     out-degree aggregation and the PageRank superstep's edges⋈deg
+  *     join run with zero exchange on the bucket key.
+  *
+  * Oracle alignment: the artifacts hold exactly the rows of the oracle
+  * CTEs (`basket` = SELECT DISTINCT, `pairs` = the GROUP BY a.pk, b.pk
+  * pair count) — integer-only, so persistence introduces no cross-engine
+  * drift; the DuckDB side keeps deriving from `lineitem` and adjudicates
+  * the artifact content on every query.
+  */
+object CoPurchase {
+  /** Bucket count for the graph artifacts — matches the engine's
+    * shuffle-partition sizing at the bench scale; a 100 TB deployment
+    * raises it with the cluster (the artifact is rebuilt per corpus
+    * fingerprint, so the count is free to change between corpora). */
+  val Buckets = 32
+
+  private def fp(s: SparkSession, dir: String): String =
+    Layout.sourceFingerprint(s, s"$dir/lineitem.parquet")
+
+  /** Distinct (ok, pk) basket rows, bucketed by order key. */
+  def basket(s: SparkSession, dir: String): DataFrame =
+    Layout.ensureBucketedArtifact(s, s"graft_basket_${fp(s, dir)}", "ok", Buckets) {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+    }
+
+  /** The pair-support edge list (u, v, supp), u < v — THE Σ|basket|²
+    * self-join, paid once per corpus instead of once per graph query. */
+  def pairs(s: SparkSession, dir: String): DataFrame =
+    Layout.ensureBucketedArtifact(s, s"graft_cop_pairs_${fp(s, dir)}", "u", Buckets) {
+      val b = basket(s, dir)
+      b.as("a")
+        .join(b.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("supp"))
+    }
+
+  /** Symmetric directed closure of [[pairs]] (every co-purchase pair in
+    * both directions), bucketed by source vertex. */
+  def symEdges(s: SparkSession, dir: String): DataFrame =
+    Layout.ensureBucketedArtifact(s, s"graft_cop_sym_${fp(s, dir)}", "u", Buckets) {
+      val p = pairs(s, dir).select(col("u"), col("v"))
+      p.unionAll(p.select(col("v").as("u"), col("u").as("v")))
+    }
+
+  /** The vertex set (every part that appears in any basket — including
+    * isolated vertices no pair reaches), derived from the bucketed
+    * basket scan. Node-cardinality; not worth its own artifact. */
+  def nodes(s: SparkSession, dir: String): DataFrame =
+    basket(s, dir).select(col("pk")).distinct()
+}
+
 object Basket {
 
   /** Minimum pair support for the affinity/lift edge set: thins the
@@ -66,17 +141,17 @@ object Basket {
         |WHERE supp_ab >= $MinSupport
         |ORDER BY part_a, part_b""".stripMargin) {
       (s, dir) => {
-        val basket = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
+        // shared artifacts: basket is bucketed by ok (the distinct-ok
+        // count partial-aggregates in place), and the support filter is
+        // a scan predicate over the persisted pair list — no self-join
+        // in this query's plan at all
+        val basket = CoPurchase.basket(s, dir)
         val nOrders = basket.select(countDistinct("ok").as("n_orders"))
         val item = basket.groupBy("pk").agg(count(lit(1)).as("supp"))
-        val pair = basket.as("a")
-          .join(basket.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
-          .agg(count(lit(1)).as("supp_ab"))
-          .where(col("supp_ab") >= MinSupport)
+        val pair = CoPurchase.pairs(s, dir)
+          .where(col("supp") >= MinSupport)
+          .select(col("u").as("part_a"), col("v").as("part_b"),
+            col("supp").as("supp_ab"))
         pair
           .crossJoin(broadcast(nOrders))
           .join(broadcast(item.select(col("pk"), col("supp").as("supp_a"))),
@@ -127,14 +202,9 @@ object Basket {
         |FROM deg LEFT JOIN tcount ON tcount.pk = deg.pk
         |ORDER BY part""".stripMargin) {
       (s, dir) => {
-        val basket = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val e0 = basket.as("a")
-          .join(basket.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-          .agg(count(lit(1)).as("supp"))
+        // the triangle graph is a support filter over the shared pair
+        // artifact (see CoPurchase) — the Σ|basket|² build is gone
+        val e0 = CoPurchase.pairs(s, dir)
           .where(col("supp") >= TriSupport)
           .select("u", "v")
         val deg = e0.select(col("u").as("pk"))
@@ -208,20 +278,13 @@ object Basket {
         |LEFT JOIN contrib ON nodes.pk = contrib.pk
         |ORDER BY nodes.pk""".stripMargin) {
       (s, dir) => {
-        val basket = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        // the Σ|basket|² self-join edge build is the dominant cost and
-        // the plan references it from three subtrees (deg, contrib, and
-        // the final deg left join) — cache it so it runs once, the same
-        // reuse the x_pagerank3 loop gets from its cached edge list
-        // (ReusedExchange only dedupes within one stage graph)
-        val edges = basket.as("a")
-          .join(basket.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-          .select(col("a.pk").as("u"), col("b.pk").as("v"))
-          .distinct().cache()
-        val nodes = basket.select(col("pk")).distinct()
+        // the directed edge set is the persisted symmetric closure of
+        // the shared pair artifact; the plan's three references to it
+        // (deg, contrib, final deg left join) are three bucketed scans —
+        // the former .cache() of a per-query self-join is gone, and the
+        // deg aggregation is exchange-free on the bucket key
+        val edges = CoPurchase.symEdges(s, dir)
+        val nodes = CoPurchase.nodes(s, dir)
         val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
         val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
         val contrib = edges.join(deg, "u").crossJoin(nn)
@@ -274,34 +337,23 @@ object Basket {
         |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.pk = c3.pk)
         |SELECT pk, CAST(r AS BIGINT) AS rank_units FROM r3 ORDER BY pk""".stripMargin) {
       (s, dir) => {
-        val basket = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        // the loop references edges/deg/nodes once per round: cache them
-        // so round N reuses round 1's materialization instead of
-        // re-running the basket self-join pipeline (ReusedExchange only
-        // dedupes within one AQE stage graph; across the iterated joins
-        // the cache is what makes each extra superstep O(|E|), the same
-        // role the persisted frontier plays in ext/Dedup's CC loop)
-        val edges = basket.as("a")
-          .join(basket.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-          .select(col("a.pk").as("u"), col("b.pk").as("v"))
-          .distinct().cache()
-        val nodes = basket.select(col("pk")).distinct().cache()
+        // edges come from the persisted symmetric artifact (see
+        // CoPurchase) — no per-query self-join, and deg aggregates
+        // exchange-free on the bucket key
+        val edges = CoPurchase.symEdges(s, dir)
+        val nodes = CoPurchase.nodes(s, dir).cache()
         val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
         val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
         // hoist the static edges⋈deg join out of the loop: the
         // materialized (u, v, d) list keeps its hash(u) partitioning,
         // so each superstep's join shuffles only the NODE-cardinality
         // rank frontier to meet it — the edge list (the big side)
-        // never re-exchanges after round 1. localCheckpoint (eager) +
-        // unpersisting the edge cache keeps exactly ONE |E|-sized
-        // artifact in the store: holding both measured 1.6× slower at
-        // sf10 with run-over-run degradation (memory pressure evicting
-        // the blocks the loop needs).
+        // never re-exchanges after round 1. localCheckpoint (eager)
+        // keeps exactly ONE |E|-sized artifact in the store (holding a
+        // second edge copy measured 1.6× slower at sf10 with
+        // run-over-run degradation from memory pressure evicting the
+        // blocks the loop needs).
         val contribBase = edges.join(deg, "u").localCheckpoint()
-        edges.unpersist()
         var rank = nodes.crossJoin(nn)
           .select(col("pk"), expr("1000000000000 div n").as("r"))
         for (_ <- 1 to 3) {
@@ -347,15 +399,9 @@ object Basket {
     // round 1) stop paying supersteps immediately.
     Q("x_pagerank_full", pagerankFullOracleSql) {
       (s, dir) => {
-        val basket = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val edges = basket.as("a")
-          .join(basket.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .select(col("a.pk").as("u"), col("b.pk").as("v"))
-          .distinct()
-        val nodes = basket.select(col("pk")).distinct()
+        // undirected edge set = the shared pair artifact at supp >= 1
+        val edges = CoPurchase.pairs(s, dir).select(col("u"), col("v"))
+        val nodes = CoPurchase.nodes(s, dir)
         val (rank, _) = pagerankConverged(edges, nodes, PrFullIters)
         rank.select(col("pk"), col("r").as("rank_units"))
           .transform(d => graft.Q.sorted(d, "pk"))
@@ -387,14 +433,9 @@ object Basket {
     // (supp >= TriSupport), orders of magnitude below corpus size.
     Q("x_kcore", kcoreOracleSql) {
       (s, dir) => {
-        val basket = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val e0 = basket.as("a")
-          .join(basket.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-          .agg(count(lit(1)).as("supp"))
+        // same TriSupport filter over the shared pair artifact as
+        // x_triangles — the threshold is a scan predicate, not a rebuild
+        val e0 = CoPurchase.pairs(s, dir)
           .where(col("supp") >= TriSupport)
           .select("u", "v")
         val (core, _, _) = kcoreConverged(

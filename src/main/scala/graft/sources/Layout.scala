@@ -101,6 +101,87 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Content fingerprint of source paths (FNV-1a over qualified path +
+    * per-file length + mtime; one directory level deep). Artifact tables
+    * embed this in their NAME, so a regenerated source yields a new
+    * table and stale artifacts can never answer for new data — the same
+    * invalidation-by-identity trick content-addressed caches use.
+    */
+  def sourceFingerprint(spark: SparkSession, paths: String*): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var h = 0xcbf29ce484222325L
+    def mix(x: Long): Unit = { h ^= x; h *= 0x100000001b3L }
+    def mixStr(s: String): Unit = { s.foreach(c => mix(c.toLong)); mix(-1L) }
+    paths.foreach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(conf)
+      mixStr(fs.makeQualified(path).toString)
+      val st = fs.getFileStatus(path)
+      val leaves =
+        if (st.isDirectory) fs.listStatus(path).sortBy(_.getPath.getName)
+        else Array(st)
+      leaves.foreach { l =>
+        mixStr(l.getPath.getName); mix(l.getLen); mix(l.getModificationTime)
+      }
+    }
+    java.lang.Long.toHexString(h)
+  }
+
+  /** Build-once persisted bucketed artifact — the shared-graph pattern:
+    * an expensive derived frame (an edge list, a dedup pair graph, an
+    * ANN index) is built by the FIRST query that needs it, written as a
+    * bucketed external table under the warehouse dir, and every later
+    * query — in this session or a new JVM over the same (fingerprinted,
+    * see [[sourceFingerprint]]) sources — reads the bucketed files
+    * instead of re-deriving it. Registration order:
+    *
+    *   1. catalog hit → `spark.table` (zero IO);
+    *   2. files on disk from a prior JVM (`_SUCCESS` present) →
+    *      re-register metadata-only via CREATE TABLE ... CLUSTERED BY
+    *      over the existing LOCATION (bucket ids live in the file
+    *      names, so the layout survives the catalog);
+    *   3. otherwise run `build` and write bucketed+sorted.
+    *
+    * Joins and aggregations on `bucketCol` over the returned frame are
+    * exchange-free (LayoutSpec pins this for [[writeBucketed]]; the
+    * DDL re-register path is pinned by ArtifactSpec).
+    */
+  def ensureBucketedArtifact(
+      spark: SparkSession,
+      table: String,
+      bucketCol: String,
+      buckets: Int)(build: => DataFrame): DataFrame = Layout.synchronized {
+    if (!spark.catalog.tableExists(table)) {
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(warehouse, table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val prior = fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
+      val registered = prior && (try {
+        // metadata-only re-register of a prior JVM's files; an empty
+        // artifact (only _SUCCESS) has no footers to infer from — fall
+        // through to a rebuild, which re-registers the schema via the
+        // catalog write path
+        val schema = spark.read.parquet(loc.toString).schema
+        spark.sql(
+          s"""CREATE TABLE $table (${schema.toDDL})
+             |USING parquet
+             |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $buckets BUCKETS
+             |LOCATION '${loc.toString}'""".stripMargin)
+        true
+      } catch { case _: Exception => false })
+      if (!registered) {
+        build.write
+          .bucketBy(buckets, bucketCol)
+          .sortBy(bucketCol)
+          .option("path", loc.toString)
+          .mode("overwrite")
+          .format("parquet")
+          .saveAsTable(table)
+      }
+    }
+    spark.table(table)
+  }
+
   /** Morton (Z-curve) interleave of up to 3 non-negative integer
     * columns, `bits` low bits each: bit `b` of column `i` lands at
     * output bit `b * k + i`. Sorting by this single value gives
