@@ -59,12 +59,34 @@ object Bench {
     else "null"
   }
 
+  /** SF-scaled shuffle width (round-10 task: replace the sf10
+    * SPARK_DRIVER_MEM=96g crutch with the real lever). The 119.6M-edge
+    * sf10 graph OOM'd a 16 GB heap at 32 shuffle partitions because 32
+    * concurrent reduce tasks each sorted |E|/32 rows; more, smaller
+    * reduce tasks shrink the per-task working set while AQE coalesces
+    * whatever comes out undersized (shuffle.partitions is only the
+    * INITIAL width — AQE cannot split beyond it, so sizing it UP with
+    * the data is free, sizing it down is not). Heuristic: one initial
+    * partition per 8 MB of source parquet, floored at the core count,
+    * capped at 1024; SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for A/B.
+    * sf0.1/sf1 stay at 32 (unchanged numbers); sf10 lands ~170.
+    */
+  def scaledShufflePartitions(sfDir: String, cpus: Int): Int =
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt).getOrElse {
+      def sizeOf(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(sizeOf).sum).getOrElse(0L)
+      val dirBytes = sizeOf(new java.io.File(sfDir))
+      math.max(cpus.toLong, math.min(1024L, dirBytes / (8L << 20) + 1)).toInt
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shufflePartitions = scaledShufflePartitions(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       // NOTE on scan splits: a split-count floor
       // (spark.sql.files.minPartitionNum = cpus) was tried here for the
       // single-file testdata and measurably REGRESSED shuffle-heavy
@@ -163,23 +185,36 @@ object Bench {
       } + "\""
     val errJson = queryErrors
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","core_survey2_sec":$core,"iters":$Iters,"codegen_errors":${codegenErrors.get()},"n_query_errors":${queryErrors.size},"errors":$errJson,"loadavg_1m":$loadavg,"allowlist":$allowJson,"queries":$qs,"sf":"$sfDir"}"""
-    // The printed contract stays exactly ONE JSON line — the driver
-    // parses stdout. Print FIRST so a failed file write (unwritable
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","core_survey2_sec":$core,"iters":$Iters,"codegen_errors":${codegenErrors.get()},"n_query_errors":${queryErrors.size},"errors":$errJson,"loadavg_1m":$loadavg,"shuffle_partitions":$shufflePartitions,"allowlist":$allowJson,"queries":$qs,"sf":"$sfDir"}"""
+    // The FULL line prints first — a failed file write (unwritable
     // path, cross-filesystem atomic move) can never lose the stdout
     // artifact of a possibly hours-long run.
     println(json)
     // Harness hardening (round-6 advice: a snapshot committed 0-byte
     // artifacts, and the driver's tail-window capture head-truncated the
-    // one printed line). If SPARK_GRAFT_BENCH_OUT is set, the artifact is
-    // written by Bench ITSELF — temp file + atomic move, so a crashed or
-    // truncated outer redirect can never leave a half/empty file that
-    // looks like a result. Falls back to a plain copy where ATOMIC_MOVE
-    // is unsupported (cross-filesystem rename); any failure is a stderr
-    // note, never an abort.
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
+    // one printed line).
+    // The driver's capture keeps only a bounded TAIL window of stdout,
+    // and the full line (136 queries, ~8 KB) overflows it HEAD-first —
+    // three rounds of committed BENCH_r*.json had "parsed": null because
+    // no complete JSON line survived the window. A compact trailer with
+    // just the headline fields (~250 bytes) always fits at the very end
+    // of the window, so total/core/error counts parse even when the full
+    // line is truncated. The full line stays FIRST and unchanged for
+    // consumers that read complete stdout; the trailer is marked
+    // "trailer":true so the two are distinguishable.
+    val trailer = s"""{"metric":"total","value":$total,"unit":"sec","core_survey2_sec":$core,"iters":$Iters,"codegen_errors":${codegenErrors.get()},"n_query_errors":${queryErrors.size},"loadavg_1m":$loadavg,"shuffle_partitions":$shufflePartitions,"n_queries":${results.size},"trailer":true,"sf":"$sfDir"}"""
+    println(trailer)
+    // The full artifact is ALSO written by Bench ITSELF — to
+    // SPARK_GRAFT_BENCH_OUT when set, defaulting to .bench/last.json —
+    // temp file + atomic move, so a crashed or truncated outer redirect
+    // can never leave a half/empty file that looks like a result. Falls
+    // back to a plain copy where ATOMIC_MOVE is unsupported
+    // (cross-filesystem rename); any failure is a stderr note, never an
+    // abort.
+    Some(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", ".bench/last.json")).foreach { out =>
       try {
         val dst = java.nio.file.Paths.get(out)
+        Option(dst.getParent).foreach(java.nio.file.Files.createDirectories(_))
         val tmp = java.nio.file.Paths.get(out + ".tmp")
         java.nio.file.Files.write(tmp, (json + "\n").getBytes("UTF-8"))
         try java.nio.file.Files.move(tmp, dst,

@@ -10,14 +10,18 @@ import org.apache.spark.sql.functions._
   * a `binary` payload column + typed metadata, with decode/feature-extract
   * running partition-wise over the typed Dataset.
   *
-  * The decode step is STUBBED behind [[Multimodal.MediaDecoder]] with a
-  * deterministic fake (this container has no image/audio codecs); the
-  * Spark-side plumbing — schema, binary encoding, partition-wise batch
-  * shape, typed Encoders — is real and oracle-tested. `mapPartitions` is
-  * the Scala analog of PySpark's `mapInPandas` batch UDF: the decoder is
-  * instantiated once per partition (where a real codec would amortize
-  * model/library init) and streams records without materializing the
-  * partition.
+  * The decode step is REAL: [[Multimodal.PpmDecoder]] is a complete
+  * pure-JVM binary PPM (P6) codec — magic check, whitespace/comment
+  * header tokenizer, 8-bit RGB raster walk with integer BT.709 luminance
+  * — running inside `mapPartitions`, the Scala analog of PySpark's
+  * `mapInPandas` batch UDF: the decoder is bound once per partition
+  * (where a heavier codec would amortize library init) and streams
+  * records without materializing the partition. Payloads are
+  * deterministic P6 images synthesized from document metadata
+  * ([[Multimodal.buildPpm]]), so the DuckDB oracle can recompute every
+  * decoded feature from first principles and adjudicate the codec's
+  * output cell-exactly. A deployment swaps [[Multimodal.MediaDecoder]]
+  * for JPEG/audio/video with the identical batch shape.
   *
   * Scale design: payloads stay opaque bytes end-to-end (no row-level
   * base64/string conversions), metadata travels in fixed-width columns so
@@ -27,45 +31,137 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Partition-wise media decoder. A real deployment plugs a codec here
-    * (JPEG decode, audio resample, video frame-sample); the engine's
-    * contract is only this signature.
+  /** Decoded whole-image features: header dimensions, payload size, and
+    * the integer BT.709 luminance sum over the raster. */
+  final case class MediaFeatures(
+      width: Long, height: Long, nBytes: Long, lumaSum: Long)
+
+  /** Partition-wise media decoder. The engine's contract is only this
+    * signature; [[PpmDecoder]] is the shipped implementation, and a real
+    * deployment plugs JPEG decode / audio resample / video frame-sample
+    * here with the same partition-wise batch shape.
     */
   trait MediaDecoder extends Serializable {
-    /** (n_bytes, cp_sum) — stand-ins for (decoded size, luminance). */
-    def features(payload: Array[Byte]): (Int, Long)
+    /** Whole-payload decode. */
+    def features(payload: Array[Byte]): MediaFeatures
+    /** Luma of the pixel at raster index `idx` (frame sampling). */
+    def sample(payload: Array[Byte], idx: Long): Long
   }
 
-  /** Deterministic fake decode: byte count + sum of decoded codepoints.
-    * It actually DECODES the payload (UTF-8 -> codepoints) rather than
-    * folding raw octets, so the oracle's per-character `ord` fold matches
-    * for any corpus, not just ASCII (round-1 review finding).
+  /** Binary PPM (P6) codec — an actual pixel-parsing decoder, pure JVM
+    * (this container has no image libraries; PPM needs none). Header
+    * grammar per the netpbm spec: `P6`, then three whitespace-separated
+    * decimal fields (width, height, maxval) with `#`-to-newline comments
+    * allowed between tokens, then exactly ONE whitespace byte, then the
+    * w*h*3-byte big-endian RGB raster. Luminance is the integer BT.709
+    * weighting (2126 R + 7152 G + 722 B) / 10000 per pixel — exact long
+    * arithmetic, so the DuckDB oracle reproduces it bit-for-bit.
     */
-  object FakeDecoder extends MediaDecoder {
-    def features(payload: Array[Byte]): (Int, Long) = {
-      val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
-      var sum = 0L
-      var i = 0
-      while (i < s.length) {
-        val cp = s.codePointAt(i)
-        sum += cp
-        i += Character.charCount(cp)
+  object PpmDecoder extends MediaDecoder {
+    private def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\n' || b == '\r' || b == '\t'
+
+    /** Parse the P6 header: (width, height, maxval, raster offset). */
+    def header(p: Array[Byte]): (Int, Int, Int, Int) = {
+      require(p.length >= 2 && p(0) == 'P' && p(1) == '6', "not a P6 PPM")
+      var i = 2
+      val vals = new Array[Int](3)
+      var vi = 0
+      while (vi < 3) {
+        while (i < p.length && isWs(p(i))) i += 1
+        if (i < p.length && p(i) == '#') {
+          while (i < p.length && p(i) != '\n') i += 1
+        } else {
+          require(i < p.length && p(i) >= '0' && p(i) <= '9',
+            s"bad PPM header token at byte $i")
+          var v = 0
+          while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+            v = v * 10 + (p(i) - '0'); i += 1
+          }
+          vals(vi) = v; vi += 1
+        }
       }
-      (payload.length, sum)
+      require(i < p.length && isWs(p(i)), "missing raster separator")
+      i += 1
+      (vals(0), vals(1), vals(2), i)
+    }
+
+    /** Luma of pixel `pix` given a pre-parsed raster offset — the
+      * per-frame hot path (header parses once per record, not per
+      * frame). */
+    def lumaAt(p: Array[Byte], rasterOff: Int, pix: Int): Long = {
+      val base = rasterOff + 3 * pix
+      val r = p(base) & 0xff
+      val g = p(base + 1) & 0xff
+      val b = p(base + 2) & 0xff
+      (2126L * r + 7152L * g + 722L * b) / 10000L
+    }
+
+    def features(p: Array[Byte]): MediaFeatures = {
+      val (w, h, maxv, off) = header(p)
+      require(maxv == 255, s"only 8-bit PPM supported, got maxval $maxv")
+      require(p.length - off >= w * h * 3, "truncated raster")
+      var sum = 0L
+      var j = 0
+      while (j < w * h) { sum += lumaAt(p, off, j); j += 1 }
+      MediaFeatures(w.toLong, h.toLong, p.length.toLong, sum)
+    }
+
+    def sample(p: Array[Byte], idx: Long): Long = {
+      val (w, h, _, off) = header(p)
+      require(idx >= 0 && idx < w.toLong * h, s"pixel $idx out of raster")
+      lumaAt(p, off, idx.toInt)
     }
   }
 
-  final case class MediaRec(
-      doc_id: Long, payload: Array[Byte], width: Int, height: Int, format: String)
+  /** Deterministic P6 payload for a document: dimensions from `n_chars`
+    * (1-9 each — single-digit, so the oracle's header-length arithmetic
+    * is closed-form), pixel bytes from the linear generator
+    * `(seed + 7 i) mod 256` with `seed = doc_id mod 251`. The ENCODE side
+    * is test-data synthesis; the decode side never sees these formulas —
+    * it parses the actual bytes.
+    */
+  def buildPpm(docId: Long, nChars: Long): Array[Byte] = {
+    val w = (nChars % 8 + 1).toInt
+    val h = (nChars * 7 % 8 + 1).toInt
+    val seed = (docId % 251).toInt
+    val header = s"P6\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val raster = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < raster.length) {
+      raster(i) = ((seed + 7 * i) % 256).toByte; i += 1
+    }
+    val out = new Array[Byte](header.length + raster.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(raster, 0, out, header.length, raster.length)
+    out
+  }
+
+  final case class PpmRec(doc_id: Long, payload: Array[Byte])
   // all-int64 feature row: DuckDB arithmetic yields BIGINT, and exact
   // arrow-type parity with the oracle keeps the driver's value hash stable
   final case class MediaFeat(
-      doc_id: Long, width: Long, height: Long, n_bytes: Long, cp_sum: Long,
+      doc_id: Long, width: Long, height: Long, n_bytes: Long, luma_sum: Long,
       aspect_milli: Long)
 
-  /** The media table: documents' text bytes standing in for an image
-    * payload, with synthetic-but-deterministic dimensions derived from
-    * `n_chars`.
+  /** The image table: one deterministic P6 payload per document. The
+    * payload synthesis is a narrow typed map during the scan; at 100 TB
+    * this is the parquet `binary` column itself and the map disappears.
+    */
+  final case class DocDims(doc_id: Long, n_chars: Long)
+
+  def ppmMedia(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[PpmRec] =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      .as(Encoders.product[DocDims])
+      .mapPartitions(_.map(d => PpmRec(d.doc_id, buildPpm(d.doc_id, d.n_chars))))(
+        Encoders.product[PpmRec])
+
+  /** The media metadata table for the PLANNER queries (m3 resize, m4
+    * chunking): text bytes standing in for an opaque payload, with
+    * synthetic display dimensions derived from `n_chars`. Planners read
+    * metadata only — payload bytes never leave the scan.
     */
   def media(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -75,15 +171,16 @@ object Multimodal {
       (((col("n_chars") * 7) % 480) + 32).cast("int").as("height"),
       lit("fake").as("format"))
 
-  def features(spark: SparkSession, dir: String, decoder: MediaDecoder = FakeDecoder): DataFrame =
-    media(spark, dir).as(Encoders.product[MediaRec])
+  def features(spark: SparkSession, dir: String,
+      decoder: MediaDecoder = PpmDecoder): DataFrame =
+    ppmMedia(spark, dir)
       .mapPartitions { it =>
-        // one decoder per partition — where a real codec loads its libs
+        // one decoder per partition — where a heavier codec loads its libs
         val d = decoder
         it.map { r =>
-          val (nBytes, cpSum) = d.features(r.payload)
-          MediaFeat(r.doc_id, r.width.toLong, r.height.toLong, nBytes.toLong,
-            cpSum, r.width.toLong * 1000L / r.height)
+          val f = d.features(r.payload)
+          MediaFeat(r.doc_id, f.width, f.height, f.nBytes, f.lumaSum,
+            f.width * 1000L / f.height)
         }
       }(Encoders.product[MediaFeat])
       .toDF()
@@ -95,41 +192,55 @@ object Multimodal {
       doc_id: Long, frame_no: Long, frame_off: Long, luma: Long)
 
   /** m2: frame sampling — decode emits MULTIPLE rows per input (the
-    * video pattern: k evenly-spaced frames per payload), so the
-    * partition-wise decode is a flatMap, not a map. The fake "frame" at
-    * slot f is the codepoint at offset floor(f * len / k) of the decoded
-    * payload; a real deployment swaps in keyframe extraction with the
-    * identical batch shape. Still a narrow operator: no shuffle, output
-    * is k x input rows with fixed-width columns.
+    * video pattern: k evenly-spaced samples per payload), so the
+    * partition-wise decode is a flatMap, not a map. Sample f is the
+    * decoded luma of the pixel at raster index floor(f * npix / k) —
+    * real pixel access through the codec; a video deployment swaps in
+    * keyframe extraction with the identical batch shape. Still a narrow
+    * operator: no shuffle, output is k x input rows with fixed-width
+    * columns. The header parses ONCE per record, not once per frame.
     */
   def frames(spark: SparkSession, dir: String,
       k: Int = FramesPerDoc): org.apache.spark.sql.Dataset[FrameFeat] =
-    media(spark, dir).as(Encoders.product[MediaRec])
+    ppmMedia(spark, dir)
       .mapPartitions { it =>
         it.flatMap { r =>
-          val s = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
-          val n = s.codePointCount(0, s.length)
-          if (n == 0) Iterator.empty
-          else (0 until k).iterator.map { f =>
-            val off = f.toLong * n / k
-            val idx = s.offsetByCodePoints(0, off.toInt)
-            FrameFeat(r.doc_id, f.toLong, off, s.codePointAt(idx).toLong)
+          val (w, h, _, off) = PpmDecoder.header(r.payload)
+          val npix = w.toLong * h
+          (0 until k).iterator.map { f =>
+            val fo = f * npix / k
+            FrameFeat(r.doc_id, f.toLong, fo,
+              PpmDecoder.lumaAt(r.payload, off, fo.toInt))
           }
         }
       }(Encoders.product[FrameFeat])
 
-  // Oracle mirror of the fake decode: per-character `ord` fold == UTF-8
-  // decode + codepoint sum on any corpus. COALESCE pins the empty-text
-  // edge (list_sum over an empty list is NULL in DuckDB, 0 in the
-  // decoder); CAST collapses HUGEINT -> BIGINT for arrow-type parity.
+  // Oracle mirrors: the oracle recomputes every decoded feature from the
+  // SYNTHESIS formulas (dimensions from n_chars, the (seed + 7i) mod 256
+  // pixel generator, integer BT.709 luma), while the engine path parses
+  // the actual P6 bytes — two independent derivations meeting cell-exact.
+  // Pixel j's channels sit at raster bytes 3j, 3j+1, 3j+2, so its luma is
+  // a function of (seed + 21j), (seed + 21j + 7), (seed + 21j + 14).
+  private def lumaSql(pix: String): String =
+    s"""(2126 * ((seed + 21 * ($pix)) % 256)
+       | + 7152 * ((seed + 21 * ($pix) + 7) % 256)
+       | +  722 * ((seed + 21 * ($pix) + 14) % 256)) // 10000""".stripMargin
+
+  private val mediaCte =
+    """m AS (SELECT doc_id,
+      |              (n_chars % 8) + 1 AS w,
+      |              ((n_chars * 7) % 8) + 1 AS h,
+      |              doc_id % 251 AS seed
+      |       FROM documents)""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("m2_frame_sample",
-      s"""SELECT doc_id, f AS frame_no,
-        |       (f * length(text)) // $FramesPerDoc AS frame_off,
-        |       CAST(ord(substr(text, CAST((f * length(text)) // $FramesPerDoc AS INT) + 1, 1)) AS BIGINT) AS luma
-        |FROM documents CROSS JOIN (SELECT unnest(range(0, $FramesPerDoc)) AS f) r
-        |WHERE length(text) > 0
-        |ORDER BY doc_id, frame_no""".stripMargin) {
+      s"""WITH $mediaCte
+         |SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+         |       CAST((f * (w * h)) // $FramesPerDoc AS BIGINT) AS frame_off,
+         |       CAST(${lumaSql(s"(f * (w * h)) // $FramesPerDoc")} AS BIGINT) AS luma
+         |FROM m CROSS JOIN (SELECT unnest(range(0, $FramesPerDoc)) AS f) r
+         |ORDER BY doc_id, frame_no""".stripMargin) {
       (s, dir) =>
         frames(s, dir).toDF().transform(d => graft.Q.sorted(d, "doc_id", "frame_no"))
     },
@@ -193,15 +304,19 @@ object Multimodal {
       }
     },
 
+    // m1: whole-image decode — width/height come from the PARSED P6
+    // header and luma_sum from the raster walk (header length is
+    // 11 bytes: "P6\n" + 1-digit w + " " + 1-digit h + "\n255\n").
     Q("m1_media_features",
-      """SELECT doc_id,
-        |       (n_chars % 640) + 32 AS width,
-        |       ((n_chars * 7) % 480) + 32 AS height,
-        |       octet_length(encode(text)) AS n_bytes,
-        |       CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
-        |                i -> ord(substr(text, i, 1)))), 0) AS BIGINT) AS cp_sum,
-        |       (((n_chars % 640) + 32) * 1000) // (((n_chars * 7) % 480) + 32) AS aspect_milli
-        |FROM documents ORDER BY doc_id""".stripMargin) {
+      s"""WITH $mediaCte
+         |SELECT doc_id,
+         |       CAST(w AS BIGINT) AS width,
+         |       CAST(h AS BIGINT) AS height,
+         |       CAST(11 + w * h * 3 AS BIGINT) AS n_bytes,
+         |       CAST(COALESCE(list_sum(list_transform(range(0, w * h), j ->
+         |         ${lumaSql("j")})), 0) AS BIGINT) AS luma_sum,
+         |       CAST(w * 1000 // h AS BIGINT) AS aspect_milli
+         |FROM m ORDER BY doc_id""".stripMargin) {
       (s, dir) => features(s, dir).transform(d => graft.Q.sorted(d, "doc_id"))
     })
 }

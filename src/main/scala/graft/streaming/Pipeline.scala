@@ -192,13 +192,18 @@ object Pipeline {
     */
   final case class CascRow(symbol: String, datetime: java.sql.Timestamp,
       close: Double, ema5: Double, ema15: Double, sma: Option[Double],
-      rsi: Option[Double], macd: Double, macd_signal: Double)
+      rsi: Option[Double], macd: Double, macd_signal: Double,
+      t1_signal: Int, t2_signal: Int, t3_momentum: Option[Double],
+      t3_signal: Int, t4_signal: Int,
+      g1_ascending: Boolean, g2_descending: Boolean, g3_rounding: Boolean)
 
-  /** Scalar recurrence state for [[IndicatorCascadeProcessor]]: row count
-    * plus the five EWMA accumulators (close spans 5/15/12/26 and the
-    * MACD signal span 9). */
+  /** Scalar recurrence state for [[IndicatorCascadeProcessor]]: row count,
+    * the five EWMA accumulators (close spans 5/15/12/26 and the MACD
+    * signal span 9), and the running low/high extrema feeding the
+    * streaming T2 range-trading signal. */
   final case class CascState(n: Long, e5: Double, e15: Double,
-      e12: Double, e26: Double, sig9: Double)
+      e12: Double, e26: Double, sig9: Double,
+      runLow: Double, runHigh: Double)
 
   /** S13→indicators: the streaming twin of the batch `dashboard_cascade`
     * window stack (round-7 verdict task 5) — per-symbol EMA5/15, SMA20,
@@ -230,15 +235,37 @@ object Pipeline {
     * indicator store. The full dashboard's global-window columns
     * (support/resistance, first/last trend) are inherently
     * whole-history and stay batch-only.
+    *
+    * Round-10 extension: the strategy signals T1/T3/T4 and patterns
+    * G1-G3 are pure functions of the same bounded buffers (the reference
+    * computes them per tick over its 20-row poll buffer,
+    * `streamlit_app.py:212-257`), so they ride this processor for free:
+    * the close buffer widens to 25 rows (G3's rolling-5-of-rolling-20
+    * slope reach), high/low gain 6-row buffers (G1/G2's lagged rolling-5
+    * extrema), and T2 — whose batch form uses the WHOLE-history
+    * support/resistance band, unbounded-following included — streams as
+    * the running-prefix variant (extrema over rows seen so far), pinned
+    * in StreamingSpec against a prefix-window batch twin rather than the
+    * whole-frame t2 oracle.
     */
   class IndicatorCascadeProcessor(smaN: Int = 20, rsiN: Int = 14)
       extends StatefulProcessor[String, Bar, CascRow] {
-    private val bufCap = math.max(smaN, rsiN + 1)
+    // 25 = G3's reach: rolling-5 mean of the rolling-20 mean's slope
+    // needs closes[t-24..t]; T4's lagged rolling-20 extrema need 21
+    private val bufCap = Seq(smaN, rsiN + 1, 25).max
+    // G1/G2 need the rolling-5 high/low extrema at t AND t-1 -> 6 rows
+    private val hlCap = 6
     @transient private var closes: ListState[Double] = _
+    @transient private var highs: ListState[Double] = _
+    @transient private var lows: ListState[Double] = _
     @transient private var st: org.apache.spark.sql.streaming.ValueState[CascState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       closes = getHandle.getListState[Double]("closes",
+        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+      highs = getHandle.getListState[Double]("highs",
+        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+      lows = getHandle.getListState[Double]("lows",
         org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
       st = getHandle.getValueState[CascState]("casc",
         org.apache.spark.sql.Encoders.product[CascState], TTLConfig.NONE)
@@ -252,8 +279,10 @@ object Pipeline {
         timers: TimerValues): Iterator[CascRow] = {
       val batch = rows.toArray.sortBy(_.datetime.getTime)
       if (batch.isEmpty) return Iterator.empty
-      var s = Option(st.get()).getOrElse(CascState(0L, 0, 0, 0, 0, 0))
+      var s = Option(st.get()).getOrElse(CascState(0L, 0, 0, 0, 0, 0, 0, 0))
       var buf = closes.get().toList
+      var hb = highs.get().toList
+      var lb = lows.get().toList
       val out = Array.newBuilder[CascRow]
       for (b <- batch) {
         val seeded = s.n > 0
@@ -264,6 +293,10 @@ object Pipeline {
         val macd = e12 - e26
         val sig9 = ema(9, s.sig9, macd, seeded)
         buf = (buf :+ b.close).takeRight(bufCap)
+        hb = (hb :+ b.high).takeRight(hlCap)
+        lb = (lb :+ b.low).takeRight(hlCap)
+        val runLow = if (seeded) math.min(s.runLow, b.low) else b.low
+        val runHigh = if (seeded) math.max(s.runHigh, b.high) else b.high
         val total = s.n + 1
         val sma =
           if (total >= smaN) Some(buf.takeRight(smaN).foldLeft(0.0)(_ + _) / smaN)
@@ -284,11 +317,62 @@ object Pipeline {
           else if (al == 0) Some(100.0)
           else Some(100.0 - 100.0 / (1.0 + ag / al))
         } else None
-        s = CascState(total, e5, e15, e12, e26, sig9)
-        out += CascRow(b.symbol, b.datetime, b.close, e5, e15, sma, rsi, macd, sig9)
+        // T1 scalping — close vs the rolling(5) extrema of itself; the
+        // frame CONTAINS the current row, so the strict predicates are
+        // unsatisfiable and the signal is always 0 (reference quirk,
+        // preserved as-written like the batch t1)
+        val t1 = if (total >= 5) {
+          val w5 = buf.takeRight(5)
+          if (b.close < w5.min) 1 else if (b.close > w5.max) -1 else 0
+        } else 0
+        // T2 range trading, streaming form: RUNNING support/resistance
+        // (extrema over rows seen so far; batch t2's unbounded-following
+        // band is whole-history and stays batch-only). SELL wins
+        // overlaps, same predicate order as the batch CASE.
+        val t2 =
+          if (b.close >= runHigh * 0.95) -1
+          else if (b.close <= runLow * 1.05) 1
+          else 0
+        // T3 momentum — close - close.shift(5); NULL momentum -> 0
+        val t3m =
+          if (total >= 6) Some(b.close - buf(buf.length - 6)) else None
+        val t3 = t3m.map(m => if (m > 0) 1 else if (m < 0) -1 else 0).getOrElse(0)
+        // T4 breakout — close vs YESTERDAY'S rolling(20) close extrema
+        // (lag1 of a min_periods window: defined from the 21st row on)
+        val t4 = if (total >= 21) {
+          val prev = buf.dropRight(1).takeRight(20)
+          if (b.close > prev.max) 1 else if (b.close < prev.min) -1 else 0
+        } else 0
+        // G1/G2 — lagged vs current rolling(5) high/low extrema; pandas
+        // NaN comparisons are false during warm-up (total < 6)
+        val (g1, g2) = if (total >= 6) {
+          val h5 = hb.takeRight(5).max
+          val l5 = lb.takeRight(5).min
+          val h5p = hb.dropRight(1).takeRight(5).max
+          val l5p = lb.dropRight(1).takeRight(5).min
+          (h5p < h5 && l5p > l5, h5p > h5 && l5p < l5)
+        } else (false, false)
+        // G3 — rolling(5) mean of the rolling(20)-mean slope > 0. The
+        // rolling means re-derive from the close buffer with the SAME
+        // oldest-to-newest fold WindowExec uses, so stream == batch
+        // bit-for-bit; first defined at total = 25 (slope needs rm(t-1),
+        // rm needs 20 rows, the mean needs 5 slopes)
+        val g3 = if (total >= 25) {
+          def rm(offsetFromEnd: Int): Double =
+            buf.dropRight(offsetFromEnd).takeRight(smaN)
+              .foldLeft(0.0)(_ + _) / smaN
+          val ptBottom = (4 to 0 by -1)
+            .foldLeft(0.0)((acc, o) => acc + (rm(o) - rm(o + 1))) / 5
+          ptBottom > 0
+        } else false
+        s = CascState(total, e5, e15, e12, e26, sig9, runLow, runHigh)
+        out += CascRow(b.symbol, b.datetime, b.close, e5, e15, sma, rsi,
+          macd, sig9, t1, t2, t3m, t3, t4, g1, g2, g3)
       }
       st.update(s)
       closes.put(buf.toArray) // non-empty: batch.nonEmpty appended at least one
+      highs.put(hb.toArray)
+      lows.put(lb.toArray)
       out.result().iterator
     }
   }
@@ -311,27 +395,61 @@ object Pipeline {
     */
   def indicatorCascadeBatch(bars: DataFrame): DataFrame = {
     import graft.functions.Ewma
-    import graft.ops.Rolling.{lag1, mean}
+    import graft.ops.Rolling.{lag1, mean, rmax, rmin, W, diff}
     val P = Seq(col("symbol"))
     val O = Seq(col("datetime"))
     def ema(c: org.apache.spark.sql.Column, span: Int) = Ewma.span(c, span, P, O)
+    // the running (prefix) support/resistance band for the STREAMING t2
+    // variant — batch t2's whole-history band (unbounded following) is
+    // not prefix-computable; see IndicatorCascadeProcessor's scaladoc
+    val prefix = W.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
     val l1 = bars.select(col("symbol"), col("datetime"), col("close"),
       ema(col("close"), 5).as("ema5"), ema(col("close"), 15).as("ema15"),
       mean(col("close"), 20).as("sma"),
       (col("close") - lag1(col("close"))).as("delta"),
-      ema(col("close"), 12).as("e12"), ema(col("close"), 26).as("e26"))
+      ema(col("close"), 12).as("e12"), ema(col("close"), 26).as("e26"),
+      // strategy/pattern inputs (same expressions as ops/Strategies and
+      // ops/Patterns — T1/T3/T4 and G1-G3 verbatim, T2 prefix-banded)
+      rmin(col("close"), 5).as("c5min"), rmax(col("close"), 5).as("c5max"),
+      min(col("low")).over(prefix).as("run_low"),
+      max(col("high")).over(prefix).as("run_high"),
+      diff(col("close"), 5).as("t3_momentum"),
+      lag1(rmax(col("close"), 20)).as("bk_max"),
+      lag1(rmin(col("close"), 20)).as("bk_min"),
+      rmax(col("high"), 5).as("pt_h"), rmin(col("low"), 5).as("pt_l"),
+      lag1(rmax(col("high"), 5)).as("pt_hp"), lag1(rmin(col("low"), 5)).as("pt_lp"),
+      mean(col("close"), 20).as("pt_rm"))
     val gain = when(col("delta") > 0, col("delta")).otherwise(0.0)
     val loss = when(col("delta") < 0, -col("delta")).otherwise(0.0)
     val l2 = l1.select(col("*"), (col("e12") - col("e26")).as("macd"),
-      mean(gain, 14).as("ag"), mean(loss, 14).as("al"))
-    val l3 = l2.select(col("*"), ema(col("macd"), 9).as("macd_signal"))
+      mean(gain, 14).as("ag"), mean(loss, 14).as("al"),
+      (col("pt_rm") - lag1(col("pt_rm"))).as("pt_slope"))
+    val l3 = l2.select(col("*"), ema(col("macd"), 9).as("macd_signal"),
+      mean(col("pt_slope"), 5).as("pt_bottom"))
     l3.select(col("symbol"), col("datetime"), col("close"),
       col("ema5"), col("ema15"), col("sma"),
       when(col("al") === 0 && col("ag") === 0, lit(null))
         .when(col("al") === 0, 100.0)
         .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("ag") / col("al")))
         .as("rsi"),
-      col("macd"), col("macd_signal"))
+      col("macd"), col("macd_signal"),
+      when(col("close") < col("c5min"), 1)
+        .when(col("close") > col("c5max"), -1).otherwise(0).as("t1_signal"),
+      when(col("close") >= col("run_high") * 0.95, -1)
+        .when(col("close") <= col("run_low") * 1.05, 1)
+        .otherwise(0).as("t2_signal"),
+      col("t3_momentum"),
+      when(col("t3_momentum") > 0, 1).when(col("t3_momentum") < 0, -1)
+        .otherwise(0).as("t3_signal"),
+      when(col("close") > col("bk_max"), 1)
+        .when(col("close") < col("bk_min"), -1).otherwise(0).as("t4_signal"),
+      coalesce(col("pt_hp") < col("pt_h") && col("pt_lp") > col("pt_l"),
+        lit(false)).as("g1_ascending"),
+      coalesce(col("pt_hp") > col("pt_h") && col("pt_lp") < col("pt_l"),
+        lit(false)).as("g2_descending"),
+      coalesce(col("pt_bottom") > 0, lit(false)).as("g3_rounding"))
   }
 
   /** The full streaming analytics pipeline as ONE continuous query —

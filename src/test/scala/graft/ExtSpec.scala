@@ -73,6 +73,59 @@ class ExtSpec extends SparkTestBase {
     assert(got(0) == 97L * 31 + 98)
   }
 
+  test("ppm codec: decodes spec-grammar headers it never synthesized") {
+    import graft.ext.Multimodal.PpmDecoder
+    // multi-digit dims, comments between tokens, CRLF whitespace — none
+    // of which buildPpm emits, so passing proves a real parser, not a
+    // round-trip of the synthesis format
+    val w = 12; val h = 3
+    val header = s"P6 # wide\n# comment line\n $w\t$h\r\n255 "
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val raster = Array.tabulate(w * h * 3)(i => ((i * 11) % 256).toByte)
+    val f = PpmDecoder.features(header ++ raster)
+    assert(f.width == w && f.height == h)
+    assert(f.nBytes == header.length + raster.length)
+    val expected = (0 until w * h).map { j =>
+      val r = (j * 33) % 256; val g = (j * 33 + 11) % 256; val b = (j * 33 + 22) % 256
+      (2126L * r + 7152L * g + 722L * b) / 10000L
+    }.sum
+    assert(f.lumaSum == expected)
+    // sample == features' per-pixel term
+    assert(PpmDecoder.sample(header ++ raster, 5L) ==
+      (2126L * (5 * 33 % 256) + 7152L * ((5 * 33 + 11) % 256) + 722L * ((5 * 33 + 22) % 256)) / 10000L)
+  }
+
+  test("ppm codec: rejects bad magic, truncated raster, out-of-range sample") {
+    import graft.ext.Multimodal.PpmDecoder
+    val good = graft.ext.Multimodal.buildPpm(7L, 13L)
+    intercept[IllegalArgumentException] {
+      PpmDecoder.features("P5\n1 1\n255\nxxx".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      PpmDecoder.features(good.dropRight(1))
+    }
+    intercept[IllegalArgumentException] {
+      val (w, h, _, _) = PpmDecoder.header(good)
+      PpmDecoder.sample(good, w.toLong * h)
+    }
+  }
+
+  test("ppm round-trip: decoder recovers the synthesis formulas") {
+    import graft.ext.Multimodal
+    for (docId <- Seq(0L, 7L, 250L, 251L); nChars <- Seq(0L, 1L, 9L, 4321L)) {
+      val f = Multimodal.PpmDecoder.features(Multimodal.buildPpm(docId, nChars))
+      assert(f.width == nChars % 8 + 1)
+      assert(f.height == nChars * 7 % 8 + 1)
+      assert(f.nBytes == 11 + f.width * f.height * 3)
+      val seed = docId % 251
+      val expect = (0L until f.width * f.height).map { j =>
+        (2126L * ((seed + 21 * j) % 256) + 7152L * ((seed + 21 * j + 7) % 256)
+          + 722L * ((seed + 21 * j + 14) % 256)) / 10000L
+      }.sum
+      assert(f.lumaSum == expect, s"doc $docId nChars $nChars")
+    }
+  }
+
   test("multimodal: features deterministic across partition layouts") {
     val f1 = Multimodal.features(spark, sf).orderBy("doc_id").collect().toSeq
     val f2 = Multimodal.features(spark, sf).repartition(7).orderBy("doc_id").collect().toSeq

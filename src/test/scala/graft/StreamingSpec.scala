@@ -389,7 +389,8 @@ class StreamingSpec extends SparkTestBase {
         .agg(min_by(col("price"), col("ts")).as("open"),
           max(col("price")).as("high"), min(col("price")).as("low"),
           max_by(col("price"), col("ts")).as("close"))
-        .select(col("symbol"), col("window.start").as("datetime"), col("close"))
+        .select(col("symbol"), col("window.start").as("datetime"),
+          col("high"), col("low"), col("close"))
       def key(r: org.apache.spark.sql.Row) =
         (r.getAs[String]("symbol"), r.getAs[java.sql.Timestamp]("datetime"))
       def vals(r: org.apache.spark.sql.Row) = (
@@ -423,7 +424,18 @@ class StreamingSpec extends SparkTestBase {
       // branches, SMA warm-up, and both MACD signs
       def mkBar(sym: String, i: Int): Bar = {
         val close = 50.0 + 10.0 * math.sin(i * 0.7) + (i % 7)
-        bar(sym, i).copy(open = close - 0.5, high = close + 1, low = close - 1,
+        // high/low bands move INDEPENDENTLY of close (and of each other),
+        // otherwise G1/G2's "rising highs AND falling lows" conjunction
+        // is unsatisfiable and the pattern assertions go vacuous
+        // volatility spikes (every 11th bar engulfs: new 5-row high AND
+        // new 5-row low on the same row) make G1 reachable; G2 needs the
+        // spike's extrema to then FALL OUT of both windows together
+        // (spikes start at i=7 — a spike on row 0 would widen the running
+        // support/resistance band before T2 can ever touch it)
+        val spike = if (i % 11 == 7) 25.0 else 0.0
+        bar(sym, i).copy(open = close - 0.5,
+          high = close + 1 + 3.0 * math.sin(i * 1.3) + (i % 3) + spike,
+          low = close - 1 - 3.0 * math.cos(i * 0.9) - (i % 5) - spike,
           close = close)
       }
       val bars = for (sym <- Seq("AAPL", "MSFT"); i <- 0 until 40) yield mkBar(sym, i)
@@ -451,11 +463,22 @@ class StreamingSpec extends SparkTestBase {
         Option(r.getAs[Any]("sma")).map(_.asInstanceOf[Double]),
         Option(r.getAs[Any]("rsi")).map(_.asInstanceOf[Double]),
         r.getAs[Double]("macd"), r.getAs[Double]("macd_signal"))
+      // the round-10 strategy/pattern extension columns
+      def sigs(r: org.apache.spark.sql.Row) = (
+        r.getAs[Int]("t1_signal"), r.getAs[Int]("t2_signal"),
+        Option(r.getAs[Any]("t3_momentum")).map(_.asInstanceOf[Double]),
+        r.getAs[Int]("t3_signal"), r.getAs[Int]("t4_signal"),
+        r.getAs[Boolean]("g1_ascending"), r.getAs[Boolean]("g2_descending"),
+        r.getAs[Boolean]("g3_rounding"))
 
-      val streamed = spark.table("casc").collect().map(r => key(r) -> vals(r)).toMap
-      val batch = Pipeline.indicatorCascadeBatch(bars.toDF()
-          .select($"symbol", $"datetime", $"close"))
-        .collect().map(r => key(r) -> vals(r)).toMap
+      val cascRows = spark.table("casc").collect()
+      val streamed = cascRows.map(r => key(r) -> vals(r)).toMap
+      val streamedSigs = cascRows.map(r => key(r) -> sigs(r)).toMap
+      val batchRows = Pipeline.indicatorCascadeBatch(bars.toDF()
+          .select($"symbol", $"datetime", $"high", $"low", $"close"))
+        .collect()
+      val batch = batchRows.map(r => key(r) -> vals(r)).toMap
+      val batchSigs = batchRows.map(r => key(r) -> sigs(r)).toMap
 
       assert(streamed.size == 80 && batch.size == 80)
       // bit-exact row equality: the incremental recurrences replicate the
@@ -463,6 +486,22 @@ class StreamingSpec extends SparkTestBase {
       val diffs = batch.keys.filter(k => streamed(k) != batch(k))
       assert(diffs.isEmpty,
         s"${diffs.size} rows diverge, e.g. ${diffs.headOption.map(k => (k, streamed(k), batch(k)))}")
+      // strategies + patterns: stream == batch on the same frames
+      val sigDiffs = batchSigs.keys.filter(k => streamedSigs(k) != batchSigs(k))
+      assert(sigDiffs.isEmpty,
+        s"${sigDiffs.size} signal rows diverge, e.g. ${sigDiffs.headOption.map(k => (k, streamedSigs(k), batchSigs(k)))}")
+      // non-vacuity: each signal family actually fires somewhere (the
+      // sine-wave closes guarantee momentum sign flips, range-band hits,
+      // triangle conditions, and a defined G3 tail at 40 rows/symbol);
+      // t1 is the as-written always-0 reference quirk, asserted as such
+      assert(batchSigs.values.forall(_._1 == 0), "t1 quirk should be always 0")
+      assert(batchSigs.values.exists(_._2 != 0), "t2 never fired")
+      assert(batchSigs.values.exists(_._4 == 1) && batchSigs.values.exists(_._4 == -1),
+        "t3 never fired both ways")
+      assert(batchSigs.values.exists(_._5 != 0), "t4 never fired")
+      assert(batchSigs.values.exists(_._6) || batchSigs.values.exists(_._7),
+        "no triangle pattern fired")
+      assert(batchSigs.values.exists(_._8), "g3 never fired")
     } finally {
       spark.streams.active.foreach(_.stop())
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
