@@ -391,6 +391,111 @@ object Embeddings {
         col("rk"), col("adist2_e6"))
   }
 
+  /** Shared oracle of e11 (transient IVF-ADC) and e13 (the same retrieval
+    * served from the PERSISTED index): identical semantics by
+    * construction, so one SQL adjudicates both — any divergence between
+    * the persisted artifact and a fresh coding shows up as an e13-only
+    * failure.
+    */
+  private def ivfAdcOracleSql: String = {
+    def va(m: Int) = s"(e.embedding)[${m * SubDim + 1}:${(m + 1) * SubDim}]"
+    def ca(m: Int) = s"(cw.ce)[${m * SubDim + 1}:${(m + 1) * SubDim}]"
+    def qa(m: Int) = s"(q.qe)[${m * SubDim + 1}:${(m + 1) * SubDim}]"
+    def d2(m: Int, v: Int => String) =
+      s"((${Portable.sqlDot(v(m), v(m))} - 2.0*${Portable.sqlDot(v(m), ca(m))}) + " +
+        s"${Portable.sqlDot(ca(m), ca(m))})"
+    val pCols = (0 until PqM).map(m => s"${d2(m, va)} AS d$m").mkString(",\n       ")
+    val unpivot = (0 until PqM)
+      .map(m => s"SELECT vec_id, cl, CAST($m AS BIGINT) AS m, d$m AS dist2 FROM p")
+      .mkString("\nUNION ALL ")
+    val lutCols = (0 until PqM)
+      .map(m => s"CAST(round(${d2(m, qa)} * 1e6, 0) AS BIGINT) AS l$m")
+      .mkString(",\n       ")
+    val lutUnpivot = (0 until PqM)
+      .map(m => s"SELECT qid, cl, CAST($m AS BIGINT) AS m, l$m AS d2q FROM lp")
+      .mkString("\nUNION ALL ")
+    val cosEC = Portable.sqlCosine("e.embedding", "cw.ce")
+    s"""WITH cw AS (
+       |  SELECT label AS cl, embedding AS ce FROM (
+       |    SELECT label, embedding,
+       |           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+       |    FROM embeddings) WHERE rn = 1),
+       |p AS (SELECT e.vec_id, cw.cl,
+       |       $pCols
+       |      FROM embeddings e CROSS JOIN cw),
+       |sub AS ($unpivot),
+       |codes AS (SELECT vec_id, m, cl AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist2, cl) AS rn
+       |    FROM sub) WHERE rn = 1),
+       |assign AS (SELECT vec_id, cl FROM (
+       |    SELECT e.vec_id, cw.cl,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $cosEC DESC, cw.cl) AS rn
+       |    FROM embeddings e CROSS JOIN cw) WHERE rn = 1),
+       |qprobe AS (SELECT vec_id AS qid, cl FROM (
+       |    SELECT e.vec_id, cw.cl,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $cosEC DESC, cw.cl) AS rn
+       |    FROM embeddings e CROSS JOIN cw
+       |    WHERE e.vec_id < ${Similarity.NQueries}) WHERE rn <= ${Similarity.NProbe}),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |      WHERE vec_id < ${Similarity.NQueries}),
+       |lp AS (SELECT q.qid, cw.cl,
+       |       $lutCols
+       |      FROM q CROSS JOIN cw),
+       |lut AS ($lutUnpivot),
+       |a AS (SELECT l.qid, c.vec_id, CAST(sum(l.d2q) AS BIGINT) AS adist2_e6
+       |      FROM codes c
+       |      JOIN assign av ON av.vec_id = c.vec_id
+       |      JOIN qprobe qp ON qp.cl = av.cl
+       |      JOIN lut l ON l.qid = qp.qid AND l.m = c.m AND l.cl = c.code
+       |      WHERE c.vec_id != l.qid
+       |      GROUP BY 1, 2),
+       |r2 AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |         ORDER BY adist2_e6, vec_id) AS rk FROM a)
+       |SELECT qid AS query_id, vec_id AS neighbor_id, CAST(rk AS BIGINT) AS rk,
+       |       adist2_e6
+       |FROM r2 WHERE rk <= ${Similarity.K} ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** Buckets for the persisted index artifacts: the codes table buckets
+    * on the COARSE CLUSTER key, so the serve-path probe join and any
+    * per-cluster maintenance aggregate run exchange-free on it. */
+  val IndexBuckets = 16
+
+  private def embFp(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.sources.Layout.sourceFingerprint(s, s"$dir/embeddings.parquet")
+
+  /** The persisted IVF-PQ index, built ONCE per corpus fingerprint (the
+    * d10/CoPurchase pattern applied to ANN — round-10 task 6): one
+    * codegen'd corpus pass emits (vec_id, coarse cluster, PQ codes) and
+    * writes it bucketed by cluster. Serving (e13) reads ONLY this table
+    * + [[ivfpqCentroids]] — the embeddings table never appears in the
+    * serve plan (PlanShapeSpec pins that), which is the point: at 100 TB
+    * the raw vectors are cold storage and the index is the hot artifact.
+    */
+  def ivfpqCodes(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.sources.Layout.ensureBucketedArtifact(
+      s, s"graft_ivfpq_codes_${embFp(s, dir)}", "cl", IndexBuckets) {
+      val e = Portable.spread(Tables.embeddings(s, dir), "vec_id")
+      pqPass(e, codebook(e), withErr = false, withAssign = true)
+        .select(col("vec_id"), col("cl"),
+          array((0 until PqM).map(m => col(s"code$m")): _*).as("codes"))
+    }
+
+  /** The index's coarse-quantizer centroids (cl, ce) — the "index
+    * header": k·d floats, read to the driver at serve time exactly like
+    * a loaded FAISS index. */
+  def ivfpqCentroids(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.sources.Layout.ensureBucketedArtifact(
+      s, s"graft_ivfpq_cent_${embFp(s, dir)}", "cl", 4) {
+      Portable.spread(Tables.embeddings(s, dir), "vec_id")
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("label").orderBy("vec_id")))
+        .where(col("rn") === 1)
+        .select(col("label").as("cl"), col("embedding").as("ce"))
+    }
+
   def queries: Seq[Q] = Seq(
     Q("e6_centroids",
       s"""WITH x AS (
@@ -705,66 +810,7 @@ object Embeddings {
     // e10's full crossJoin, and only candidates re-key for the top-K
     // window. This is the documented 100 TB path past e1's exact
     // quadratic tier.
-    Q("e11_ivf_adc", {
-      def va(m: Int) = s"(e.embedding)[${m * SubDim + 1}:${(m + 1) * SubDim}]"
-      def ca(m: Int) = s"(cw.ce)[${m * SubDim + 1}:${(m + 1) * SubDim}]"
-      def qa(m: Int) = s"(q.qe)[${m * SubDim + 1}:${(m + 1) * SubDim}]"
-      def d2(m: Int, v: Int => String) =
-        s"((${Portable.sqlDot(v(m), v(m))} - 2.0*${Portable.sqlDot(v(m), ca(m))}) + " +
-          s"${Portable.sqlDot(ca(m), ca(m))})"
-      val pCols = (0 until PqM).map(m => s"${d2(m, va)} AS d$m").mkString(",\n       ")
-      val unpivot = (0 until PqM)
-        .map(m => s"SELECT vec_id, cl, CAST($m AS BIGINT) AS m, d$m AS dist2 FROM p")
-        .mkString("\nUNION ALL ")
-      val lutCols = (0 until PqM)
-        .map(m => s"CAST(round(${d2(m, qa)} * 1e6, 0) AS BIGINT) AS l$m")
-        .mkString(",\n       ")
-      val lutUnpivot = (0 until PqM)
-        .map(m => s"SELECT qid, cl, CAST($m AS BIGINT) AS m, l$m AS d2q FROM lp")
-        .mkString("\nUNION ALL ")
-      val cosEC = Portable.sqlCosine("e.embedding", "cw.ce")
-      s"""WITH cw AS (
-         |  SELECT label AS cl, embedding AS ce FROM (
-         |    SELECT label, embedding,
-         |           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-         |    FROM embeddings) WHERE rn = 1),
-         |p AS (SELECT e.vec_id, cw.cl,
-         |       $pCols
-         |      FROM embeddings e CROSS JOIN cw),
-         |sub AS ($unpivot),
-         |codes AS (SELECT vec_id, m, cl AS code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist2, cl) AS rn
-         |    FROM sub) WHERE rn = 1),
-         |assign AS (SELECT vec_id, cl FROM (
-         |    SELECT e.vec_id, cw.cl,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY $cosEC DESC, cw.cl) AS rn
-         |    FROM embeddings e CROSS JOIN cw) WHERE rn = 1),
-         |qprobe AS (SELECT vec_id AS qid, cl FROM (
-         |    SELECT e.vec_id, cw.cl,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY $cosEC DESC, cw.cl) AS rn
-         |    FROM embeddings e CROSS JOIN cw
-         |    WHERE e.vec_id < ${Similarity.NQueries}) WHERE rn <= ${Similarity.NProbe}),
-         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-         |      WHERE vec_id < ${Similarity.NQueries}),
-         |lp AS (SELECT q.qid, cw.cl,
-         |       $lutCols
-         |      FROM q CROSS JOIN cw),
-         |lut AS ($lutUnpivot),
-         |a AS (SELECT l.qid, c.vec_id, CAST(sum(l.d2q) AS BIGINT) AS adist2_e6
-         |      FROM codes c
-         |      JOIN assign av ON av.vec_id = c.vec_id
-         |      JOIN qprobe qp ON qp.cl = av.cl
-         |      JOIN lut l ON l.qid = qp.qid AND l.m = c.m AND l.cl = c.code
-         |      WHERE c.vec_id != l.qid
-         |      GROUP BY 1, 2),
-         |r2 AS (SELECT *, row_number() OVER (PARTITION BY qid
-         |         ORDER BY adist2_e6, vec_id) AS rk FROM a)
-         |SELECT qid AS query_id, vec_id AS neighbor_id, CAST(rk AS BIGINT) AS rk,
-         |       adist2_e6
-         |FROM r2 WHERE rk <= ${Similarity.K} ORDER BY query_id, rk""".stripMargin
-    }) {
+    Q("e11_ivf_adc", ivfAdcOracleSql) {
       (s, dir) => {
         import Portable._
         val e = Portable.spread(Tables.embeddings(s, dir), "vec_id")
@@ -802,6 +848,52 @@ object Embeddings {
         // past it, batch the queries (see adcMaxQueryBatch)
         requireAdcBatch(Similarity.NQueries, cb.length, Similarity.NProbe)
         val qps = qprobe.join(lutPerQ, "qid")
+        val a = codes.join(broadcast(qps),
+            col("cl") === col("ccl") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            adcSum(col("codes"), col("lut")).as("adist2_e6"))
+        val wr = Window.partitionBy("qid").orderBy(col("adist2_e6"), col("vec_id"))
+        a.withColumn("rk", row_number().over(wr).cast("long"))
+          .where(col("rk") <= Similarity.K)
+          .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+            col("rk"), col("adist2_e6"))
+          .transform(d => graft.Q.sorted(d, "query_id", "rk"))
+      }
+    },
+
+    // e13: IVF-ADC served from the PERSISTED index — e11's retrieval with
+    // the index-construction pass replaced by scans of the bucketed
+    // artifacts (graft_ivfpq_codes / graft_ivfpq_cent). Queries arrive as
+    // driver-side parameters (the serving contract: a handful of vectors
+    // per request), so the plan contains NO embeddings scan at all — the
+    // probe join hits the codes table on its bucket key and the LUT rides
+    // a broadcast. Same oracle as e11: the DuckDB twin re-derives the
+    // index from the raw vectors, so a stale or corrupted artifact is a
+    // hash mismatch, not a silent wrong answer.
+    Q("e13_index_serve", ivfAdcOracleSql) {
+      (s, dir) => {
+        import Portable._
+        val cent = ivfpqCentroids(s, dir)
+        val codes = ivfpqCodes(s, dir)
+        // index header -> driver (k·d floats), like loading a FAISS index
+        val cb = cent.orderBy("cl").collect()
+          .map(r => (r.get(0), r.getSeq[Float](1).toArray))
+        // the query vectors are REQUEST INPUT in this shape — read once
+        // outside the plan and shipped as a local relation (5 rows); the
+        // serve plan itself never touches the corpus table
+        import s.implicits._
+        val qRows = Portable.spread(Tables.embeddings(s, dir), "vec_id")
+          .where(col("vec_id") < Similarity.NQueries)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])].collect().toSeq
+        val q = qRows.toDF("qid", "qe")
+        val qprobe = q.crossJoin(broadcast(cent.select(col("cl").as("ccl"), col("ce"))))
+          .withColumn("rn", row_number().over(Window.partitionBy("qid")
+            .orderBy(Portable.cosine(col("qe"), col("ce")).desc, col("ccl"))))
+          .where(col("rn") <= Similarity.NProbe)
+          .select(col("qid"), col("ccl"))
+        requireAdcBatch(qRows.size.toLong, cb.length, Similarity.NProbe)
+        val qps = qprobe.join(q.select(col("qid"), lutMap(col("qe"), cb).as("lut")), "qid")
         val a = codes.join(broadcast(qps),
             col("cl") === col("ccl") && col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),

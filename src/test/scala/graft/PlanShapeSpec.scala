@@ -122,4 +122,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(sel.exists(n => n > 0 && n < total),
       s"DPP did not reduce partitions: selected=$sel of $total")
   }
+
+  test("e13: the serve plan reads the persisted index, never the corpus") {
+    val p = plan("e13_index_serve")
+    assert(p.contains("graft_ivfpq_codes_"),
+      s"serve plan does not scan the persisted codes table:\n$p")
+    assert(p.contains("graft_ivfpq_cent_"),
+      s"serve plan does not scan the persisted centroids:\n$p")
+    assert(!p.contains("embeddings"),
+      s"serve plan still references the raw corpus table:\n$p")
+    // and e13 answers exactly what e11 answers (same oracle; this pins
+    // the engine sides against EACH OTHER, independent of DuckDB)
+    val served = SparkEntry.queries("e13_index_serve")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val fresh = SparkEntry.queries("e11_ivf_adc")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served == fresh, "persisted-index answers diverge from e11")
+    assert(served.nonEmpty)
+  }
 }
