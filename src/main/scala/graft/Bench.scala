@@ -87,6 +87,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // NOTE: pairing the scaled width with a smaller AQE advisory size
+      // (16 MB) was tried here and REGRESSED: the extra in-flight spill
+      // and read-ahead buffers of the finer tasking hard-OOM'd the heap
+      // on x_pagerank3 at sf10 (run 2 of the r10 measurement), where the
+      // default 64 MB advisory ran green. The defaults stay; the real
+      // sf10 memory lever was taking the loop-invariant |E| artifact out
+      // of the unified region (DISK_ONLY in pagerankConverged).
       // NOTE on scan splits: a split-count floor
       // (spark.sql.files.minPartitionNum = cpus) was tried here for the
       // single-file testdata and measurably REGRESSED shuffle-heavy

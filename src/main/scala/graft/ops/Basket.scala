@@ -543,9 +543,16 @@ object Basket {
     // exactly ONE |E|-sized artifact, the x_pagerank3 lesson (holding the
     // raw edge list AND the edges⋈deg join measured 1.6× slower at sf10
     // from MemoryStore pressure): edges materialize only inside this
-    // checkpoint; the dangling test below uses the node-cardinality
-    // source-key projection derived from it, not the edge list
-    val contribBase = edgesIn.join(deg, "u").localCheckpoint()
+    // persist; the dangling test below uses the node-cardinality
+    // source-key projection derived from it, not the edge list.
+    // DISK_ONLY, not localCheckpoint's MEMORY_AND_DISK: the 119.6M-edge
+    // frame pinned gigabytes of the unified region at sf10 and starved
+    // the supersteps' aggregation memory at the default 16 GB heap
+    // (AGGREGATE_OUT_OF_MEMORY) — on disk it reads back page-cache-warm
+    // per round while execution keeps the whole pool, the same trade a
+    // real cluster makes by leaning on shuffle files
+    val contribBase = edgesIn.join(deg, "u")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val srcs = contribBase.select(col("u")).distinct().localCheckpoint()
     var rank = nodes.crossJoin(nn)
       .select(col("pk"), expr("1000000000000 div n").as("r"))
@@ -573,6 +580,10 @@ object Basket {
       rank = next
       iters += 1
     }
+    // rank is checkpointed each round — the |E|-sized cache has no
+    // consumer after the loop, so release it instead of leaking it into
+    // the session (the nearDupLosers lesson)
+    contribBase.unpersist()
     (rank, iters)
   }
 

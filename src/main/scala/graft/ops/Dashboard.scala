@@ -42,6 +42,17 @@ object Dashboard {
     // SF), so the dispatch cannot change semantics, only the plan.
     // Measured crossover: the scan wins from sf0.1 up (1.6 s vs 2.4 s;
     // sf10 13.2 s vs 61.6 s).
+    //
+    // KNOWN ACCEPTED RISK (r8 advice, documented rather than "fixed"):
+    // the scan tier's chunked EMA replay truncates warm-up terms below
+    // ~1e-16 relative weight (DashboardScan.TailLen rows), so its doubles
+    // can differ from the window tier's by ~4e-17 relative. The gate
+    // compares 6-dp-ROUNDED cells, so a divergence only shows if a true
+    // value lands within ~1e-15 of a x.xxxxxx5 rounding boundary — a
+    // per-cell probability of ~1e-10, ~1e-4 per sf10-sized run. If
+    // dashboard_cascade/_scan ever hash-mismatch on a SINGLE cell while
+    // neighbors agree, triage as warm-up rounding (recompute the cell
+    // with DashboardScan.TailLen raised), not as a regression.
     val bytesPerKey = eventsBytes(spark, dir) /
       math.max(1, graft.sources.Bars.symbols.size.toLong)
     if (bytesPerKey >= DeepHistoryMinBytesPerKey) DashboardScan.cascade(spark, dir)

@@ -170,7 +170,14 @@ object Layout {
         true
       } catch { case _: Exception => false })
       if (!registered) {
-        build.write
+        // one repartition on the bucket key before the write: bucketBy
+        // alone writes one file per (input task x non-empty bucket) —
+        // measured 321 files for a 32-bucket artifact — while
+        // repartition(buckets, key) uses the SAME Murmr3 hash as the
+        // bucket spec, so each task owns exactly one bucket and the
+        // layout lands as one sorted file per bucket (the shape a 100 TB
+        // reader wants: no small-files tax, maximal run-length merges)
+        build.repartition(buckets, col(bucketCol)).write
           .bucketBy(buckets, bucketCol)
           .sortBy(bucketCol)
           .option("path", loc.toString)
