@@ -341,19 +341,24 @@ object Basket {
         // CoPurchase) — no per-query self-join, and deg aggregates
         // exchange-free on the bucket key
         val edges = CoPurchase.symEdges(s, dir)
-        val nodes = CoPurchase.nodes(s, dir).cache()
+        val nodes = CoPurchase.nodes(s, dir).localCheckpoint()
         val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
         val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
         // hoist the static edges⋈deg join out of the loop: the
         // materialized (u, v, d) list keeps its hash(u) partitioning,
         // so each superstep's join shuffles only the NODE-cardinality
         // rank frontier to meet it — the edge list (the big side)
-        // never re-exchanges after round 1. localCheckpoint (eager)
-        // keeps exactly ONE |E|-sized artifact in the store (holding a
-        // second edge copy measured 1.6× slower at sf10 with
-        // run-over-run degradation from memory pressure evicting the
-        // blocks the loop needs).
-        val contribBase = edges.join(deg, "u").localCheckpoint()
+        // never re-exchanges after round 1. Exactly ONE |E|-sized
+        // artifact (holding a second edge copy measured 1.6× slower at
+        // sf10 from MemoryStore pressure), persisted DISK_ONLY, not
+        // localCheckpoint's MEMORY_AND_DISK — the pagerankConverged
+        // lesson: the 119.6M-row frame pinned the unified region and
+        // starved superstep aggregation memory at the default heap;
+        // on disk it reads back page-cache-warm per round. Released
+        // after the loop (the nearDupLosers lesson) — safe because
+        // each round's frontier is localCheckpointed.
+        val contribBase = edges.join(deg, "u")
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         var rank = nodes.crossJoin(nn)
           .select(col("pk"), expr("1000000000000 div n").as("r"))
         for (_ <- 1 to 3) {
@@ -372,6 +377,7 @@ object Basket {
                 + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
             .localCheckpoint()
         }
+        contribBase.unpersist()
         rank.select(col("pk"), col("r").as("rank_units"))
           .transform(d => graft.Q.sorted(d, "pk"))
       }
