@@ -28,11 +28,13 @@ object SparkEntry {
       ops.Basket.queries ++
       ops.Cdc.queries ++
       ops.Stats.queries ++
+      ops.Sketch.queries ++
       ext.Lm.queries ++
       ext.Pii.queries ++
       ext.SemDedup.queries ++
       ext.Fundamentals.queries ++
       ext.TextStats.queries ++
+      ext.Classifier.queries ++
       ext.Repetition.queries ++
       ext.Embeddings.queries ++
       ext.Dedup.queries ++

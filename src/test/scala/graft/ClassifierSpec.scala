@@ -1,0 +1,55 @@
+package graft
+
+import graft.ext.{Classifier, Portable}
+import org.apache.spark.sql.functions._
+
+/** The classifier-serving contract: the broadcast weight array IS the
+  * closed-form model, features are exactly uni+bigrams, and the integer
+  * score is partitioning-independent (the property that makes the gate
+  * decision bit-stable on any cluster layout).
+  */
+class ClassifierSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("broadcast model array equals the closed-form weights, bounded to [-500, 500]") {
+    val w = Classifier.model(spark).select(explode(col("w")).as("w"))
+      .as[Long].collect()
+    assert(w.length == Classifier.Buckets)
+    w.zipWithIndex.foreach { case (v, b) =>
+      val expect = (b.toLong * 2654435761L) % 1001L - 500L
+      assert(v == expect, s"bucket $b: $v != $expect")
+      assert(v >= -500 && v <= 500)
+    }
+  }
+
+  test("features are uni+bigrams; 1-token docs have no bigrams") {
+    val got = Seq("alpha beta gamma", "solo").toDF("text")
+      .select(Classifier.features(Portable.tokens(col("text"))).as("f"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("alpha", "beta", "gamma", "alpha_beta", "beta_gamma"))
+    assert(got(1) == Seq("solo"))
+  }
+
+  test("score is partitioning-independent and the label gate matches its sign") {
+    val q = Classifier.queries.find(_.name == "x_classifier_score").get
+    val out = q.build(spark, sf)
+      .select("doc_id", "score_milli", "label")
+      .as[(Long, Long, String)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, s, l) =>
+      assert((s >= 0) == (l == "keep"), s"doc $id: score $s labeled $l")
+    }
+    // inline corpus scored under two different partitionings: integer
+    // fold => identical scores (no float accumulation-order hazard)
+    val docs = Seq.tabulate(50)(i =>
+      (i.toLong, s"tok$i alpha beta gamma${i % 7}")).toDF("doc_id", "text")
+    def score(parts: Int): Map[Long, Long] = docs.repartition(parts)
+      .crossJoin(broadcast(Classifier.model(spark)))
+      .select(col("doc_id"),
+        aggregate(Classifier.features(Portable.tokens(col("text"))), lit(0L),
+          (a, f) => a + element_at(col("w"), Classifier.bucket(f).cast("int") + 1))
+          .as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(score(2) == score(13))
+  }
+}

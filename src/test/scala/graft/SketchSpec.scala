@@ -78,4 +78,43 @@ class SketchSpec extends SparkTestBase {
     // merged estimate must not
     assert(estimate(2) == estimate(16))
   }
+
+  test("count-min: over-estimates only, recovers the exact total, prune keeps every true heavy hitter") {
+    val occ = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val exact = occ.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val cms = Sketch.cmsBuild(occ, "token")
+
+    // n recovered from the grid == true occurrence count
+    val gridN = cms.select("n").head().getLong(0)
+    assert(gridN == occ.count(), s"grid total $gridN != scan total")
+
+    // the CMS invariant: min-of-counters >= true count for EVERY key
+    // (this is what makes sketch pruning exact-output-safe)
+    val under = exact.crossJoin(broadcast(cms))
+      .where(Sketch.cmsEstimate(col("token")) < col("cnt")).count()
+    assert(under == 0, s"$under tokens under-estimated")
+
+    // candidates (sketch filter) must be a superset of the true heavy
+    // hitters, and the query output must equal the plain exact plan
+    val candidates = exact.crossJoin(broadcast(cms))
+      .where(Sketch.cmsEstimate(col("token")) * Sketch.PhiInv >= col("n"))
+      .select("token").as[String].collect().toSet
+    val trueHh = exact.crossJoin(broadcast(cms.select("n")))
+      .where(col("cnt") * Sketch.PhiInv >= col("n"))
+      .select("token").as[String].collect().toSet
+    assert(trueHh.subsetOf(candidates), s"prune dropped ${trueHh -- candidates}")
+    // non-vacuous on this corpus: the filter must actually drop tail keys
+    val nKeys = exact.count()
+    assert(candidates.size < nKeys,
+      s"prune vacuous: ${candidates.size} candidates of $nKeys keys")
+
+    val viaQuery = graft.ops.Sketch.queries.find(_.name == "x_heavy_hitters").get
+      .build(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val viaExact = exact.crossJoin(broadcast(cms.select("n")))
+      .where(col("cnt") * Sketch.PhiInv >= col("n"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(viaQuery == viaExact, "sketch-pruned output != exact output")
+  }
 }
