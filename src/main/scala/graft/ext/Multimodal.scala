@@ -318,5 +318,172 @@ object Multimodal {
          |       CAST(w * 1000 // h AS BIGINT) AS aspect_milli
          |FROM m ORDER BY doc_id""".stripMargin) {
       (s, dir) => features(s, dir).transform(d => graft.Q.sorted(d, "doc_id"))
+    },
+
+    // m5: whole-clip audio decode — sample_rate/n_samples come from the
+    // PARSED RIFF chunks (fmt /data) and peak/abs-sum from the LE16
+    // sample walk; the oracle recomputes everything from the synthesis
+    // formulas, never seeing the bytes (same adjudication scheme as m1).
+    Q("m5_audio_features",
+      s"""WITH a AS (SELECT doc_id,
+         |             (n_chars % 64) + 16 AS n,
+         |             8000 + (doc_id % 4) * 4000 AS sr,
+         |             doc_id % 509 AS seed,
+         |             CASE WHEN doc_id % 3 = 0 THEN 12 ELSE 0 END AS junk
+         |      FROM documents),
+         |s AS (SELECT doc_id, n, sr, junk,
+         |             list_transform(range(0, n),
+         |               i -> abs(((seed + 173 * i) % 4096) - 2048)) AS absv
+         |      FROM a)
+         |SELECT doc_id,
+         |       CAST(sr AS BIGINT) AS sample_rate,
+         |       CAST(n AS BIGINT) AS n_samples,
+         |       CAST(44 + 2 * n + junk AS BIGINT) AS n_bytes,
+         |       CAST(list_max(absv) AS BIGINT) AS peak_abs,
+         |       CAST(list_sum(absv) AS BIGINT) AS abs_sum,
+         |       CAST(list_sum(absv) * 1000 // n AS BIGINT) AS mean_abs_milli
+         |FROM s ORDER BY doc_id""".stripMargin) {
+      (s, dir) => audioFeatures(s, dir).transform(d => graft.Q.sorted(d, "doc_id"))
     })
+
+  // --- Audio modality: RIFF/WAVE PCM16 codec (the m1 scheme, second
+  // modality) ---
+
+  /** Decoded whole-clip features — all exact integers. */
+  final case class AudioFeatures(
+      sampleRate: Long, nSamples: Long, nBytes: Long,
+      peakAbs: Long, absSum: Long)
+
+  /** Pure-JVM RIFF/WAVE PCM16 decoder: validates the RIFF/WAVE magic,
+    * then WALKS the chunk list (id + LE32 size, content, odd sizes
+    * padded to even per the RIFF spec) — unknown chunks are skipped, so
+    * payloads carrying extra metadata chunks (cue/LIST/fact, common in
+    * the wild) decode identically to minimal ones. `fmt ` must declare
+    * PCM mono 16-bit; `data` samples are signed little-endian int16.
+    */
+  object WavDecoder extends Serializable {
+    private def le32(p: Array[Byte], i: Int): Int =
+      (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
+        ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+    private def le16s(p: Array[Byte], i: Int): Int =
+      ((p(i) & 0xff) | (p(i + 1) << 8)).toShort.toInt
+    private def tag(p: Array[Byte], i: Int): String =
+      new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Parse chunks: (sampleRate, data offset, data byte length). */
+    def header(p: Array[Byte]): (Int, Int, Int) = {
+      require(p.length >= 12 && tag(p, 0) == "RIFF" && tag(p, 8) == "WAVE",
+        "not a RIFF/WAVE payload")
+      var i = 12
+      var sampleRate = -1
+      var dataOff = -1
+      var dataLen = -1
+      while (i + 8 <= p.length && (sampleRate < 0 || dataOff < 0)) {
+        val id = tag(p, i)
+        val sz = le32(p, i + 4)
+        require(sz >= 0 && i + 8 + sz <= p.length, s"chunk $id overruns payload")
+        if (id == "fmt ") {
+          require(sz >= 16, "fmt chunk too short")
+          // PCM fmt content layout: format@0, channels@2, rate@4,
+          // byteRate@8, blockAlign@12, bitsPerSample@14 (offsets from
+          // content start = i + 8)
+          require(le16s(p, i + 8) == 1, "only PCM supported")
+          require(le16s(p, i + 10) == 1, "only mono supported")
+          require(le16s(p, i + 22) == 16, "only 16-bit supported")
+          sampleRate = le32(p, i + 12)
+        } else if (id == "data") {
+          dataOff = i + 8
+          dataLen = sz
+        }
+        i += 8 + sz + (sz & 1) // RIFF pads odd-sized chunks to even
+      }
+      require(sampleRate > 0, "missing fmt chunk")
+      require(dataOff >= 0, "missing data chunk")
+      (sampleRate, dataOff, dataLen)
+    }
+
+    def features(p: Array[Byte]): AudioFeatures = {
+      val (sr, off, len) = header(p)
+      require(len % 2 == 0, "odd PCM16 data length")
+      val n = len / 2
+      var peak = 0L
+      var sum = 0L
+      var j = 0
+      while (j < n) {
+        val a = math.abs(le16s(p, off + 2 * j).toLong)
+        if (a > peak) peak = a
+        sum += a
+        j += 1
+      }
+      AudioFeatures(sr.toLong, n.toLong, p.length.toLong, peak, sum)
+    }
+  }
+
+  /** Deterministic PCM16 payload for a document: sample count from
+    * `n_chars`, rate/seed from `doc_id`; sample i is
+    * `((seed + 173 i) mod 4096) - 2048` (wraps several times per clip,
+    * so signs mix). Every third payload carries a 12-byte `cue ` chunk
+    * between `fmt ` and `data` — the decoder must chunk-walk past it,
+    * not assume the canonical 44-byte layout. As with [[buildPpm]], the
+    * decode side never sees these formulas — it parses the bytes.
+    */
+  def buildWav(docId: Long, nChars: Long): Array[Byte] = {
+    val n = (nChars % 64 + 16).toInt
+    val sr = (8000 + (docId % 4) * 4000).toInt
+    val seed = (docId % 509).toInt
+    val junk = if (docId % 3 == 0) 12 else 0
+    val out = new Array[Byte](44 + junk + 2 * n)
+    def put4(i: Int, s: String): Unit = {
+      var k = 0; while (k < 4) { out(i + k) = s.charAt(k).toByte; k += 1 }
+    }
+    def le32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    def le16(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+    }
+    put4(0, "RIFF"); le32(4, 36 + junk + 2 * n); put4(8, "WAVE")
+    put4(12, "fmt "); le32(16, 16)
+    le16(20, 1) // PCM
+    le16(22, 1) // mono
+    le32(24, sr)
+    le32(28, sr * 2) // byte rate
+    le16(32, 2) // block align
+    le16(34, 16) // bits per sample
+    var off = 36
+    if (junk > 0) { put4(off, "cue "); le32(off + 4, 4); off += 12 }
+    put4(off, "data"); le32(off + 4, 2 * n)
+    var i = 0
+    while (i < n) {
+      le16(off + 8 + 2 * i, ((seed + 173 * i) % 4096) - 2048); i += 1
+    }
+    out
+  }
+
+  final case class WavRec(doc_id: Long, payload: Array[Byte])
+  final case class AudioFeat(
+      doc_id: Long, sample_rate: Long, n_samples: Long, n_bytes: Long,
+      peak_abs: Long, abs_sum: Long, mean_abs_milli: Long)
+
+  /** The audio table: one deterministic WAV payload per document (at
+    * 100 TB this is the parquet `binary` column; the synthesis map
+    * disappears). */
+  def wavMedia(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[WavRec] =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      .as(Encoders.product[DocDims])
+      .mapPartitions(_.map(d => WavRec(d.doc_id, buildWav(d.doc_id, d.n_chars))))(
+        Encoders.product[WavRec])
+
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame =
+    wavMedia(spark, dir)
+      .mapPartitions { it =>
+        it.map { r =>
+          val f = WavDecoder.features(r.payload)
+          AudioFeat(r.doc_id, f.sampleRate, f.nSamples, f.nBytes,
+            f.peakAbs, f.absSum, f.absSum * 1000L / f.nSamples)
+        }
+      }(Encoders.product[AudioFeat])
+      .toDF()
 }

@@ -507,4 +507,32 @@ class StreamingSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("count-min sketch is streaming-mergeable: micro-batch slot counts equal the batch grid") {
+    // the property that makes x_heavy_hitters' sketch pass streaming-
+    // native at 100 TB: the D x W counter grid is a plain additive
+    // aggregation, so the SAME slot-count plan runs as a streaming
+    // aggregation and the state after any micro-batch split equals the
+    // one-shot batch grid — a sketch maintained continuously over an
+    // ingest stream answers the same heavy-hitter prune
+    import graft.ops.Sketch
+    val input = MemoryStream[String](spark)
+    val slots = input.toDF().select(col("value").as("token"))
+      .select(explode(array((0 until Sketch.CmsD).map(i =>
+        Sketch.cmsSlot(col("token"), i)): _*)).as("p"))
+      .groupBy("p").count()
+    val q = slots.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    val batch1 = Seq("join", "hash", "join", "scan")
+    val batch2 = Seq("join", "scan", "dup", "dup", "filter")
+    input.addData(batch1: _*); q.processAllAvailable()
+    input.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_stream").as[(Int, Long)].collect().toMap
+    val grid = Sketch.cmsBuild((batch1 ++ batch2).toDF("token"), "token")
+      .select("cms").as[Seq[Long]].head()
+    val fromGrid = grid.zipWithIndex.collect { case (c, p) if c > 0 => p -> c }.toMap
+    assert(streamed == fromGrid,
+      s"streamed slots != batch grid (${streamed.size} vs ${fromGrid.size} non-zero)")
+  }
 }
