@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.Q
 import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus language-model statistics — the two distributed passes under
@@ -43,7 +44,7 @@ object Lm {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |       UNNEST(list_zip(toks[1:-2], toks[2:-1])::STRUCT(a VARCHAR, b VARCHAR)[]) u(z)""".stripMargin
 
-  def queries: Seq[Q] = Seq(
+  def queries: Seq[Q] = bpeQueries ++ Seq(
 
     Q("x_bpe_pairs",
       s"""WITH p AS (
@@ -304,4 +305,115 @@ object Lm {
   val DsirTarget = "src0"
   /** Rows kept by the resampling selection. */
   val DsirTopK = 50
+
+  // --- Full BPE trainer: x_bpe_pairs' counting step iterated into the
+  // actual tokenizer-training loop (the e9 -> e12 / step -> full-solver
+  // pattern applied to the last remaining "step-only" family) ---
+
+  /** Merge rounds trained (the twin of PrFullIters/KmFullIters: a fixed
+    * round count the oracle can replay verbatim). */
+  val BpeRounds = 5
+
+  /** One greedy left-to-right merge pass: every non-overlapping adjacent
+    * (a, b) becomes "a_b"; a matched position consumes its right
+    * neighbor, so `[a,a,a]` under (a,a) yields `[a_a, a]` — real BPE
+    * application semantics, not a stateless substitution (which
+    * over-merges runs). Implemented as an `aggregate` HOF with a
+    * (acc, skip) struct state — O(n) per doc, codegen, no UDF. The
+    * oracle replays the identical fold with the state flattened into a
+    * string ('S'/'N' skip flag + ';'-joined acc), because DuckDB 1.0's
+    * list_reduce corrupts list-inside-struct accumulators; symbols are
+    * corpus words (never containing '|'/';'), which the round SQL
+    * relies on.
+    */
+  def bpeApply(sym: Column, a: String, b: String): Column =
+    aggregate(
+      sequence(lit(1), size(sym)),
+      struct(array().cast("array<string>").as("acc"), lit(false).as("skip")),
+      (st, i) => {
+        val cur = element_at(sym, i)
+        val nxt = when(i < size(sym), element_at(sym, i + 1)).otherwise(lit(""))
+        when(st.getField("skip"),
+          struct(st.getField("acc").as("acc"), lit(false).as("skip")))
+          .when(cur === lit(a) && nxt === lit(b),
+            struct(concat(st.getField("acc"), array(concat_ws("_", cur, nxt))).as("acc"),
+              lit(true).as("skip")))
+          .otherwise(
+            struct(concat(st.getField("acc"), array(cur)).as("acc"),
+              lit(false).as("skip")))
+      },
+      st => st.getField("acc"))
+
+  final case class BpeMergeRow(
+      round: Long, a: String, b: String, cnt: Long, n_syms: Long)
+
+  /** Train [[BpeRounds]] merges over the whitespace-symbol corpus.
+    * Each round is the canonical distributed-BPE pass: one map-side-
+    * combined pair-count aggregation, a deterministic argmax fetch
+    * (count DESC, pair ASC — ONE row to the driver: the merge decision
+    * IS the trained artifact, exactly the kmeans/pagerank convergence-
+    * probe budget), then a narrow per-doc rewrite with the merge folded
+    * in as a literal; `localCheckpoint` cuts the growing lineage per
+    * round (the CC-loop discipline). K rounds = K linear corpus passes
+    * — how SentencePiece-style trainers shard at web scale. Returns the
+    * merge table: (round, a, b, pair count, corpus symbols after).
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    var sym = Portable.spread(Tables.documents(spark, dir), "doc_id")
+      .select(col("doc_id"), Portable.tokens(col("text")).as("sym"))
+      .localCheckpoint()
+    val rows = (1 to BpeRounds).map { r =>
+      val top = sym.where(size(col("sym")) >= 2)
+        .select(explode(zip_with(
+          slice(col("sym"), lit(1), size(col("sym")) - 1),
+          slice(col("sym"), lit(2), size(col("sym")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).head()
+      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      sym = sym.select(col("doc_id"), bpeApply(col("sym"), a, b).as("sym"))
+        .localCheckpoint()
+      val nSyms = sym.agg(sum(size(col("sym")))).head().getLong(0)
+      BpeMergeRow(r.toLong, a, b, cnt, nSyms)
+    }
+    import spark.implicits._
+    rows.toDF()
+  }
+
+  /** Oracle twin: the identical fixed-round recurrence, each round's
+    * argmax and greedy rewrite chained as MATERIALIZED CTEs (the
+    * pagerankFullOracleSql scheme). */
+  private def bpeTrainOracleSql: String = {
+    val rounds = (1 to BpeRounds).map { k =>
+      s"""p$k AS (SELECT z.a AS a, z.b AS b, count(*) AS cnt
+         |       FROM s${k - 1},
+         |            UNNEST(list_zip(sym[1:-2], sym[2:-1])::STRUCT(a VARCHAR, b VARCHAR)[]) u(z)
+         |       WHERE len(sym) >= 2 GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$k AS MATERIALIZED (SELECT doc_id, string_split(substr(list_reduce(
+         |    list_prepend('N', list_transform(range(1, len(sym)+1), i ->
+         |      sym[i] || '|' || CASE WHEN i < len(sym) THEN sym[i+1] ELSE '' END)),
+         |    (st, e) -> CASE
+         |      WHEN substr(st, 1, 1) = 'S' THEN 'N' || substr(st, 2)
+         |      WHEN e = m.a || '|' || m.b
+         |        THEN 'S' || substr(st, 2) || ';' || string_split(e, '|')[1] || '_' || string_split(e, '|')[2]
+         |      ELSE 'N' || substr(st, 2) || ';' || string_split(e, '|')[1] END), 3), ';') AS sym
+         |  FROM s${k - 1} CROSS JOIN m$k AS m)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeRounds).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS round, a, b, CAST(cnt AS BIGINT) AS cnt,
+         |       (SELECT CAST(sum(len(sym)) AS BIGINT) FROM s$k) AS n_syms FROM m$k""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH s0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS sym FROM documents),
+       |$rounds
+       |$out
+       |ORDER BY round""".stripMargin
+  }
+
+  def bpeQueries: Seq[Q] = Seq(
+    Q("x_bpe_train", bpeTrainOracleSql) {
+      (s, dir) => bpeTrain(s, dir).transform(d => graft.Q.sorted(d, "round"))
+    })
 }
