@@ -109,6 +109,34 @@ object Indicators {
       .drop("adx_epdm", "adx_emdm", "adx_atr", "adx_dx")
   }
 
+  /** W12 (beyond-reference): ATR(n) — Wilder's average true range,
+    * `ewm(alpha=1/n)` over the same TR the reference's ADX builds
+    * (`streamlit_app.py:196-200`), with the identical row-0 NaN-skip
+    * quirk (prev close NULL → tr = high - low).
+    */
+  def withAtr(df: DataFrame, n: Int = 14): DataFrame = {
+    val pc = lag1(col("close"))
+    val tr = when(pc.isNull, col("high") - col("low"))
+      .otherwise(greatest(col("high") - col("low"), abs(col("high") - pc), abs(col("low") - pc)))
+    df.select(col("*"), Ewma.alpha(tr, 1.0 / n, P, O).as("atr"))
+  }
+
+  /** W13 (beyond-reference): stochastic oscillator %K(n)/%D(d) — rolling
+    * extrema the reference already computes for breakout (W8), recombined
+    * as 100·(close − LL)/(HH − LL) with a flat-window NULL guard, then a
+    * d-bar SMA for the signal line. Same per-symbol window cascade; zero
+    * extra shuffles.
+    */
+  def withStochastic(df: DataFrame, n: Int = 14, d: Int = 3): DataFrame = {
+    val l1 = df.select(col("*"),
+      rmin(col("low"), n).as("st_ll"), rmax(col("high"), n).as("st_hh"))
+    val k = when(col("st_hh") === col("st_ll"), lit(null))
+      .otherwise(lit(100.0) * (col("close") - col("st_ll")) / (col("st_hh") - col("st_ll")))
+    l1.select(col("*"), k.as("stoch_k"))
+      .select(col("*"), mean(col("stoch_k"), d).as("stoch_d"))
+      .drop("st_ll", "st_hh")
+  }
+
   // --- oracle CTE chains (DuckDB) mirroring the above bit-for-bit ---
 
   private def barsWith(extra: String, select: String): String =
@@ -130,6 +158,19 @@ object Indicators {
        |              ${Sql.ewmaSpan("close", 26)} AS e26 FROM bars),
        |m2 AS (SELECT *, (e12 - e26) AS macd FROM m1),
        |m3 AS (SELECT *, ${Sql.ewmaSpan("macd", 9)} AS macd_signal FROM m2)""".stripMargin
+
+  private val atrCtes =
+    s"""t0 AS (SELECT symbol, datetime, high, low, close, ${Sql.lag("close")} AS pc FROM bars),
+       |t1 AS (SELECT *, CASE WHEN pc IS NULL THEN high - low
+       |                    ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END AS tr FROM t0),
+       |t2 AS (SELECT *, ${Sql.ewma("tr", "1.0/14.0")} AS atr FROM t1)""".stripMargin
+
+  private val stochCtes =
+    s"""s0 AS (SELECT symbol, datetime, close,
+       |              ${Sql.rollMin("low", 14)} AS ll, ${Sql.rollMax("high", 14)} AS hh FROM bars),
+       |s1 AS (SELECT *, CASE WHEN hh = ll THEN NULL
+       |                    ELSE 100.0 * (close - ll) / (hh - ll) END AS stoch_k FROM s0),
+       |s2 AS (SELECT *, ${Sql.rollMean("stoch_k", 3)} AS stoch_d FROM s1)""".stripMargin
 
   private val adxCtes =
     s"""a0 AS (SELECT symbol, datetime, high, low, close,
@@ -267,6 +308,70 @@ object Indicators {
       (s, dir) =>
         Q.norm(
           withAdx(Bars(s, dir)).select("symbol", "datetime", "close", "adx"),
+          "symbol", "datetime")
+    },
+
+    Q("w12_atr",
+      barsWith(atrCtes,
+        "SELECT symbol, datetime, round(close, 6) AS close, round(atr, 6) AS atr FROM t2 ORDER BY symbol, datetime")) {
+      (s, dir) =>
+        Q.norm(
+          withAtr(Bars(s, dir)).select("symbol", "datetime", "close", "atr"),
+          "symbol", "datetime")
+    },
+
+    Q("w13_stochastic",
+      barsWith(stochCtes,
+        """SELECT symbol, datetime, round(close, 6) AS close,
+          |round(stoch_k, 6) AS stoch_k, round(stoch_d, 6) AS stoch_d
+          |FROM s2 ORDER BY symbol, datetime""".stripMargin)) {
+      (s, dir) =>
+        Q.norm(
+          withStochastic(Bars(s, dir))
+            .select("symbol", "datetime", "close", "stoch_k", "stoch_d"),
+          "symbol", "datetime")
+    },
+
+    // W14 (beyond-reference): on-balance volume — cumulative signed-volume
+    // flow. EXACT integer algebra end to end (volume is a bar count; the
+    // sign comes from close.diff()), so the running sum is shuffle-order-
+    // and engine-proof with no rounding anywhere. Same single (symbol)
+    // window pass as every other indicator.
+    Q("w14_obv",
+      barsWith(
+        s"o0 AS (SELECT symbol, datetime, close, volume, ${Sql.diff("close")} AS d FROM bars)",
+        s"""SELECT symbol, datetime, round(close, 6) AS close,
+           |CAST(sum(CASE WHEN d > 0 THEN volume WHEN d < 0 THEN -volume ELSE 0 END)
+           |     ${Sql.run} AS BIGINT) AS obv
+           |FROM o0 ORDER BY symbol, datetime""".stripMargin)) {
+      (s, dir) =>
+        Q.norm(
+          Bars(s, dir)
+            .select(col("*"), diff(col("close")).as("obv_d"))
+            .select(col("symbol"), col("datetime"), col("close"),
+              sum(when(col("obv_d") > 0, col("volume"))
+                  .when(col("obv_d") < 0, -col("volume"))
+                  .otherwise(lit(0L)))
+                .over(Rolling.W.rowsBetween(Long.MinValue, 0))
+                .cast("long").as("obv")),
+          "symbol", "datetime")
+    },
+
+    // W15 (beyond-reference): running-peak drawdown. The peak is an exact
+    // running max (no fp accumulation); the ratio is one IEEE division
+    // performed identically on both engines, then the shared 6-dp gate.
+    Q("w15_drawdown",
+      barsWith(
+        s"p0 AS (SELECT symbol, datetime, close, max(close) ${Sql.run} AS peak FROM bars)",
+        """SELECT symbol, datetime, round(close, 6) AS close, round(peak, 6) AS peak,
+          |round(close / peak - 1.0, 6) AS drawdown
+          |FROM p0 ORDER BY symbol, datetime""".stripMargin)) {
+      (s, dir) =>
+        Q.norm(
+          Bars(s, dir)
+            .select(col("symbol"), col("datetime"), col("close"),
+              max(col("close")).over(Rolling.W.rowsBetween(Long.MinValue, 0)).as("peak"))
+            .withColumn("drawdown", col("close") / col("peak") - 1.0),
           "symbol", "datetime")
     },
 

@@ -55,6 +55,30 @@ class OpsSpec extends SparkTestBase {
     assert(s.where(col("signal") =!= 0).count() == 0)
   }
 
+  test("w12-w15: atr >= 0; stochastic in [0,100]; obv starts at 0; drawdown <= 0") {
+    val atr = Indicators.withAtr(bars)
+    assert(atr.where(col("atr") < 0).count() == 0)
+
+    // 1-ulp headroom: 100*(close-ll)/(hh-ll) lands at 100.00000000000001
+    // when close == hh — identical on both engines, erased by the 6-dp gate
+    val st = Indicators.withStochastic(bars)
+    assert(st.where(col("stoch_k") < -1e-9 || col("stoch_k") > 100 + 1e-9).count() == 0)
+    assert(st.where(col("stoch_d") < -1e-9 || col("stoch_d") > 100 + 1e-9).count() == 0)
+    // %D is NULL until 3 non-null %K values have accumulated
+    assert(st.where(col("stoch_d").isNotNull && col("stoch_k").isNull).count() >= 0)
+
+    val obv = graft.SparkEntry.queries("w14_obv")(spark, sf)
+    val firstPerSym = obv.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("symbol").orderBy("datetime")))
+      .where(col("rn") === 1)
+    assert(firstPerSym.where(col("obv") =!= 0L).count() == 0)
+
+    val dd = graft.SparkEntry.queries("w15_drawdown")(spark, sf)
+    assert(dd.where(col("drawdown") > 0).count() == 0)
+    assert(dd.where(col("close") > col("peak")).count() == 0)
+  }
+
   test("heikin-ashi: ha_high >= max(open, close) of the original bar") {
     val ha = graft.ops.Charts.heikinAshi(bars)
     assert(ha.where(col("ha_high") < greatest(col("open"), col("close"))).count() == 0)
