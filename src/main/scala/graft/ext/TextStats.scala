@@ -50,6 +50,45 @@ object TextStats {
 
   def queries: Seq[Q] = Seq(
 
+    // Corpus-level n-gram novelty: per document, the fraction of its
+    // distinct 3-shingles that occur in NO other document — the standard
+    // cheap "how much of this doc is new text" curation signal (inverse
+    // boilerplate/dup pressure). Scale shape: explode -> groupBy(g) df
+    // count -> join back on g; the two hashpartitioning(g) exchanges
+    // collapse into one ReusedExchange, the df join is 1:1 (no blowup on
+    // hot shingles — each exploded row meets exactly one df row), and the
+    // final per-doc agg is the second and last shuffle. Linear in total
+    // shingle count; exact integer algebra until one final division.
+    Q("x_ngram_novelty",
+      s"""WITH sh0 AS (SELECT doc_id, ${sqlShingles3(sqlTokens("text"))} AS sh FROM documents),
+         |shingled AS (SELECT * FROM sh0 WHERE len(sh) > 0),
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
+         |df AS (SELECT g, count(*) AS df FROM e GROUP BY g),
+         |n AS (SELECT e.doc_id, count(*) AS n_shingles,
+         |             sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_novel
+         |      FROM e JOIN df USING (g) GROUP BY e.doc_id)
+         |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+         |       CAST(n_novel AS BIGINT) AS n_novel,
+         |       round(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novel_frac
+         |FROM n ORDER BY doc_id""".stripMargin) {
+      (s, dir) => {
+        val sh = docs(s, dir)
+          .where(size(tokens(col("text"))) >= 3)
+          .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+        val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+        // shingles are distinct within a doc, so count == document freq
+        val dfreq = e.groupBy("g").agg(count(lit(1)).as("df"))
+        graft.Q.norm(
+          e.join(dfreq, "g")
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_shingles"),
+              sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+            .withColumn("novel_frac",
+              col("n_novel").cast("double") / col("n_shingles")),
+          "doc_id")
+      }
+    },
+
     // Token counting: whitespace tokens + BPE-ish greedy <=4-char chunks.
     Q("x_tokens",
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

@@ -7,6 +7,25 @@ import org.apache.spark.sql.functions._
 class ExtSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("ngram novelty: frac in [0,1], novel <= total, duplicated text scores 0 novel") {
+    import org.apache.spark.sql.functions._
+    val nov = SparkEntry.queries("x_ngram_novelty")(spark, sf)
+    assert(nov.count() > 0)
+    assert(nov.where(col("n_novel") > col("n_shingles")).count() == 0)
+    assert(nov.where(col("novel_frac") < 0 || col("novel_frac") > 1).count() == 0)
+    // two identical docs: every shingle has df 2 -> both score 0 novelty
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta iota")).toDF("doc_id", "text")
+    val e = docs.select(col("doc_id"),
+      explode(graft.ext.Portable.shingles3(graft.ext.Portable.tokens(col("text")))).as("g"))
+    val df = e.groupBy("g").agg(count(lit(1)).as("df"))
+    val out = e.join(df, "g").groupBy("doc_id")
+      .agg(sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 0 && out(2L) == 0 && out(3L) == 3)
+  }
+
   test("minhash: identical docs get identical signatures; disjoint docs differ") {
     val df = Seq(
       (1L, "a b c d e f g"),
