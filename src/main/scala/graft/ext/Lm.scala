@@ -358,7 +358,20 @@ object Lm {
     * — how SentencePiece-style trainers shard at web scale. Returns the
     * merge table: (round, a, b, pair count, corpus symbols after).
     */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainLoop(spark, dir)._1
+
+  /** The trained tokenizer APPLIED: the corpus in its post-merge symbol
+    * stream — what a tokenize stage hands to packing/counting. Same K
+    * linear passes as the trainer; the symbol arrays stay distributed
+    * end to end (the driver sees only the K merge decisions).
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainLoop(spark, dir)._2
+      .select(col("doc_id"), size(col("sym")).cast("long").as("n_syms"),
+        array_join(col("sym"), ";").as("enc"))
+
+  private def bpeTrainLoop(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     var sym = Portable.spread(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), Portable.tokens(col("text")).as("sym"))
       .localCheckpoint()
@@ -379,13 +392,13 @@ object Lm {
       BpeMergeRow(r.toLong, a, b, cnt, nSyms)
     }
     import spark.implicits._
-    rows.toDF()
+    (rows.toDF(), sym)
   }
 
   /** Oracle twin: the identical fixed-round recurrence, each round's
     * argmax and greedy rewrite chained as MATERIALIZED CTEs (the
     * pagerankFullOracleSql scheme). */
-  private def bpeTrainOracleSql: String = {
+  private def bpeRoundCtes: String = {
     val rounds = (1 to BpeRounds).map { k =>
       s"""p$k AS (SELECT z.a AS a, z.b AS b, count(*) AS cnt
          |       FROM s${k - 1},
@@ -402,18 +415,31 @@ object Lm {
          |      ELSE 'N' || substr(st, 2) || ';' || string_split(e, '|')[1] END), 3), ';') AS sym
          |  FROM s${k - 1} CROSS JOIN m$k AS m)""".stripMargin
     }.mkString(",\n")
+    s"""s0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS sym FROM documents),
+       |$rounds""".stripMargin
+  }
+
+  private def bpeTrainOracleSql: String = {
     val out = (1 to BpeRounds).map { k =>
       s"""SELECT CAST($k AS BIGINT) AS round, a, b, CAST(cnt AS BIGINT) AS cnt,
          |       (SELECT CAST(sum(len(sym)) AS BIGINT) FROM s$k) AS n_syms FROM m$k""".stripMargin
     }.mkString("\nUNION ALL ")
-    s"""WITH s0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS sym FROM documents),
-       |$rounds
+    s"""WITH $bpeRoundCtes
        |$out
        |ORDER BY round""".stripMargin
   }
 
+  private def bpeEncodeOracleSql: String =
+    s"""WITH $bpeRoundCtes
+       |SELECT doc_id, CAST(len(sym) AS BIGINT) AS n_syms,
+       |       array_to_string(sym, ';') AS enc
+       |FROM s$BpeRounds ORDER BY doc_id""".stripMargin
+
   def bpeQueries: Seq[Q] = Seq(
     Q("x_bpe_train", bpeTrainOracleSql) {
       (s, dir) => bpeTrain(s, dir).transform(d => graft.Q.sorted(d, "round"))
+    },
+    Q("x_bpe_encode", bpeEncodeOracleSql) {
+      (s, dir) => bpeEncode(s, dir).transform(d => graft.Q.sorted(d, "doc_id"))
     })
 }

@@ -31,6 +31,17 @@ class BpeSpec extends SparkTestBase {
     assert(apply1(Seq("solo"), "a", "b") == Seq("solo"))
   }
 
+  test("encode: total symbols equals the trainer's final n_syms; merged tokens present") {
+    val train = Lm.bpeTrain(spark, sf).orderBy(col("round").desc).head()
+    val enc = Lm.bpeEncode(spark, sf)
+    val total = enc.agg(sum(col("n_syms"))).head().getLong(0)
+    assert(total == train.getAs[Long]("n_syms"),
+      s"encode total $total != trainer final n_syms ${train.getAs[Long]("n_syms")}")
+    // the last-round merge token a_b appears somewhere in the encoding
+    val merged = train.getAs[String]("a") + "_" + train.getAs[String]("b")
+    assert(enc.where(col("enc").contains(merged)).count() > 0)
+  }
+
   test("trainer: deterministic merge table, symbol count shrinks by the applied merges") {
     val t1 = Lm.bpeTrain(spark, sf).collect().map(_.toSeq).toSeq
     val t2 = Lm.bpeTrain(spark, sf).collect().map(_.toSeq).toSeq
