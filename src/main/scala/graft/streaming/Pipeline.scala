@@ -195,15 +195,19 @@ object Pipeline {
       rsi: Option[Double], macd: Double, macd_signal: Double,
       t1_signal: Int, t2_signal: Int, t3_momentum: Option[Double],
       t3_signal: Int, t4_signal: Int,
-      g1_ascending: Boolean, g2_descending: Boolean, g3_rounding: Boolean)
+      g1_ascending: Boolean, g2_descending: Boolean, g3_rounding: Boolean,
+      atr: Double, stoch_k: Option[Double], stoch_d: Option[Double],
+      obv: Long, drawdown: Double)
 
   /** Scalar recurrence state for [[IndicatorCascadeProcessor]]: row count,
     * the five EWMA accumulators (close spans 5/15/12/26 and the MACD
-    * signal span 9), and the running low/high extrema feeding the
-    * streaming T2 range-trading signal. */
+    * signal span 9), the running low/high extrema feeding the streaming
+    * T2 range-trading signal, and the round-10 w12-w15 accumulators
+    * (Wilder ATR EWM, OBV running sum, running close peak). */
   final case class CascState(n: Long, e5: Double, e15: Double,
       e12: Double, e26: Double, sig9: Double,
-      runLow: Double, runHigh: Double)
+      runLow: Double, runHigh: Double,
+      atr: Double, obv: Long, peak: Double)
 
   /** S13→indicators: the streaming twin of the batch `dashboard_cascade`
     * window stack (round-7 verdict task 5) — per-symbol EMA5/15, SMA20,
@@ -253,8 +257,9 @@ object Pipeline {
     // 25 = G3's reach: rolling-5 mean of the rolling-20 mean's slope
     // needs closes[t-24..t]; T4's lagged rolling-20 extrema need 21
     private val bufCap = Seq(smaN, rsiN + 1, 25).max
-    // G1/G2 need the rolling-5 high/low extrema at t AND t-1 -> 6 rows
-    private val hlCap = 6
+    // 16 = stochastic %D's reach: %K(t-2) needs highs/lows[t-15..t-2]
+    // (G1/G2's lagged rolling-5 extrema only need 6)
+    private val hlCap = 16
     @transient private var closes: ListState[Double] = _
     @transient private var highs: ListState[Double] = _
     @transient private var lows: ListState[Double] = _
@@ -279,7 +284,7 @@ object Pipeline {
         timers: TimerValues): Iterator[CascRow] = {
       val batch = rows.toArray.sortBy(_.datetime.getTime)
       if (batch.isEmpty) return Iterator.empty
-      var s = Option(st.get()).getOrElse(CascState(0L, 0, 0, 0, 0, 0, 0, 0))
+      var s = Option(st.get()).getOrElse(CascState(0L, 0, 0, 0, 0, 0, 0, 0, 0, 0L, 0))
       var buf = closes.get().toList
       var hb = highs.get().toList
       var lb = lows.get().toList
@@ -292,6 +297,7 @@ object Pipeline {
         val e26 = ema(26, s.e26, b.close, seeded)
         val macd = e12 - e26
         val sig9 = ema(9, s.sig9, macd, seeded)
+        val prevClose = if (seeded) Some(buf.last) else None
         buf = (buf :+ b.close).takeRight(bufCap)
         hb = (hb :+ b.high).takeRight(hlCap)
         lb = (lb :+ b.low).takeRight(hlCap)
@@ -365,9 +371,43 @@ object Pipeline {
             .foldLeft(0.0)((acc, o) => acc + (rm(o) - rm(o + 1))) / 5
           ptBottom > 0
         } else false
-        s = CascState(total, e5, e15, e12, e26, sig9, runLow, runHigh)
+        // W12 ATR — Wilder ewm(alpha=1/14) over the ADX true range, with
+        // the batch row-0 quirk (no prev close -> tr = high - low)
+        val tr = prevClose match {
+          case None => b.high - b.low
+          case Some(pc) =>
+            math.max(b.high - b.low, math.max(math.abs(b.high - pc), math.abs(b.low - pc)))
+        }
+        val atr = if (seeded) (1.0 / 14.0) * tr + (1.0 - 1.0 / 14.0) * s.atr else tr
+        // W13 stochastic — %K(o) from the high/low buffers at row offset
+        // o; %D = the min_periods-3 mean of the last three %K rows,
+        // folded oldest-to-newest like the batch WindowExec frame
+        def stochK(o: Int): Option[Double] =
+          if (total - o >= 14 && o < buf.length) {
+            val hh = hb.dropRight(o).takeRight(14).max
+            val ll = lb.dropRight(o).takeRight(14).min
+            if (hh == ll) None
+            else Some(100.0 * (buf(buf.length - 1 - o) - ll) / (hh - ll))
+          } else None
+        val k0 = stochK(0)
+        val stochD = (stochK(2), stochK(1), k0) match {
+          case (Some(k2), Some(k1), Some(k)) => Some((k2 + k1 + k) / 3)
+          case _ => None
+        }
+        // W14 OBV — integer-exact signed volume flow (row 0 adds nothing)
+        val obv = s.obv + (prevClose match {
+          case Some(pc) if b.close > pc => b.volume
+          case Some(pc) if b.close < pc => -b.volume
+          case _ => 0L
+        })
+        // W15 drawdown — running close peak, one IEEE division
+        val peak = if (seeded) math.max(s.peak, b.close) else b.close
+        val drawdown = b.close / peak - 1.0
+        s = CascState(total, e5, e15, e12, e26, sig9, runLow, runHigh,
+          atr, obv, peak)
         out += CascRow(b.symbol, b.datetime, b.close, e5, e15, sma, rsi,
-          macd, sig9, t1, t2, t3m, t3, t4, g1, g2, g3)
+          macd, sig9, t1, t2, t3m, t3, t4, g1, g2, g3,
+          atr, k0, stochD, obv, drawdown)
       }
       st.update(s)
       closes.put(buf.toArray) // non-empty: batch.nonEmpty appended at least one
@@ -405,6 +445,12 @@ object Pipeline {
     val prefix = W.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding,
       org.apache.spark.sql.expressions.Window.currentRow)
+    // W12 ATR input: the ADX true range with the row-0 NaN-skip quirk
+    val pc = lag1(col("close"))
+    val tr = when(pc.isNull, col("high") - col("low"))
+      .otherwise(greatest(col("high") - col("low"),
+        org.apache.spark.sql.functions.abs(col("high") - pc),
+        org.apache.spark.sql.functions.abs(col("low") - pc)))
     val l1 = bars.select(col("symbol"), col("datetime"), col("close"),
       ema(col("close"), 5).as("ema5"), ema(col("close"), 15).as("ema15"),
       mean(col("close"), 20).as("sma"),
@@ -420,14 +466,26 @@ object Pipeline {
       lag1(rmin(col("close"), 20)).as("bk_min"),
       rmax(col("high"), 5).as("pt_h"), rmin(col("low"), 5).as("pt_l"),
       lag1(rmax(col("high"), 5)).as("pt_hp"), lag1(rmin(col("low"), 5)).as("pt_lp"),
-      mean(col("close"), 20).as("pt_rm"))
+      mean(col("close"), 20).as("pt_rm"),
+      // w12-w15 (same expressions as ops/Indicators w12_atr..w15_drawdown)
+      col("volume"),
+      Ewma.alpha(tr, 1.0 / 14, P, O).as("atr"),
+      rmin(col("low"), 14).as("st_ll"), rmax(col("high"), 14).as("st_hh"),
+      max(col("close")).over(prefix).as("peak"))
     val gain = when(col("delta") > 0, col("delta")).otherwise(0.0)
     val loss = when(col("delta") < 0, -col("delta")).otherwise(0.0)
+    val stochK = when(col("st_hh") === col("st_ll"), lit(null))
+      .otherwise(lit(100.0) * (col("close") - col("st_ll")) / (col("st_hh") - col("st_ll")))
     val l2 = l1.select(col("*"), (col("e12") - col("e26")).as("macd"),
       mean(gain, 14).as("ag"), mean(loss, 14).as("al"),
-      (col("pt_rm") - lag1(col("pt_rm"))).as("pt_slope"))
+      (col("pt_rm") - lag1(col("pt_rm"))).as("pt_slope"),
+      stochK.as("stoch_k"),
+      sum(when(col("delta") > 0, col("volume"))
+          .when(col("delta") < 0, -col("volume"))
+          .otherwise(lit(0L))).over(prefix).as("obv"))
     val l3 = l2.select(col("*"), ema(col("macd"), 9).as("macd_signal"),
-      mean(col("pt_slope"), 5).as("pt_bottom"))
+      mean(col("pt_slope"), 5).as("pt_bottom"),
+      mean(col("stoch_k"), 3).as("stoch_d"))
     l3.select(col("symbol"), col("datetime"), col("close"),
       col("ema5"), col("ema15"), col("sma"),
       when(col("al") === 0 && col("ag") === 0, lit(null))
@@ -449,7 +507,10 @@ object Pipeline {
         lit(false)).as("g1_ascending"),
       coalesce(col("pt_hp") > col("pt_h") && col("pt_lp") < col("pt_l"),
         lit(false)).as("g2_descending"),
-      coalesce(col("pt_bottom") > 0, lit(false)).as("g3_rounding"))
+      coalesce(col("pt_bottom") > 0, lit(false)).as("g3_rounding"),
+      col("atr"), col("stoch_k"), col("stoch_d"),
+      col("obv").cast("long").as("obv"),
+      (col("close") / col("peak") - 1.0).as("drawdown"))
   }
 
   /** The full streaming analytics pipeline as ONE continuous query —

@@ -388,9 +388,10 @@ class StreamingSpec extends SparkTestBase {
         .groupBy(col("symbol"), fwindow(col("ts"), "1 minute"))
         .agg(min_by(col("price"), col("ts")).as("open"),
           max(col("price")).as("high"), min(col("price")).as("low"),
-          max_by(col("price"), col("ts")).as("close"))
+          max_by(col("price"), col("ts")).as("close"),
+          count(lit(1)).as("volume"))
         .select(col("symbol"), col("window.start").as("datetime"),
-          col("high"), col("low"), col("close"))
+          col("high"), col("low"), col("close"), col("volume"))
       def key(r: org.apache.spark.sql.Row) =
         (r.getAs[String]("symbol"), r.getAs[java.sql.Timestamp]("datetime"))
       def vals(r: org.apache.spark.sql.Row) = (
@@ -436,7 +437,7 @@ class StreamingSpec extends SparkTestBase {
         bar(sym, i).copy(open = close - 0.5,
           high = close + 1 + 3.0 * math.sin(i * 1.3) + (i % 3) + spike,
           low = close - 1 - 3.0 * math.cos(i * 0.9) - (i % 5) - spike,
-          close = close)
+          close = close, volume = 10L + i % 4)
       }
       val bars = for (sym <- Seq("AAPL", "MSFT"); i <- 0 until 40) yield mkBar(sym, i)
 
@@ -470,15 +471,23 @@ class StreamingSpec extends SparkTestBase {
         r.getAs[Int]("t3_signal"), r.getAs[Int]("t4_signal"),
         r.getAs[Boolean]("g1_ascending"), r.getAs[Boolean]("g2_descending"),
         r.getAs[Boolean]("g3_rounding"))
+      // the round-10 w12-w15 extension columns
+      def inds(r: org.apache.spark.sql.Row) = (
+        r.getAs[Double]("atr"),
+        Option(r.getAs[Any]("stoch_k")).map(_.asInstanceOf[Double]),
+        Option(r.getAs[Any]("stoch_d")).map(_.asInstanceOf[Double]),
+        r.getAs[Long]("obv"), r.getAs[Double]("drawdown"))
 
       val cascRows = spark.table("casc").collect()
       val streamed = cascRows.map(r => key(r) -> vals(r)).toMap
       val streamedSigs = cascRows.map(r => key(r) -> sigs(r)).toMap
+      val streamedInds = cascRows.map(r => key(r) -> inds(r)).toMap
       val batchRows = Pipeline.indicatorCascadeBatch(bars.toDF()
-          .select($"symbol", $"datetime", $"high", $"low", $"close"))
+          .select($"symbol", $"datetime", $"high", $"low", $"close", $"volume"))
         .collect()
       val batch = batchRows.map(r => key(r) -> vals(r)).toMap
       val batchSigs = batchRows.map(r => key(r) -> sigs(r)).toMap
+      val batchInds = batchRows.map(r => key(r) -> inds(r)).toMap
 
       assert(streamed.size == 80 && batch.size == 80)
       // bit-exact row equality: the incremental recurrences replicate the
@@ -502,6 +511,14 @@ class StreamingSpec extends SparkTestBase {
       assert(batchSigs.values.exists(_._6) || batchSigs.values.exists(_._7),
         "no triangle pattern fired")
       assert(batchSigs.values.exists(_._8), "g3 never fired")
+      // w12-w15: stream == batch bit-exact, and each actually engages
+      val indDiffs = batchInds.keys.filter(k => streamedInds(k) != batchInds(k))
+      assert(indDiffs.isEmpty,
+        s"${indDiffs.size} w12-w15 rows diverge, e.g. ${indDiffs.headOption.map(k => (k, streamedInds(k), batchInds(k)))}")
+      assert(batchInds.values.forall(_._1 >= 0), "negative atr")
+      assert(batchInds.values.exists(_._3.isDefined), "stoch_d never materialized")
+      assert(batchInds.values.exists(_._4 != 0L), "obv never moved")
+      assert(batchInds.values.exists(_._5 < 0), "drawdown never engaged")
     } finally {
       spark.streams.active.foreach(_.stop())
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
