@@ -54,11 +54,13 @@ object TextStats {
     // distinct 3-shingles that occur in NO other document — the standard
     // cheap "how much of this doc is new text" curation signal (inverse
     // boilerplate/dup pressure). Scale shape: explode -> groupBy(g) df
-    // count -> join back on g; the two hashpartitioning(g) exchanges
-    // collapse into one ReusedExchange, the df join is 1:1 (no blowup on
-    // hot shingles — each exploded row meets exactly one df row), and the
-    // final per-doc agg is the second and last shuffle. Linear in total
-    // shingle count; exact integer algebra until one final division.
+    // count -> join back on g. The shared shingle projection plans as one
+    // ReusedExchange (EXPLAIN.md: Exchange(4) reused at (7)); the df side
+    // broadcasts under the threshold and flips to a shuffled join on g
+    // beyond it — either way the join is 1:1 (no blowup on hot shingles:
+    // each exploded row meets exactly one df row) and the per-doc agg
+    // reuses the spread partitioning with NO extra exchange. Linear in
+    // total shingle count; exact integers until one final division.
     Q("x_ngram_novelty",
       s"""WITH sh0 AS (SELECT doc_id, ${sqlShingles3(sqlTokens("text"))} AS sh FROM documents),
          |shingled AS (SELECT * FROM sh0 WHERE len(sh) > 0),

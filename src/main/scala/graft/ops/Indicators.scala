@@ -375,6 +375,69 @@ object Indicators {
           "symbol", "datetime")
     },
 
+    // W16 (beyond-reference): rolling pairwise correlation — the
+    // pairs-trading cross-series analytic. Pearson over a 20-bar window
+    // of the two aligned close series, computed from EXACT integer
+    // sufficient statistics in cents (the w11 scheme): every sum is a
+    // BIGINT (|n·Sxy|, |Sx·Sy| ≲ 4e12 at $1k prices — 6 orders under
+    // int64), so nothing fp-accumulates across engines; only the final
+    // two sqrts and one division are IEEE, identical on both sides.
+    // Scale design: the window partitions by the pair id — a production
+    // run fans out thousands of pairs, each an independent partition of
+    // the same one-shuffle window cascade; the datetime equi-join that
+    // aligns the two legs shuffles on the shared time grid.
+    Q("w16_pair_corr",
+      s"""WITH ${graft.sources.Bars.cte},
+         |a AS (SELECT datetime, CAST(round(close * 100, 0) AS BIGINT) AS x
+         |      FROM bars WHERE symbol = 'AAPL'),
+         |b AS (SELECT datetime, CAST(round(close * 100, 0) AS BIGINT) AS y
+         |      FROM bars WHERE symbol = 'MSFT'),
+         |xy AS (SELECT 'AAPL|MSFT' AS pair, a.datetime AS datetime, x, y
+         |       FROM a JOIN b USING (datetime)),
+         |w AS (SELECT pair, datetime, x, y,
+         |        CAST(count(*) OVER win AS BIGINT) AS n,
+         |        CAST(sum(x) OVER win AS BIGINT) AS sx,
+         |        CAST(sum(y) OVER win AS BIGINT) AS sy,
+         |        CAST(sum(x*y) OVER win AS BIGINT) AS sxy,
+         |        CAST(sum(x*x) OVER win AS BIGINT) AS sxx,
+         |        CAST(sum(y*y) OVER win AS BIGINT) AS syy
+         |      FROM xy
+         |      WINDOW win AS (PARTITION BY pair ORDER BY datetime
+         |                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT pair, datetime,
+         |       round(CASE WHEN n = 20 AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+         |             THEN (n*sxy - sx*sy) /
+         |                  (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+         |             ELSE NULL END, 6) AS corr20
+         |FROM w ORDER BY pair, datetime""".stripMargin) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val bars = Bars(s, dir)
+        def leg(sym: String, as: String) = bars.where(col("symbol") === sym)
+          .select(col("datetime"),
+            round(col("close") * 100, 0).cast("long").as(as))
+        val xy = leg("AAPL", "x").join(leg("MSFT", "y"), "datetime")
+          .withColumn("pair", lit("AAPL|MSFT"))
+        val win = Window.partitionBy("pair").orderBy("datetime")
+          .rowsBetween(-19, Window.currentRow)
+        val w = xy.select(col("pair"), col("datetime"), col("x"), col("y"),
+          count(lit(1)).over(win).as("n"),
+          sum(col("x")).over(win).as("sx"), sum(col("y")).over(win).as("sy"),
+          sum(col("x") * col("y")).over(win).as("sxy"),
+          sum(col("x") * col("x")).over(win).as("sxx"),
+          sum(col("y") * col("y")).over(win).as("syy"))
+        val dx = col("n") * col("sxx") - col("sx") * col("sx")
+        val dy = col("n") * col("syy") - col("sy") * col("sy")
+        Q.norm(
+          w.select(col("pair"), col("datetime"),
+            when(col("n") === 20 && dx > 0 && dy > 0,
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
+              .otherwise(lit(null).cast("double")).as("corr20")),
+          "pair", "datetime")
+      }
+    },
+
     // W11 (beyond-reference): cumulative VWAP per symbol. Price x volume
     // and volume accumulate as EXACT integers (price quantized to
     // micros), so the running sums are shuffle-order- and engine-proof;

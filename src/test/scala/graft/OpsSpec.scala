@@ -79,6 +79,30 @@ class OpsSpec extends SparkTestBase {
     assert(dd.where(col("close") > col("peak")).count() == 0)
   }
 
+  test("w16 pair correlation is in [-1, 1] (1-ulp headroom) and engages") {
+    val corr = graft.SparkEntry.queries("w16_pair_corr")(spark, sf)
+    assert(corr.where(col("corr20") < -1 - 1e-9 || col("corr20") > 1 + 1e-9).count() == 0)
+    // sf0.001's aligned AAPL/MSFT grid can be shorter than the 20-bar
+    // window; non-vacuity on a synthetic aligned series instead
+    val ds = (0 until 30).map { i =>
+      val dt = java.sql.Timestamp.valueOf(f"2024-01-01 10:${i % 60}%02d:00")
+      ("P", dt, 100L + i, 200L + 3 * i)
+    }.toDF("pair", "datetime", "x", "y")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("pair").orderBy("datetime").rowsBetween(-19, 0)
+    val n = count(lit(1)).over(win)
+    val sx = sum(col("x")).over(win); val sy = sum(col("y")).over(win)
+    val sxy = sum(col("x") * col("y")).over(win)
+    val sxx = sum(col("x") * col("x")).over(win)
+    val syy = sum(col("y") * col("y")).over(win)
+    val got = ds.select(
+      when(n === 20, (n * sxy - sx * sy) /
+        (sqrt((n * sxx - sx * sx).cast("double")) * sqrt((n * syy - sy * sy).cast("double"))))
+        .as("c")).where(col("c").isNotNull).as[Double].collect()
+    assert(got.length == 11 && got.forall(v => math.abs(v - 1.0) < 1e-12),
+      s"perfectly linear series should correlate at 1.0, got ${got.take(3).toSeq}")
+  }
+
   test("heikin-ashi: ha_high >= max(open, close) of the original bar") {
     val ha = graft.ops.Charts.heikinAshi(bars)
     assert(ha.where(col("ha_high") < greatest(col("open"), col("close"))).count() == 0)
