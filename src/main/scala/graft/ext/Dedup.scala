@@ -101,6 +101,42 @@ object Dedup {
       }
     },
 
+    // d12: asymmetric shingle CONTAINMENT C(A->B) = |A∩B| / |A| — the
+    // quote/subset detector Jaccard misses (a short doc fully contained
+    // in a long one has low Jaccard but containment ~1; Broder's
+    // original distinction). Same inverted-index shape as d4 — one
+    // exploded self-join on the shingle key, never n² — but DIRECTED:
+    // both (a,b) orientations emit, normalized by the contained side
+    // only. At 100 TB this rides the same df-cap guard as d6 if hot
+    // shingles appear; the synthetic corpus doesn't need it.
+    Q("d12_containment",
+      s"""WITH $shingledCte,
+         |n AS (SELECT doc_id, len(sh) AS ns FROM shingled),
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id <> b.doc_id
+         |      GROUP BY 1, 2),
+         |c AS (SELECT doc_a, doc_b, inter * 1.0 / na.ns AS containment
+         |      FROM p JOIN n na ON na.doc_id = p.doc_a)
+         |SELECT doc_a, doc_b, round(containment, 6) AS containment
+         |FROM c WHERE containment >= 0.6 ORDER BY doc_a, doc_b""".stripMargin) {
+      (s, dir) => {
+        val sh = shingled(s, dir).cache()
+        val n = sh.select(col("doc_id"), size(col("sh")).as("ns"))
+        val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+        val p = e.as("a").join(e.as("b").hint("shuffle_hash"),
+            col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        val c = p.join(n.as("na"), col("doc_a") === col("na.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            (col("inter") * 1.0 / col("na.ns")).as("containment"))
+        c.where(col("containment") >= 0.6)
+          .select(col("doc_a"), col("doc_b"), graft.Q.r6(col("containment")).as("containment"))
+          .transform(d => graft.Q.sorted(d, "doc_a", "doc_b"))
+      }
+    },
+
     // d2: MinHash signatures + LSH banding -> candidate pairs -> exact
     // Jaccard verification. Output = verified candidates (so recall is
     // whatever 8x4 banding yields — identical on both sides by

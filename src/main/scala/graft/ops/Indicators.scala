@@ -375,6 +375,47 @@ object Indicators {
           "symbol", "datetime")
     },
 
+    // W17 (beyond-reference): Ichimoku cloud — the remaining classic
+    // indicator family. Every line is a midpoint of EXACT rolling
+    // extrema ((max+min)/2: one fp add + one halving, identical on both
+    // engines), conversion/base on 9/26-bar windows, the two leading
+    // spans SHIFTED 26 FORWARD (lead = lag(-26) of a window value:
+    // pandas shift(-26) ≡ the span drawn 26 bars ahead), lagging span =
+    // close shifted 26 back. Same one-shuffle per-symbol cascade.
+    Q("w17_ichimoku",
+      barsWith(
+        s"""i0 AS (SELECT symbol, datetime, close,
+           |  (${Sql.rollMax("high", 9)} + ${Sql.rollMin("low", 9)}) / 2.0 AS tenkan,
+           |  (${Sql.rollMax("high", 26)} + ${Sql.rollMin("low", 26)}) / 2.0 AS kijun,
+           |  (${Sql.rollMax("high", 52)} + ${Sql.rollMin("low", 52)}) / 2.0 AS span_b0,
+           |  lead(close, 26) ${Sql.over} AS chikou
+           |  FROM bars),
+           |i1 AS (SELECT symbol, datetime, close, tenkan, kijun, chikou,
+           |  lag((tenkan + kijun) / 2.0, 26) ${Sql.over} AS senkou_a,
+           |  lag(span_b0, 26) ${Sql.over} AS senkou_b
+           |  FROM i0)""".stripMargin,
+        """SELECT symbol, datetime, round(close, 6) AS close,
+          |round(tenkan, 6) AS tenkan, round(kijun, 6) AS kijun,
+          |round(senkou_a, 6) AS senkou_a, round(senkou_b, 6) AS senkou_b,
+          |round(chikou, 6) AS chikou
+          |FROM i1 ORDER BY symbol, datetime""".stripMargin)) {
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{lag => slag, lead => slead}
+        def mid(n: Int) = (rmax(col("high"), n) + rmin(col("low"), n)) / 2.0
+        val l1 = Bars(s, dir).select(col("symbol"), col("datetime"), col("close"),
+          mid(9).as("tenkan"), mid(26).as("kijun"), mid(52).as("span_b0"),
+          slead(col("close"), 26).over(Rolling.W).as("chikou"))
+        Q.norm(
+          l1.select(col("symbol"), col("datetime"), col("close"),
+            col("tenkan"), col("kijun"), col("chikou"),
+            slag((col("tenkan") + col("kijun")) / 2.0, 26).over(Rolling.W).as("senkou_a"),
+            slag(col("span_b0"), 26).over(Rolling.W).as("senkou_b"))
+            .select("symbol", "datetime", "close", "tenkan", "kijun",
+              "senkou_a", "senkou_b", "chikou"),
+          "symbol", "datetime")
+      }
+    },
+
     // W16 (beyond-reference): rolling pairwise correlation — the
     // pairs-trading cross-series analytic. Pearson over a 20-bar window
     // of the two aligned close series, computed from EXACT integer

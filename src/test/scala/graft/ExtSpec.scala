@@ -26,6 +26,27 @@ class ExtSpec extends SparkTestBase {
     assert(out(1L) == 0 && out(2L) == 0 && out(3L) == 3)
   }
 
+  test("containment: a strict-subset doc scores 1.0 toward its container, less back") {
+    import org.apache.spark.sql.functions._
+    // doc 1's shingles are a strict subset of doc 2's
+    val docs = Seq(
+      (1L, "a b c d"),                // shingles: abc, bcd
+      (2L, "a b c d e f")).toDF("doc_id", "text") // abc, bcd, cde, def
+    val e = docs.select(col("doc_id"),
+      explode(graft.ext.Portable.shingles3(graft.ext.Portable.tokens(col("text")))).as("g"))
+    val n = docs.select(col("doc_id"),
+      size(graft.ext.Portable.shingles3(graft.ext.Portable.tokens(col("text")))).as("ns"))
+    val p = e.as("a").join(e.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val c = p.join(n.as("na"), col("doc_a") === col("na.doc_id"))
+      .select(col("doc_a"), col("doc_b"), (col("inter") * 1.0 / col("na.ns")).as("cm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(c((1L, 2L)) == 1.0, s"subset containment should be 1.0, got ${c((1L, 2L))}")
+    assert(c((2L, 1L)) == 0.5, s"reverse containment should be 2/4, got ${c((2L, 1L))}")
+  }
+
   test("minhash: identical docs get identical signatures; disjoint docs differ") {
     val df = Seq(
       (1L, "a b c d e f g"),
