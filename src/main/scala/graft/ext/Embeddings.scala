@@ -942,5 +942,67 @@ object Embeddings {
             graft.Q.r6(col("qsum") / (lit(1e6) * col("n"))).as("centroid"))
           .transform(d => graft.Q.sorted(d, "cluster", "pos"))
       }
+    },
+
+    // PCA top component by DISTRIBUTED POWER ITERATION — the whitening /
+    // dimensionality-analysis primitive. Each of the fixed PcaIters
+    // rounds is ONE linear pass: per row the scalar projection d = v·w
+    // (sequential fold), per (row, pos) the contribution d·v[pos]
+    // quantized to 1e-9 integers, then an exact map-side-combined BIGINT
+    // sum per pos — O(dims·partitions) exchange rows, O(dims) driver
+    // state (the kmeans centroid budget; at 1e10+ rows widen the sums to
+    // DECIMAL(38,0)). Normalization runs on the driver over the EXACT
+    // integer image, so w is bit-identical on both engines and any
+    // shuffle order; the oracle replays the rounds as chained CTEs.
+    // Output: every vector's projection onto the converged axis.
+    Q("x_pca_power", {
+      def iter(k: Int): String = {
+        val dot = Portable.sqlDot("e.embedding", s"w${k - 1}.w")
+        s"""t$k AS (SELECT e.embedding, $dot AS d FROM e CROSS JOIN w${k - 1}),
+           |c$k AS (SELECT i AS pos,
+           |          CAST(sum(CAST(round(d * CAST(embedding[i + 1] AS DOUBLE) * 1e9, 0) AS BIGINT)) AS DOUBLE) AS s
+           |        FROM t$k CROSS JOIN (SELECT unnest(range(0, $Dims)) AS i) r
+           |        GROUP BY i),
+           |n$k AS (SELECT list(s ORDER BY pos) AS ws FROM c$k),
+           |w$k AS (SELECT CASE WHEN nrm = 0 THEN ws
+           |               ELSE list_transform(ws, x -> x / nrm) END AS w
+           |        FROM (SELECT ws, sqrt(list_reduce(array_concat([0.0],
+           |                list_transform(ws, x -> x * x)), (a, b) -> a + b)) AS nrm
+           |              FROM n$k))""".stripMargin
+      }
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |w0 AS (SELECT list_transform(range(0, $Dims), i -> 0.125) AS w),
+         |${(1 to PcaIters).map(iter).mkString(",\n")}
+         |SELECT vec_id, round(${Portable.sqlDot("e.embedding", s"w$PcaIters.w")}, 6) AS score
+         |FROM e CROSS JOIN w$PcaIters ORDER BY vec_id""".stripMargin
+    }) {
+      (s, dir) => {
+        val e = Portable.spread(Tables.embeddings(s, dir), "vec_id")
+          .select(col("vec_id"), col("embedding"))
+        // 1/8 = 2^-3 exactly: the all-equal unit-free seed both engines
+        // can state without any fp construction noise
+        var w: Array[Double] = Array.fill(Dims)(0.125)
+        for (_ <- 1 to PcaIters) {
+          val wl = array(w.toSeq.map(lit): _*)
+          val sums = e
+            .select(dotD(col("embedding"), wl).as("d"), col("embedding"))
+            .select(col("d"), posexplode(col("embedding")).as(Seq("pos", "v")))
+            .select(col("pos"),
+              round(col("d") * col("v").cast("double") * lit(1e9), 0).cast("long").as("q"))
+            .groupBy("pos").agg(sum(col("q")).as("s"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1).toDouble)
+            .sortBy(_._1).map(_._2)
+          val nrm = math.sqrt(sums.foldLeft(0.0)((a, x) => a + x * x))
+          w = if (nrm == 0) sums else sums.map(_ / nrm)
+        }
+        graft.Q.norm(
+          e.select(col("vec_id"),
+            dotD(col("embedding"), array(w.toSeq.map(lit): _*)).as("score")),
+          "vec_id")
+      }
     })
+
+  /** Power-iteration rounds for [[queries]]' `x_pca_power` (fixed, so the
+    * oracle can replay them verbatim — the BpeRounds/KmFullIters twin). */
+  val PcaIters = 3
 }

@@ -26,6 +26,19 @@ class ExtSpec extends SparkTestBase {
     assert(out(1L) == 0 && out(2L) == 0 && out(3L) == 3)
   }
 
+  test("pca power: |projection| <= ||v|| (unit axis, Cauchy-Schwarz) and engages") {
+    import org.apache.spark.sql.functions._
+    val scores = SparkEntry.queries("x_pca_power")(spark, sf)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), aggregate(col("embedding"),
+        lit(0.0), (a, v) => a + v.cast("double") * v.cast("double")).as("nsq"))
+    val joined = scores.join(emb, "vec_id")
+    assert(joined.count() > 0)
+    // 6-dp output rounding can push |score| past ||v|| by half an ulp
+    assert(joined.where(col("score") * col("score") > col("nsq") + lit(1e-5)).count() == 0)
+    assert(scores.where(col("score") =!= 0.0).count() > 0, "all projections zero")
+  }
+
   test("containment: a strict-subset doc scores 1.0 toward its container, less back") {
     import org.apache.spark.sql.functions._
     // doc 1's shingles are a strict subset of doc 2's
