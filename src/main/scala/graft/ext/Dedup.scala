@@ -551,6 +551,29 @@ object Dedup {
       }
     },
 
+    // d13: dedup-sweep observability — the cluster-size histogram every
+    // production dedup run reports (how much mass sits in how-large
+    // duplicate clusters; the number that decides whether near-dup
+    // pressure is head- or tail-shaped). Two exact-integer aggregations
+    // over the (pairs-only, tiny) component map — the corpus itself is
+    // never touched past the d7 pair graph.
+    Q("d13_cluster_stats",
+      s"""WITH RECURSIVE $shingledCte,
+         |$compCte,
+         |sz AS (SELECT component, count(*) AS comp_size FROM comp GROUP BY component)
+         |SELECT CAST(comp_size AS BIGINT) AS comp_size,
+         |       CAST(count(*) AS BIGINT) AS n_components,
+         |       CAST(sum(comp_size) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY comp_size ORDER BY comp_size""".stripMargin) {
+      (s, dir) =>
+        components(s, dir)
+          .groupBy("component").agg(count(lit(1)).as("comp_size"))
+          .groupBy("comp_size")
+          .agg(count(lit(1)).as("n_components"),
+            sum(col("comp_size")).as("n_docs"))
+          .transform(d => graft.Q.sorted(d, "comp_size"))
+    },
+
     // d8: the KEEP decision — per duplicate component retain the best
     // member (longest in bytes, doc_id as the deterministic tie-break);
     // docs in no component keep themselves. This is the row-level
