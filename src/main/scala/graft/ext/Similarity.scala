@@ -34,6 +34,7 @@ object Similarity {
   val NQueries = 5           // queries = vec_id < 5
   val NearDupThreshold = 0.45
   val NProbe = 2             // clusters probed per query in e5
+  val RangeRadius = 0.3      // e14 radius-search cosine threshold
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Portable.spread(Tables.embeddings(spark, dir), "vec_id")
@@ -154,6 +155,33 @@ object Similarity {
           .select(col("query_id"), col("neighbor_id"), col("rk"),
             graft.Q.r6(col("cos")).as("cos"))
           .transform(d => graft.Q.sorted(d, "query_id", "rk"))
+      }
+    },
+
+    // e14: RADIUS search — the other ANN serving API (all neighbors
+    // within a similarity bound, not a fixed k). Same streaming-corpus /
+    // broadcast-query join as e2, but the bound is a plain pushable
+    // filter: no per-query window, no sort exchange, output size set by
+    // the data — the shape a filtered vector-store `range_search` call
+    // compiles to. At 100 TB the corpus side still streams one scan.
+    Q("e14_range_search",
+      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $NQueries),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |                  $cosAB AS cos
+         |           FROM q JOIN embeddings c ON c.vec_id != q.vec_id)
+         |SELECT query_id, neighbor_id, round(cos, 6) AS cos
+         |FROM scored WHERE cos >= $RangeRadius
+         |ORDER BY query_id, neighbor_id""".stripMargin) {
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.where(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("qe"), col("embedding")).as("cos"))
+          .where(col("cos") >= RangeRadius)
+          .select(col("query_id"), col("neighbor_id"), graft.Q.r6(col("cos")).as("cos"))
+          .transform(d => graft.Q.sorted(d, "query_id", "neighbor_id"))
       }
     },
 
