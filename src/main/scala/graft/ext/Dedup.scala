@@ -29,6 +29,10 @@ object Dedup {
     * in the synthetic corpus; 25 pairs >= 0.5 at sf0.01). */
   val JaccardThreshold = 0.5
 
+  /** d12 asymmetric containment gate (single definition interpolated
+    * into BOTH the engine filter and the oracle WHERE). */
+  val ContainmentThreshold = 0.6
+
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     spread(Tables.documents(spark, dir), "doc_id")
       // equivalent to size(sh) > 0, but filtering BEFORE the projection:
@@ -119,7 +123,7 @@ object Dedup {
          |c AS (SELECT doc_a, doc_b, inter * 1.0 / na.ns AS containment
          |      FROM p JOIN n na ON na.doc_id = p.doc_a)
          |SELECT doc_a, doc_b, round(containment, 6) AS containment
-         |FROM c WHERE containment >= 0.6 ORDER BY doc_a, doc_b""".stripMargin) {
+         |FROM c WHERE containment >= $ContainmentThreshold ORDER BY doc_a, doc_b""".stripMargin) {
       (s, dir) => {
         val sh = shingled(s, dir).cache()
         val n = sh.select(col("doc_id"), size(col("sh")).as("ns"))
@@ -131,9 +135,13 @@ object Dedup {
         val c = p.join(n.as("na"), col("doc_a") === col("na.doc_id"))
           .select(col("doc_a"), col("doc_b"),
             (col("inter") * 1.0 / col("na.ns")).as("containment"))
-        c.where(col("containment") >= 0.6)
+        val out = c.where(col("containment") >= ContainmentThreshold)
           .select(col("doc_a"), col("doc_b"), graft.Q.r6(col("containment")).as("containment"))
-          .transform(d => graft.Q.sorted(d, "doc_a", "doc_b"))
+          .localCheckpoint() // materialize the (tiny) contained-pair set,
+                             // then release the corpus-sized shingle cache
+                             // (the nearDupLosersBuild hygiene)
+        sh.unpersist()
+        graft.Q.sorted(out, "doc_a", "doc_b")
       }
     },
 

@@ -44,6 +44,9 @@ object Multimodal {
   trait MediaDecoder extends Serializable {
     /** Whole-payload decode. */
     def features(payload: Array[Byte]): MediaFeatures
+    /** Number of sampleable units (pixels / audio samples / frames) —
+      * the grid [[frames]] spaces its k offsets over. */
+    def pixelCount(payload: Array[Byte]): Long
     /** Luma of the pixel at raster index `idx` (frame sampling). */
     def sample(payload: Array[Byte], idx: Long): Long
   }
@@ -74,15 +77,23 @@ object Multimodal {
         } else {
           require(i < p.length && p(i) >= '0' && p(i) <= '9',
             s"bad PPM header token at byte $i")
-          var v = 0
+          var v = 0L
           while (i < p.length && p(i) >= '0' && p(i) <= '9') {
             v = v * 10 + (p(i) - '0'); i += 1
+            // a hostile header can't push the parse past Int range: the
+            // decode contract is LOUD failure, never a silent wrap
+            require(v <= Int.MaxValue, s"PPM header value overflows at byte $i")
           }
-          vals(vi) = v; vi += 1
+          vals(vi) = v.toInt; vi += 1
         }
       }
       require(i < p.length && isWs(p(i)), "missing raster separator")
       i += 1
+      // bound the raster size in Long math BEFORE any Int product: a
+      // declared 100000x100000 frame would wrap w*h*3 negative and turn
+      // the truncation require into a silent no-op
+      require(vals(0).toLong * vals(1) * 3 <= Int.MaxValue,
+        s"raster ${vals(0)}x${vals(1)} exceeds the supported size")
       (vals(0), vals(1), vals(2), i)
     }
 
@@ -105,6 +116,11 @@ object Multimodal {
       var j = 0
       while (j < w * h) { sum += lumaAt(p, off, j); j += 1 }
       MediaFeatures(w.toLong, h.toLong, p.length.toLong, sum)
+    }
+
+    def pixelCount(p: Array[Byte]): Long = {
+      val (w, h, _, _) = header(p)
+      w.toLong * h
     }
 
     def sample(p: Array[Byte], idx: Long): Long = {
@@ -200,17 +216,20 @@ object Multimodal {
     * operator: no shuffle, output is k x input rows with fixed-width
     * columns. The header parses ONCE per record, not once per frame.
     */
-  def frames(spark: SparkSession, dir: String,
-      k: Int = FramesPerDoc): org.apache.spark.sql.Dataset[FrameFeat] =
+  def frames(spark: SparkSession, dir: String, k: Int = FramesPerDoc,
+      d: MediaDecoder = PpmDecoder): org.apache.spark.sql.Dataset[FrameFeat] =
     ppmMedia(spark, dir)
       .mapPartitions { it =>
+        // everything goes through the MediaDecoder trait — a video
+        // deployment swaps in keyframe extraction with the identical
+        // batch shape (the k+1 header re-parses per record are tens of
+        // header BYTES each; a decoder for which that matters overrides
+        // sample with an internal header cache)
         it.flatMap { r =>
-          val (w, h, _, off) = PpmDecoder.header(r.payload)
-          val npix = w.toLong * h
+          val npix = d.pixelCount(r.payload)
           (0 until k).iterator.map { f =>
             val fo = f * npix / k
-            FrameFeat(r.doc_id, f.toLong, fo,
-              PpmDecoder.lumaAt(r.payload, off, fo.toInt))
+            FrameFeat(r.doc_id, f.toLong, fo, d.sample(r.payload, fo))
           }
         }
       }(Encoders.product[FrameFeat])

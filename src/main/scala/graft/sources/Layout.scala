@@ -148,9 +148,18 @@ object Layout {
     */
   def ensureBucketedArtifact(
       spark: SparkSession,
-      table: String,
+      baseName: String,
       bucketCol: String,
       buckets: Int)(build: => DataFrame): DataFrame = Layout.synchronized {
+    // the bucket SPEC is part of the artifact's identity, same as the
+    // source fingerprint the caller embeds in baseName: path 2 below
+    // re-registers bare files with the CURRENT (bucketCol, buckets) DDL,
+    // so files written under a different spec must never answer for it —
+    // a 32-bucket layout re-declared as 64 buckets would silently pair
+    // wrong buckets in joins. (Build-LOGIC constants that change the
+    // frame's content — thresholds, caps — belong in baseName too, the
+    // caller's side of the same contract.)
+    val table = s"${baseName}_${bucketCol}_b$buckets"
     if (!spark.catalog.tableExists(table)) {
       val warehouse = spark.conf.get("spark.sql.warehouse.dir")
       val loc = new org.apache.hadoop.fs.Path(warehouse, table)

@@ -254,9 +254,11 @@ object Pipeline {
     */
   class IndicatorCascadeProcessor(smaN: Int = 20, rsiN: Int = 14)
       extends StatefulProcessor[String, Bar, CascRow] {
-    // 25 = G3's reach: rolling-5 mean of the rolling-20 mean's slope
-    // needs closes[t-24..t]; T4's lagged rolling-20 extrema need 21
-    private val bufCap = Seq(smaN, rsiN + 1, 25).max
+    // smaN+5 = G3's reach: rolling-5 mean of the rolling-smaN mean's
+    // slope needs closes[t-(smaN+4)..t]; T4's lagged rolling-20 extrema
+    // need 21 (covered by smaN+5 for any smaN >= 16)
+    private val g3Reach = smaN + 5
+    private val bufCap = Seq(smaN, rsiN + 1, 21, g3Reach).max
     // 16 = stochastic %D's reach: %K(t-2) needs highs/lows[t-15..t-2]
     // (G1/G2's lagged rolling-5 extrema only need 6)
     private val hlCap = 16
@@ -358,12 +360,12 @@ object Pipeline {
           val l5p = lb.dropRight(1).takeRight(5).min
           (h5p < h5 && l5p > l5, h5p > h5 && l5p < l5)
         } else (false, false)
-        // G3 — rolling(5) mean of the rolling(20)-mean slope > 0. The
+        // G3 — rolling(5) mean of the rolling(smaN)-mean slope > 0. The
         // rolling means re-derive from the close buffer with the SAME
         // oldest-to-newest fold WindowExec uses, so stream == batch
-        // bit-for-bit; first defined at total = 25 (slope needs rm(t-1),
-        // rm needs 20 rows, the mean needs 5 slopes)
-        val g3 = if (total >= 25) {
+        // bit-for-bit; first defined at total = smaN+5 (slope needs
+        // rm(t-1), rm needs smaN rows, the mean needs 5 slopes)
+        val g3 = if (total >= g3Reach) {
           def rm(offsetFromEnd: Int): Double =
             buf.dropRight(offsetFromEnd).takeRight(smaN)
               .foldLeft(0.0)(_ + _) / smaN
