@@ -161,6 +161,14 @@ class ExtSpec extends SparkTestBase {
       val (w, h, _, _) = PpmDecoder.header(good)
       PpmDecoder.sample(good, w.toLong * h)
     }
+    // hostile dims must fail LOUDLY, not wrap w*h*3 negative and return
+    // zero features against a spuriously-passing truncation check
+    intercept[IllegalArgumentException] {
+      PpmDecoder.features("P6\n100000 100000\n255\n".getBytes ++ Array.fill(64)(0.toByte))
+    }
+    intercept[IllegalArgumentException] {
+      PpmDecoder.features("P6\n99999999999999999999 1\n255\n".getBytes)
+    }
   }
 
   test("ppm round-trip: decoder recovers the synthesis formulas") {
