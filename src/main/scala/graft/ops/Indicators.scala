@@ -417,24 +417,26 @@ object Indicators {
     },
 
     // W16 (beyond-reference): rolling pairwise correlation — the
-    // pairs-trading cross-series analytic. Pearson over a 20-bar window
-    // of the two aligned close series, computed from EXACT integer
-    // sufficient statistics in cents (the w11 scheme): every sum is a
-    // BIGINT (|n·Sxy|, |Sx·Sy| ≲ 4e12 at $1k prices — 6 orders under
-    // int64), so nothing fp-accumulates across engines; only the final
-    // two sqrts and one division are IEEE, identical on both sides.
-    // Scale design: the window partitions by the pair id — a production
-    // run fans out thousands of pairs, each an independent partition of
-    // the same one-shuffle window cascade; the datetime equi-join that
-    // aligns the two legs shuffles on the shared time grid.
+    // pairs-trading cross-series analytic, over EVERY symbol pair at
+    // once. The bars frame self-joins on the shared time grid with
+    // sym_a < sym_b (all C(symbols,2) pairs in one pass — 3 here,
+    // thousands in a real universe), then Pearson over a 20-bar window
+    // from EXACT integer sufficient statistics in cents (the w11
+    // scheme): every sum is a BIGINT (|n·Sxy|, |Sx·Sy| ≲ 4e12 at $1k
+    // prices — 6 orders under int64), so nothing fp-accumulates across
+    // engines; only the final two sqrts and one division are IEEE,
+    // identical on both sides. The window partitions by the DATA-DERIVED
+    // pair key, so pairs fan out as independent partitions
+    // (PlanShapeSpec pins the hashpartitioning — a literal pair id
+    // constant-folds out of the partitioning and serializes the window;
+    // caught by that pin in round 10).
     Q("w16_pair_corr",
       s"""WITH ${graft.sources.Bars.cte},
-         |a AS (SELECT datetime, CAST(round(close * 100, 0) AS BIGINT) AS x
-         |      FROM bars WHERE symbol = 'AAPL'),
-         |b AS (SELECT datetime, CAST(round(close * 100, 0) AS BIGINT) AS y
-         |      FROM bars WHERE symbol = 'MSFT'),
-         |xy AS (SELECT 'AAPL|MSFT' AS pair, a.datetime AS datetime, x, y
-         |       FROM a JOIN b USING (datetime)),
+         |c AS (SELECT symbol, datetime, CAST(round(close * 100, 0) AS BIGINT) AS cents
+         |      FROM bars),
+         |xy AS (SELECT a.symbol || '|' || b.symbol AS pair, a.datetime AS datetime,
+         |              a.cents AS x, b.cents AS y
+         |       FROM c a JOIN c b ON a.datetime = b.datetime AND a.symbol < b.symbol),
          |w AS (SELECT pair, datetime, x, y,
          |        CAST(count(*) OVER win AS BIGINT) AS n,
          |        CAST(sum(x) OVER win AS BIGINT) AS sx,
@@ -453,12 +455,13 @@ object Indicators {
          |FROM w ORDER BY pair, datetime""".stripMargin) {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val bars = Bars(s, dir)
-        def leg(sym: String, as: String) = bars.where(col("symbol") === sym)
-          .select(col("datetime"),
-            round(col("close") * 100, 0).cast("long").as(as))
-        val xy = leg("AAPL", "x").join(leg("MSFT", "y"), "datetime")
-          .withColumn("pair", lit("AAPL|MSFT"))
+        val c = Bars(s, dir).select(col("symbol"), col("datetime"),
+          round(col("close") * 100, 0).cast("long").as("cents"))
+        val xy = c.as("a").join(c.as("b"),
+            col("a.datetime") === col("b.datetime") && col("a.symbol") < col("b.symbol"))
+          .select(concat(col("a.symbol"), lit("|"), col("b.symbol")).as("pair"),
+            col("a.datetime").as("datetime"),
+            col("a.cents").as("x"), col("b.cents").as("y"))
         val win = Window.partitionBy("pair").orderBy("datetime")
           .rowsBetween(-19, Window.currentRow)
         val w = xy.select(col("pair"), col("datetime"), col("x"), col("y"),

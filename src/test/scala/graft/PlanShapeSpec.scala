@@ -140,4 +140,42 @@ class PlanShapeSpec extends SparkTestBase {
     assert(served == fresh, "persisted-index answers diverge from e11")
     assert(served.nonEmpty)
   }
+
+  /** Non-adaptive snapshot (the Explain audit convention): exchange
+    * REUSE only materializes in AQE's final plan, so pins that assert
+    * it read the static plan instead of the pre-execution adaptive
+    * skeleton. */
+  private def staticPlan(name: String): String = {
+    spark.catalog.clearCache()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("x_ngram_novelty: shingle projection reused, per-doc agg adds no exchange") {
+    val p = staticPlan("x_ngram_novelty")
+    // the df side re-derives the exploded shingles from the SAME spread
+    // exchange (one scan pipeline, not two)
+    assert(p.contains("ReusedExchange"), s"shingle projection not reused:\n$p")
+    // shuffles: spread(doc_id), df groupBy(g), final determinism sort —
+    // the per-doc aggregation must reuse the spread partitioning.
+    // Line-based count: a ReusedExchange node PRINTS its referent's
+    // "Exchange hashpartitioning(...)" description on its own line, and
+    // BroadcastExchange is not a shuffle — substring counting over the
+    // tree miscounts both
+    val shuffles = p.linesIterator.count(l =>
+      (l.contains("+- Exchange ") || l.trim.startsWith("Exchange ")) &&
+        !l.contains("ReusedExchange"))
+    assert(shuffles <= 3, s"per-doc agg grew an exchange ($shuffles):\n$p")
+  }
+
+  test("w16 pair corr: window partitioned by the DATA-DERIVED pair key") {
+    val p = staticPlan("w16_pair_corr")
+    // the rolling-corr window fans pairs out as independent partitions;
+    // a literal pair id constant-folds OUT of the partitioning and
+    // serializes the whole window on one task (caught here in round 10)
+    assert(p.contains("hashpartitioning(pair"),
+      s"window not hash-partitioned by pair:\n$p")
+    assert(!p.contains("No Partition Defined"), s"unpartitioned window:\n$p")
+  }
 }
