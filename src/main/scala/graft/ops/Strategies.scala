@@ -156,5 +156,60 @@ object Strategies {
             sum(col("qpnl").cast("decimal(28,0)")).over(cum).cast("double") / 1e6)
           .select("symbol", "datetime", "close", "position", "cum_pnl"),
         "symbol", "datetime")
+    }},
+
+    // T6 (beyond-reference): pairs-trading mean-reversion — the strategy
+    // the w16 correlation feeds. Spread = leg-price difference in cents;
+    // entry when the 20-bar z-score exceeds ±2, via EXACT integer
+    // algebra (the w11 scheme): |z| > 2 ⇔ (n·s − S)² > 4·(n·SS − S²)
+    // over BIGINT window sums, so the signal is bit-stable across
+    // engines and shuffle orders; milli_z2 = z²·1000 by exact integer
+    // division rides along as the sizing diagnostic. Every C(symbols,2)
+    // pair streams through the same pair-partitioned window as w16.
+    Q("t6_pairs_zscore",
+      s"""WITH ${Bars.cte},
+         |c AS (SELECT symbol, datetime, CAST(round(close * 100, 0) AS BIGINT) AS cents
+         |      FROM bars),
+         |xy AS (SELECT a.symbol || '|' || b.symbol AS pair, a.datetime AS datetime,
+         |              a.cents - b.cents AS s
+         |       FROM c a JOIN c b ON a.datetime = b.datetime AND a.symbol < b.symbol),
+         |w AS (SELECT pair, datetime, s,
+         |        CAST(count(*) OVER win AS BIGINT) AS n,
+         |        CAST(sum(s) OVER win AS BIGINT) AS sm,
+         |        CAST(sum(s*s) OVER win AS BIGINT) AS ss
+         |      FROM xy
+         |      WINDOW win AS (PARTITION BY pair ORDER BY datetime
+         |                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT pair, datetime, s,
+         |       CAST(CASE WHEN n = 20 AND (n*s - sm)*(n*s - sm) > 4*(n*ss - sm*sm)
+         |                 THEN CASE WHEN n*s - sm > 0 THEN -1 ELSE 1 END
+         |                 ELSE 0 END AS BIGINT) AS signal,
+         |       CAST(CASE WHEN n = 20 AND n*ss > sm*sm
+         |                 THEN ((n*s - sm)*(n*s - sm) * 1000) // (n*ss - sm*sm)
+         |                 ELSE -1 END AS BIGINT) AS milli_z2
+         |FROM w ORDER BY pair, datetime""".stripMargin) { (s, dir) => {
+      val c = Bars(s, dir).select(col("symbol"), col("datetime"),
+        round(col("close") * 100, 0).cast("long").as("cents"))
+      val xy = c.as("a").join(c.as("b"),
+          col("a.datetime") === col("b.datetime") && col("a.symbol") < col("b.symbol"))
+        .select(concat(col("a.symbol"), lit("|"), col("b.symbol")).as("pair"),
+          col("a.datetime").as("datetime"),
+          (col("a.cents") - col("b.cents")).as("s"))
+      val win = Window.partitionBy("pair").orderBy("datetime")
+        .rowsBetween(-19, Window.currentRow)
+      val w = xy.select(col("pair"), col("datetime"), col("s"),
+        count(lit(1)).over(win).as("n"),
+        sum(col("s")).over(win).as("sm"),
+        sum(col("s") * col("s")).over(win).as("ss"))
+      val dev = col("n") * col("s") - col("sm")
+      val varn = col("n") * col("ss") - col("sm") * col("sm")
+      Q.sorted(
+        w.select(col("pair"), col("datetime"), col("s"),
+          when(col("n") === 20 && dev * dev > lit(4L) * varn,
+            when(dev > 0, -1L).otherwise(1L)).otherwise(0L).as("signal"),
+          when(col("n") === 20 && col("n") * col("ss") > col("sm") * col("sm"),
+            expr("((n*s - sm)*(n*s - sm) * 1000) div (n*ss - sm*sm)"))
+            .otherwise(-1L).as("milli_z2")),
+        "pair", "datetime")
     }})
 }

@@ -103,6 +103,16 @@ class OpsSpec extends SparkTestBase {
       s"perfectly linear series should correlate at 1.0, got ${got.take(3).toSeq}")
   }
 
+  test("t6 pairs z-score: signal closed over {-1,0,1}; fired rows clear the z2 floor") {
+    val t6 = graft.SparkEntry.queries("t6_pairs_zscore")(spark, sf)
+    assert(t6.where(!col("signal").isin(-1L, 0L, 1L)).count() == 0)
+    // |z| > 2 <=> z^2*1000 > 4000; milli_z2 is the FLOOR of z^2*1000, so
+    // a fired row can sit exactly AT 4000 (dev^2*1000 = 4000*var + eps)
+    assert(t6.where(col("signal") =!= 0L && col("milli_z2") < 4000L).count() == 0)
+    // direction: wide spread shorts (-1 means n*s - sm > 0)
+    assert(t6.count() > 0)
+  }
+
   test("heikin-ashi: ha_high >= max(open, close) of the original bar") {
     val ha = graft.ops.Charts.heikinAshi(bars)
     assert(ha.where(col("ha_high") < greatest(col("open"), col("close"))).count() == 0)
