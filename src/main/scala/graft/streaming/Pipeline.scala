@@ -544,6 +544,142 @@ object Pipeline {
     indicatorCascade(scored)
   }
 
+  /** One leg-aligned spread observation — the t6 strategy's input grain. */
+  final case class SpreadRow(pair: String, datetime: java.sql.Timestamp, s: Long)
+
+  /** Streaming t6 output: the batch query's columns, bit-identical. */
+  final case class PairSignalRow(pair: String, datetime: java.sql.Timestamp,
+      s: Long, signal: Long, milli_z2: Long)
+
+  /** First-arrived-leg state for [[PairSpreadProcessor]]. */
+  final case class PairLegState(aCents: Long, aSeen: Boolean,
+      bCents: Long, bSeen: Boolean)
+
+  /** Stage 1 of the streaming pairs strategy: align the two legs of
+    * (symA, symB) on the bar grid. Keyed by the bar MINUTE — the state
+    * is one small record per UNMATCHED minute (cleared the moment both
+    * legs arrive), so it is bounded by leg skew, not by history; a
+    * production variant adds a timer-based TTL for legs that never
+    * arrive. Cents quantization matches the batch t6's round(close*100)
+    * exactly (prices are positive, so half-up ≡ half-away-from-zero).
+    */
+  class PairSpreadProcessor(symA: String, symB: String)
+      extends StatefulProcessor[java.sql.Timestamp, Bar, SpreadRow] {
+    @transient private var leg: org.apache.spark.sql.streaming.ValueState[PairLegState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      leg = getHandle.getValueState[PairLegState]("leg",
+        org.apache.spark.sql.Encoders.product[PairLegState], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: java.sql.Timestamp, rows: Iterator[Bar],
+        timers: TimerValues): Iterator[SpreadRow] = {
+      var st = Option(leg.get()).getOrElse(PairLegState(0L, false, 0L, false))
+      for (b <- rows) {
+        val cents = math.round(b.close * 100)
+        if (b.symbol == symA) st = st.copy(aCents = cents, aSeen = true)
+        else if (b.symbol == symB) st = st.copy(bCents = cents, bSeen = true)
+      }
+      if (st.aSeen && st.bSeen) {
+        leg.clear()
+        Iterator.single(SpreadRow(s"$symA|$symB", key, st.aCents - st.bCents))
+      } else {
+        leg.update(st)
+        Iterator.empty
+      }
+    }
+  }
+
+  /** Stage 2: the t6 mean-reversion gate over a bounded per-pair spread
+    * buffer — EXACT integer algebra ((n·s−S)² > 4(n·SS−S²) and the
+    * floored milli-z², identical to the batch window sums), so stream ≡
+    * batch bit-for-bit. O(n) longs of state per pair.
+    */
+  class PairZScoreProcessor(n: Int = 20)
+      extends StatefulProcessor[String, SpreadRow, PairSignalRow] {
+    @transient private var buf: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[Long]("spreads",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[SpreadRow],
+        timers: TimerValues): Iterator[PairSignalRow] = {
+      val batch = rows.toArray.sortBy(_.datetime.getTime)
+      if (batch.isEmpty) return Iterator.empty
+      var b = buf.get().toList
+      val out = batch.map { r =>
+        b = (b :+ r.s).takeRight(n)
+        if (b.length >= n) {
+          val cnt = n.toLong
+          val sm = b.foldLeft(0L)(_ + _)
+          val ss = b.foldLeft(0L)((acc, v) => acc + v * v)
+          val dev = cnt * r.s - sm
+          val varn = cnt * ss - sm * sm
+          val signal =
+            if (dev * dev > 4L * varn) { if (dev > 0) -1L else 1L } else 0L
+          val z2 = if (varn > 0) dev * dev * 1000L / varn else -1L
+          PairSignalRow(r.pair, r.datetime, r.s, signal, z2)
+        } else PairSignalRow(r.pair, r.datetime, r.s, 0L, -1L)
+      }
+      buf.put(b.toArray) // batch.nonEmpty appended at least one
+      out.iterator
+    }
+  }
+
+  /** The streaming pairs-trading strategy — batch `t6_pairs_zscore` for
+    * one symbol pair as TWO chained stateful operators (the rebarCascade
+    * pattern): minute-keyed leg alignment, then pair-keyed bounded
+    * z-score state. StreamingSpec pins stream ≡ batch on the shared
+    * frames; every emitted number is an exact integer.
+    *
+    * Ordering contract (the cascade's): spreads enter the z-score buffer
+    * in MATCH order, so a leg that arrives batches late would append its
+    * minute out of event-time order — same cross-batch-disorder
+    * exclusion as every incremental indicator store; stage-1 carry-over
+    * within that contract is pinned by the spec.
+    */
+  def pairsStrategy(bars: Dataset[Bar], symA: String, symB: String)
+      : Dataset[PairSignalRow] = {
+    import bars.sparkSession.implicits._
+    bars.filter(b => b.symbol == symA || b.symbol == symB)
+      .groupByKey(_.datetime)
+      .transformWithState(new PairSpreadProcessor(symA, symB),
+        TimeMode.None(), OutputMode.Append())
+      .groupByKey(_.pair)
+      .transformWithState(new PairZScoreProcessor(),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Batch twin of [[pairsStrategy]] — the t6 window algebra restricted
+    * to one pair, for the StreamingSpec equality pin. */
+  def pairZScoreBatch(bars: DataFrame, symA: String, symB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = bars.where(col("symbol").isin(symA, symB))
+      .select(col("symbol"), col("datetime"),
+        round(col("close") * 100, 0).cast("long").as("cents"))
+    val xy = c.as("a").join(c.as("b"),
+        col("a.datetime") === col("b.datetime") && col("a.symbol") < col("b.symbol"))
+      .select(concat(col("a.symbol"), lit("|"), col("b.symbol")).as("pair"),
+        col("a.datetime").as("datetime"),
+        (col("a.cents") - col("b.cents")).as("s"))
+    val win = Window.partitionBy("pair").orderBy("datetime")
+      .rowsBetween(-19, Window.currentRow)
+    val w = xy.select(col("pair"), col("datetime"), col("s"),
+      count(lit(1)).over(win).as("n"),
+      sum(col("s")).over(win).as("sm"),
+      sum(col("s") * col("s")).over(win).as("ss"))
+    val dev = col("n") * col("s") - col("sm")
+    val varn = col("n") * col("ss") - col("sm") * col("sm")
+    w.select(col("pair"), col("datetime"), col("s"),
+      when(col("n") === 20 && dev * dev > lit(4L) * varn,
+        when(dev > 0, -1L).otherwise(1L)).otherwise(0L).as("signal"),
+      when(col("n") === 20 && varn > 0,
+        expr("((n*s - sm)*(n*s - sm) * 1000) div (n*ss - sm*sm)"))
+        .otherwise(-1L).as("milli_z2"))
+  }
+
   /** Streaming gap sessionization — the streaming twin of the batch
     * `a6_sessionize` operator, on Spark's native session windows: each
     * user's events merge into sessions separated by >= `gap` of

@@ -525,6 +525,79 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming pairs strategy equals the batch t6 algebra on the same frames") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // two legs whose spread mean-reverts with occasional blowouts so
+      // the +/-2-sigma gate actually fires both directions
+      def mkLeg(sym: String, i: Int): Bar = {
+        val base = 100.0 + 10.0 * math.sin(i * 0.3)
+        val close =
+          if (sym == "AAPL") base + 2.0 * math.sin(i * 1.1) + (if (i % 13 == 7) 9.0 else 0.0)
+          else base - 1.0 * math.cos(i * 0.7) - (if (i % 17 == 5) 8.0 else 0.0)
+        bar(sym, i).copy(open = close, high = close + 1, low = close - 1, close = close)
+      }
+      val bars = for (sym <- Seq("AAPL", "MSFT"); i <- 0 until 60) yield mkLeg(sym, i)
+
+      val input = MemoryStream[Bar](spark)
+      val q = Pipeline.pairsStrategy(input.toDS(), "AAPL", "MSFT")
+        .writeStream.format("memory").queryName("pairs")
+        .outputMode("append").start()
+      // waves split by TIME (each minute's BOTH legs in one wave,
+      // intra-wave shuffled): spreads must enter the stage-2 buffer in
+      // event-time order — a leg matched a batch late would append its
+      // minute out of order, the same cross-batch-disorder exclusion as
+      // the indicator cascade (stage-1 carry-over is pinned separately
+      // below)
+      val cut = bars.find(_.symbol == "AAPL").get.datetime.getTime + 30 * 1000
+      val (w1, w2) = bars.partition(_.datetime.getTime < cut)
+      def shuffle(xs: Seq[Bar]) = {
+        val (a, b) = xs.zipWithIndex.partition(_._2 % 2 == 0)
+        (a ++ b.reverse).map(_._1)
+      }
+      input.addData(shuffle(w1): _*)
+      q.processAllAvailable()
+      input.addData(shuffle(w2): _*)
+      q.processAllAvailable()
+      q.stop()
+
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[String]("pair"), r.getAs[java.sql.Timestamp]("datetime"))
+      def vals(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("s"), r.getAs[Long]("signal"), r.getAs[Long]("milli_z2"))
+      val streamed = spark.table("pairs").collect().map(r => key(r) -> vals(r)).toMap
+      val batch = Pipeline.pairZScoreBatch(bars.toDF(), "AAPL", "MSFT")
+        .collect().map(r => key(r) -> vals(r)).toMap
+      assert(streamed.size == 60 && batch.size == 60)
+      val diffs = batch.keys.filter(k => streamed(k) != batch(k))
+      assert(diffs.isEmpty,
+        s"${diffs.size} rows diverge, e.g. ${diffs.headOption.map(k => (k, streamed(k), batch(k)))}")
+      // the gate actually engages (exact integers, so equality above is
+      // bit-level): at least one fired row and defined z2 tail
+      assert(batch.values.exists(_._2 != 0L), "pairs signal never fired")
+      assert(batch.values.exists(_._3 >= 0L), "z2 never defined")
+
+      // stage-1 carry-over in isolation: one minute's legs split across
+      // batches still emit exactly one spread with the right value
+      val in2 = MemoryStream[Bar](spark)
+      val q2 = Pipeline.pairsStrategy(in2.toDS(), "AAPL", "MSFT")
+        .writeStream.format("memory").queryName("pairs_carry")
+        .outputMode("append").start()
+      in2.addData(mkLeg("AAPL", 0)); q2.processAllAvailable()
+      in2.addData(mkLeg("MSFT", 0)); q2.processAllAvailable()
+      q2.stop()
+      val carried = spark.table("pairs_carry").collect()
+      assert(carried.length == 1, s"expected one matched spread, got ${carried.length}")
+      val want = math.round(mkLeg("AAPL", 0).close * 100) -
+        math.round(mkLeg("MSFT", 0).close * 100)
+      assert(carried.head.getAs[Long]("s") == want)
+    } finally {
+      spark.streams.active.foreach(_.stop())
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("count-min sketch is streaming-mergeable: micro-batch slot counts equal the batch grid") {
     // the property that makes x_heavy_hitters' sketch pass streaming-
     // native at 100 TB: the D x W counter grid is a plain additive
