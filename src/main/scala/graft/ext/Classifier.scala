@@ -41,11 +41,53 @@ object Classifier {
   def milliWeight(b: Column): Column =
     (b * lit(2654435761L)) % lit(1001L) - lit(500L)
 
-  /** One-row `(w: array<long>)` weight vector — the broadcast model. */
+  /** One-row `(w: array<long>)` weight vector — the broadcast model,
+    * stated closed-form (the TEST FIXTURE; serving loads [[modelFromFile]]). */
   def model(spark: SparkSession): DataFrame =
     spark.range(1).select(
       transform(sequence(lit(0), lit(Buckets - 1)),
         b => milliWeight(b)).as("w"))
+
+  /** Where the model ARTIFACT lives: a parquet of (bucket, milli_w) rows
+    * under the warehouse — the file a training job would drop. The name
+    * carries the feature-space size (a resized model is a different
+    * model, never silently half-read). */
+  def weightsPath(spark: SparkSession): String = {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    new org.apache.hadoop.fs.Path(warehouse, s"graft_classifier_w_b$Buckets").toString
+  }
+
+  /** Write the model file if absent (idempotent; the synthetic generator
+    * stands in for the training job — a real deployment replaces this
+    * call with its trained (bucket, milli_w) dump at the same path). */
+  def ensureWeightsArtifact(spark: SparkSession): String = this.synchronized {
+    val p = weightsPath(spark)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(hp, "_SUCCESS")))
+      spark.range(Buckets)
+        .select(col("id").as("bucket"), milliWeight(col("id")).as("milli_w"))
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    p
+  }
+
+  /** The SERVING load path (round-11 task 3): read the weight file to
+    * the driver (model header, the e13 centroid pattern — Buckets longs,
+    * 32 KB here, ~16 MB at fastText's 2M), validate it is a complete
+    * dense [0, Buckets) vector, and ship it as ONE array literal in a
+    * one-row frame. Downstream is identical to [[model]]: broadcast,
+    * never joined, never shuffled. */
+  def modelFromFile(spark: SparkSession, path: String): DataFrame = {
+    val rows = spark.read.parquet(path).orderBy("bucket").collect()
+    require(rows.length == Buckets,
+      s"model file $path has ${rows.length} buckets, expected $Buckets")
+    val w = new Array[Long](Buckets)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getLong(0) == i.toLong, s"model file $path: bucket gap at $i")
+      w(i) = r.getLong(1)
+    }
+    spark.range(1).select(lit(w).as("w"))
+  }
 
   /** Feature bucket of a token/bigram string. */
   def bucket(f: Column): Column = hash32(f) % lit(Buckets.toLong)
@@ -81,8 +123,11 @@ object Classifier {
          |       CASE WHEN score_milli >= 0 THEN 'keep' ELSE 'drop' END AS label
          |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Portable.spread(Tables.documents(s, dir), "doc_id")
+      // the model, served FROM ITS FILE (ClassifierSpec pins file ≡
+      // generator; the oracle states the weights closed-form, so a
+      // corrupt or stale file is a hash mismatch, not a silent skew)
       val scored = docs
-        .crossJoin(broadcast(model(s))) // the model, served
+        .crossJoin(broadcast(modelFromFile(s, ensureWeightsArtifact(s))))
         .select(col("doc_id"), features(tokens(col("text"))).as("feats"), col("w"))
         .select(col("doc_id"),
           size(col("feats")).cast("long").as("n_features"),

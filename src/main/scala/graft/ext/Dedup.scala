@@ -111,8 +111,11 @@ object Dedup {
     // original distinction). Same inverted-index shape as d4 — one
     // exploded self-join on the shingle key, never n² — but DIRECTED:
     // both (a,b) orientations emit, normalized by the contained side
-    // only. At 100 TB this rides the same df-cap guard as d6 if hot
-    // shingles appear; the synthetic corpus doesn't need it.
+    // only. NOTE: as written this has NO document-frequency cap — a hot
+    // shingle with df=D emits D² join rows, so a 100 TB run MUST first
+    // add the d6-style df-cap WHERE to both the engine plan and the
+    // oracle (exactly as d4 documents); the synthetic corpus has no hot
+    // shingles, so the gate exercises the uncapped join.
     Q("d12_containment",
       s"""WITH $shingledCte,
          |n AS (SELECT doc_id, len(sh) AS ns FROM shingled),

@@ -483,6 +483,58 @@ object Embeddings {
           array((0 until PqM).map(m => col(s"code$m")): _*).as("codes"))
     }
 
+  /** The IVF-FLAT leg of the persisted index (round-11 task 4): the raw
+    * vectors materialized INTO the inverted lists — (vec_id, cl,
+    * embedding) bucketed by coarse cluster, exactly what FAISS IVF-Flat
+    * stores. Built once per corpus fingerprint by joining the coarse
+    * assignment already computed for [[ivfpqCodes]] back to the vectors;
+    * serving reads ONLY this table (+ centroids), so range search gets
+    * EXACT cosines over the probed lists without ever scanning the
+    * corpus table. */
+  def ivfflatVecs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.sources.Layout.ensureBucketedArtifact(
+      s, s"graft_ivfflat_${embFp(s, dir)}", "cl", IndexBuckets) {
+      val e = Portable.spread(Tables.embeddings(s, dir), "vec_id")
+      ivfpqCodes(s, dir).select(col("vec_id"), col("cl"))
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .select(col("vec_id"), col("cl"), col("embedding"))
+    }
+
+  /** e14b oracle: re-derives the coarse quantizer from the raw vectors
+    * (the e13 convention — a stale or corrupt artifact is a hash
+    * mismatch), probes [[Similarity.NProbe]] clusters per query, then
+    * EXACT cosine + radius inside the probed lists. */
+  private def rangeIndexOracleSql: String = {
+    val cosEC = Portable.sqlCosine("e.embedding", "cw.ce")
+    s"""WITH cw AS (
+       |  SELECT label AS cl, embedding AS ce FROM (
+       |    SELECT label, embedding,
+       |           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+       |    FROM embeddings) WHERE rn = 1),
+       |assign AS (SELECT vec_id, cl FROM (
+       |    SELECT e.vec_id, cw.cl,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $cosEC DESC, cw.cl) AS rn
+       |    FROM embeddings e CROSS JOIN cw) WHERE rn = 1),
+       |qprobe AS (SELECT vec_id AS qid, cl FROM (
+       |    SELECT e.vec_id, cw.cl,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $cosEC DESC, cw.cl) AS rn
+       |    FROM embeddings e CROSS JOIN cw
+       |    WHERE e.vec_id < ${Similarity.NQueries}) WHERE rn <= ${Similarity.NProbe}),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |      WHERE vec_id < ${Similarity.NQueries}),
+       |scored AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+       |                  ${Portable.sqlCosine("q.qe", "c.embedding")} AS cos
+       |           FROM q
+       |           JOIN qprobe qp ON qp.qid = q.qid
+       |           JOIN assign av ON av.cl = qp.cl
+       |           JOIN embeddings c ON c.vec_id = av.vec_id AND c.vec_id != q.qid)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cos
+       |FROM scored WHERE cos >= ${Similarity.RangeRadius}
+       |ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
   /** The index's coarse-quantizer centroids (cl, ce) — the "index
     * header": k·d floats, read to the driver at serve time exactly like
     * a loaded FAISS index. */
@@ -904,6 +956,49 @@ object Embeddings {
           .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
             col("rk"), col("adist2_e6"))
           .transform(d => graft.Q.sorted(d, "query_id", "rk"))
+      }
+    },
+
+    // e14b: RADIUS search served from the PERSISTED index (round-11
+    // task 4 — the range analog of e13). e14 brute-scans the corpus per
+    // query batch, the right baseline but a full scan per request; here
+    // the probe bound cuts the search to NProbe inverted lists read off
+    // the bucketed IVF-Flat artifact, and the verification is EXACT —
+    // true cosines against the raw vectors STORED IN the lists, so no
+    // ADC approximation ever reaches the output. Semantics = e14
+    // restricted to the probed clusters (the standard IVF range-search
+    // contract: recall bounded by nprobe, precision exact); the oracle
+    // re-derives the index from the raw corpus, so artifact staleness is
+    // a hash mismatch. The serve plan contains NO embeddings scan
+    // (PlanShapeSpec pins it) — queries arrive as request input.
+    Q("e14b_range_index", rangeIndexOracleSql) {
+      (s, dir) => {
+        import s.implicits._
+        val cent = ivfpqCentroids(s, dir)
+        val vecs = ivfflatVecs(s, dir)
+        // query vectors are REQUEST INPUT (the e13 convention): read once
+        // outside the plan, shipped as a 5-row local relation
+        val qRows = Portable.spread(Tables.embeddings(s, dir), "vec_id")
+          .where(col("vec_id") < Similarity.NQueries)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])].collect().toSeq
+        val q = qRows.toDF("qid", "qe")
+        val qprobe = q.crossJoin(broadcast(cent.select(col("cl").as("ccl"), col("ce"))))
+          .withColumn("rn", row_number().over(Window.partitionBy("qid")
+            .orderBy(Portable.cosine(col("qe"), col("ce")).desc, col("ccl"))))
+          .where(col("rn") <= Similarity.NProbe)
+          .select(col("qid"), col("ccl"))
+        // (qid, probed cluster, query vector): NQueries·NProbe rows,
+        // broadcast; the bucket-key equality prunes each list to its
+        // own probes before any vector math
+        val qps = qprobe.join(q, "qid")
+        vecs.join(broadcast(qps),
+            col("cl") === col("ccl") && col("vec_id") =!= col("qid"))
+          .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+            Portable.cosine(col("qe"), col("embedding")).as("cos"))
+          .where(col("cos") >= Similarity.RangeRadius)
+          .select(col("query_id"), col("neighbor_id"), graft.Q.r6(col("cos")).as("cos"))
+          .transform(d => graft.Q.sorted(d, "query_id", "neighbor_id"))
       }
     },
 

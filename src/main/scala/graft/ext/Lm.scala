@@ -365,7 +365,12 @@ object Lm {
     * the same source replays the memoized decisions instead of
     * re-running the corpus-wide pair-count argmax (~2x the suite's BPE
     * cost before this). A regenerated source fingerprints differently
-    * and retrains. */
+    * and retrains. GRANULARITY ASSUMPTION: the fingerprint is
+    * (path, byte length, mtime-ms) — NOT a content hash — so data
+    * rewritten in place within the same millisecond AND to the same
+    * byte length would silently replay stale merges. Acceptable for the
+    * bench harness (testdata is written once per round); a serving
+    * deployment should fingerprint content (or version the path). */
   private val mergeMemo =
     scala.collection.concurrent.TrieMap.empty[String, Seq[BpeMergeRow]]
 

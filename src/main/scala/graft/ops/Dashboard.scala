@@ -53,10 +53,19 @@ object Dashboard {
     // dashboard_cascade/_scan ever hash-mismatch on a SINGLE cell while
     // neighbors agree, triage as warm-up rounding (recompute the cell
     // with DashboardScan.TailLen raised), not as a regression.
+    if (deepHistory(spark, dir)) DashboardScan.cascade(spark, dir)
+    else cascadeWindows(spark, dir)
+  }
+
+  /** The tier decision, shared by the flagship and the standalone window
+    * indicators (w1-w6, w17 — round-11 task 1): deep per-key history →
+    * the key-count-independent scan tier; shallow (the many-symbols
+    * regime and the tiny gate SFs' window-arm coverage) → the one-
+    * exchange window cascade. Driver-side filesystem metadata only. */
+  def deepHistory(spark: SparkSession, dir: String): Boolean = {
     val bytesPerKey = eventsBytes(spark, dir) /
       math.max(1, graft.sources.Bars.symbols.size.toLong)
-    if (bytesPerKey >= DeepHistoryMinBytesPerKey) DashboardScan.cascade(spark, dir)
-    else cascadeWindows(spark, dir)
+    bytesPerKey >= DeepHistoryMinBytesPerKey
   }
 
   /** Scan-tier threshold: ~600 KB of events parquet (≈30k events, ≈10k

@@ -273,7 +273,17 @@ object DashboardScan {
     StructField("rounding_bottom", BooleanType, nullable = false),
     StructField("color", StringType)))
 
-  def cascade(spark: SparkSession, dir: String, numPartitions: Int = 0): DataFrame = {
+  /** The scan WITHOUT the per-symbol-globals join — the tier the
+    * standalone indicator queries (w1-w6) dispatch onto: they project
+    * only replayed-state columns (ema/sma/rsi/tsi/macd/adx), so the
+    * extra globals aggregate pass (support/resistance/trend inputs)
+    * would be a third data pass bought for columns the query drops. */
+  def cascadeScanOnly(spark: SparkSession, dir: String,
+      numPartitions: Int = 0): DataFrame =
+    cascade(spark, dir, numPartitions, withGlobals = false)
+
+  def cascade(spark: SparkSession, dir: String, numPartitions: Int = 0,
+      withGlobals: Boolean = true): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
     val scored = Core.scored(spark, dir)
@@ -361,6 +371,7 @@ object DashboardScan {
       }
     }
     val scan = spark.createDataFrame(outRdd, scanSchema)
+    if (!withGlobals) return scan
 
     // per-symbol globals: tiny aggregate, broadcast-joined (datetime is
     // unique per symbol, so min_by/max_by ≡ the window first/last)

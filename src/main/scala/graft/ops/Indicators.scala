@@ -202,6 +202,157 @@ object Indicators {
     * the flag itself is safe to ~$6M/share. At 100 TB this is the same
     * one-exchange window cascade as every w* indicator.
     */
+  /** History-depth-adaptive tier dispatch for the STANDALONE indicator
+    * queries (round-11 task 1 — the flagship's [[Dashboard.deepHistory]]
+    * decision applied to w1-w6): at deep per-key history the per-symbol
+    * WindowExec serializes onto #symbols tasks, so the query rides the
+    * key-count-independent [[DashboardScan]] replay (which computes all
+    * of ema5/15, sma, rsi, tsi, macd, macd_signal, adx in one pass) and
+    * projects its columns. Both tiers answer the SAME per-query oracle;
+    * the scan arm additionally stays gate-checked at every SF through
+    * `dashboard_cascade_scan` (identical formulas, same CascadeState).
+    * The gate SFs land one on each side of the threshold, so BOTH arms
+    * stay oracle-covered (sf0.01 window, sf0.1+ scan).
+    */
+  private def tiered(s: SparkSession, dir: String, cols: String*)(
+      windowPlan: => DataFrame): DataFrame =
+    if (Dashboard.deepHistory(s, dir))
+      Q.norm(DashboardScan.cascadeScanOnly(s, dir)
+        .select(cols.map(col): _*), "symbol", "datetime")
+    else windowPlan
+
+  /** The w16r gate fixture: one selected pair out of C(3,2) = 3 — the
+    * restriction is observable (GOOGL drops out of every scan). */
+  val SelectedPairs: Seq[(String, String)] = Seq(("AAPL", "MSFT"))
+
+  /** w16 rolling pairwise Pearson with the pair universe as a parameter
+    * (None = every a < b pair in one pass). All sums are EXACT BIGINTs
+    * over cents (the w11 scheme) so nothing fp-accumulates; only the
+    * final two sqrts and one division are IEEE, identical on both
+    * engines. The window partitions by the DATA-DERIVED pair key, so
+    * pairs fan out as independent partitions (a literal pair id would
+    * constant-fold out of the partitioning and serialize the window —
+    * caught by the PlanShapeSpec pin in round 10). */
+  def pairCorr(s: SparkSession, dir: String,
+      pairs: Option[Seq[(String, String)]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = pairs match {
+      case Some(ps) =>
+        val legs = ps.flatMap(p => Seq(p._1, p._2)).distinct
+        // group-key predicate: sinks below the bar aggregation to the
+        // event rows, so non-leg symbols never reach the join
+        Bars(s, dir).where(col("symbol").isin(legs: _*))
+      case None => Bars(s, dir)
+    }
+    val c = base.select(col("symbol"), col("datetime"),
+      round(col("close") * 100, 0).cast("long").as("cents"))
+    val xyAll = c.as("a").join(c.as("b"),
+        col("a.datetime") === col("b.datetime") && col("a.symbol") < col("b.symbol"))
+      .select(concat(col("a.symbol"), lit("|"), col("b.symbol")).as("pair"),
+        col("a.datetime").as("datetime"),
+        col("a.cents").as("x"), col("b.cents").as("y"))
+    val xy = pairs match {
+      case Some(ps) =>
+        xyAll.where(col("pair").isin(ps.map(p => s"${p._1}|${p._2}"): _*))
+      case None => xyAll
+    }
+    val win = Window.partitionBy("pair").orderBy("datetime")
+      .rowsBetween(-19, Window.currentRow)
+    val w = xy.select(col("pair"), col("datetime"), col("x"), col("y"),
+      count(lit(1)).over(win).as("n"),
+      sum(col("x")).over(win).as("sx"), sum(col("y")).over(win).as("sy"),
+      sum(col("x") * col("y")).over(win).as("sxy"),
+      sum(col("x") * col("x")).over(win).as("sxx"),
+      sum(col("y") * col("y")).over(win).as("syy"))
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    Q.norm(
+      w.select(col("pair"), col("datetime"),
+        when(col("n") === 20 && dx > 0 && dy > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
+          .otherwise(lit(null).cast("double")).as("corr20")),
+      "pair", "datetime")
+  }
+
+  /** Oracle twin of [[pairCorr]]: the same leg and pair predicates in
+    * the same positions. */
+  private def pairCorrSql(pairs: Option[Seq[(String, String)]]): String = {
+    val legPred = pairs.map { ps =>
+      val legs = ps.flatMap(p => Seq(p._1, p._2)).distinct
+      s" WHERE symbol IN (${legs.map(l => s"'$l'").mkString(", ")})"
+    }.getOrElse("")
+    // single-line append: an embedded newline would collide with the
+    // outer stripMargin (the SQL itself contains '|' concat operators)
+    val pairPred = pairs.map { ps =>
+      s" AND a.symbol || '|' || b.symbol IN (${ps.map(p => s"'${p._1}|${p._2}'").mkString(", ")})"
+    }.getOrElse("")
+    s"""WITH ${graft.sources.Bars.cte},
+       |c AS (SELECT symbol, datetime, CAST(round(close * 100, 0) AS BIGINT) AS cents
+       |      FROM bars$legPred),
+       |xy AS (SELECT a.symbol || '|' || b.symbol AS pair, a.datetime AS datetime,
+       |              a.cents AS x, b.cents AS y
+       |       FROM c a JOIN c b ON a.datetime = b.datetime AND a.symbol < b.symbol$pairPred),
+       |w AS (SELECT pair, datetime, x, y,
+       |        CAST(count(*) OVER win AS BIGINT) AS n,
+       |        CAST(sum(x) OVER win AS BIGINT) AS sx,
+       |        CAST(sum(y) OVER win AS BIGINT) AS sy,
+       |        CAST(sum(x*y) OVER win AS BIGINT) AS sxy,
+       |        CAST(sum(x*x) OVER win AS BIGINT) AS sxx,
+       |        CAST(sum(y*y) OVER win AS BIGINT) AS syy
+       |      FROM xy
+       |      WINDOW win AS (PARTITION BY pair ORDER BY datetime
+       |                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+       |SELECT pair, datetime,
+       |       round(CASE WHEN n = 20 AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+       |             THEN (n*sxy - sx*sy) /
+       |                  (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+       |             ELSE NULL END, 6) AS corr20
+       |FROM w ORDER BY pair, datetime""".stripMargin
+  }
+
+  /** Shared w17 oracle (both tiers answer it — see the w17 queries). */
+  private lazy val ichimokuOracle: String =
+    barsWith(
+      s"""i0 AS (SELECT symbol, datetime, close,
+         |  (${Sql.rollMax("high", 9)} + ${Sql.rollMin("low", 9)}) / 2.0 AS tenkan,
+         |  (${Sql.rollMax("high", 26)} + ${Sql.rollMin("low", 26)}) / 2.0 AS kijun,
+         |  (${Sql.rollMax("high", 52)} + ${Sql.rollMin("low", 52)}) / 2.0 AS span_b0,
+         |  lead(close, 26) ${Sql.over} AS chikou
+         |  FROM bars),
+         |i1 AS (SELECT symbol, datetime, close, tenkan, kijun, chikou,
+         |  lag((tenkan + kijun) / 2.0, 26) ${Sql.over} AS senkou_a,
+         |  lag(span_b0, 26) ${Sql.over} AS senkou_b
+         |  FROM i0)""".stripMargin,
+      """SELECT symbol, datetime, round(close, 6) AS close,
+        |round(tenkan, 6) AS tenkan, round(kijun, 6) AS kijun,
+        |round(senkou_a, 6) AS senkou_a, round(senkou_b, 6) AS senkou_b,
+        |round(chikou, 6) AS chikou
+        |FROM i1 ORDER BY symbol, datetime""".stripMargin)
+
+  /** w17's window tier: one per-symbol window cascade — every line a
+    * midpoint of EXACT rolling extrema ((max+min)/2), the two leading
+    * spans SHIFTED 26 FORWARD (lead = lag(-26) of a window value ≡
+    * pandas shift(-26)), lagging span = close shifted 26 back. */
+  def ichimokuWindows(s: SparkSession, dir: String): DataFrame =
+    Q.norm(ichimokuWindowsRaw(s, dir), "symbol", "datetime")
+
+  /** Unrounded window-tier columns — what IchimokuScanSpec bit-compares
+    * against [[IchimokuScan]]'s equally-unrounded output. */
+  def ichimokuWindowsRaw(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{lag => slag, lead => slead}
+    def mid(n: Int) = (rmax(col("high"), n) + rmin(col("low"), n)) / 2.0
+    val l1 = Bars(s, dir).select(col("symbol"), col("datetime"), col("close"),
+      mid(9).as("tenkan"), mid(26).as("kijun"), mid(52).as("span_b0"),
+      slead(col("close"), 26).over(Rolling.W).as("chikou"))
+    l1.select(col("symbol"), col("datetime"), col("close"),
+      col("tenkan"), col("kijun"), col("chikou"),
+      slag((col("tenkan") + col("kijun")) / 2.0, 26).over(Rolling.W).as("senkou_a"),
+      slag(col("span_b0"), 26).over(Rolling.W).as("senkou_b"))
+      .select("symbol", "datetime", "close", "tenkan", "kijun",
+        "senkou_a", "senkou_b", "chikou")
+  }
+
   def queries: Seq[Q] = Seq(
     Q("w11_bollinger_outlier",
       s"""WITH ${graft.sources.Bars.cte},
@@ -250,22 +401,24 @@ object Indicators {
       barsWith(
         s"x AS (SELECT symbol, datetime, close, ${Sql.ewmaSpan("close", 5)} AS ema5, ${Sql.ewmaSpan("close", 15)} AS ema15 FROM bars)",
         "SELECT symbol, datetime, round(close, 6) AS close, round(ema5, 6) AS ema5, round(ema15, 6) AS ema15 FROM x ORDER BY symbol, datetime")) {
-      (s, dir) =>
+      (s, dir) => tiered(s, dir, "symbol", "datetime", "close", "ema5", "ema15") {
         Q.norm(
           Bars(s, dir).select(col("symbol"), col("datetime"), col("close"),
             ema(col("close"), 5).as("ema5"), ema(col("close"), 15).as("ema15")),
           "symbol", "datetime")
+      }
     },
 
     Q("w2_sma20",
       barsWith(
         s"x AS (SELECT symbol, datetime, close, ${Sql.rollMean("close", 20)} AS sma FROM bars)",
         "SELECT symbol, datetime, round(close, 6) AS close, round(sma, 6) AS sma FROM x ORDER BY symbol, datetime")) {
-      (s, dir) =>
+      (s, dir) => tiered(s, dir, "symbol", "datetime", "close", "sma") {
         Q.norm(
           Bars(s, dir).select(col("symbol"), col("datetime"), col("close"),
             sma(col("close")).as("sma")),
           "symbol", "datetime")
+      }
     },
 
     Q("w3_rsi14",
@@ -274,10 +427,11 @@ object Indicators {
           |round(CASE WHEN al = 0 AND ag = 0 THEN NULL WHEN al = 0 THEN 100.0
           |           ELSE 100.0 - 100.0 / (1.0 + ag / al) END, 6) AS rsi
           |FROM r ORDER BY symbol, datetime""".stripMargin)) {
-      (s, dir) =>
+      (s, dir) => tiered(s, dir, "symbol", "datetime", "close", "rsi") {
         Q.norm(
           withRsi(Bars(s, dir)).select("symbol", "datetime", "close", "rsi"),
           "symbol", "datetime")
+      }
     },
 
     Q("w4_tsi",
@@ -285,10 +439,11 @@ object Indicators {
         """SELECT symbol, datetime, round(close, 6) AS close,
           |round(CASE WHEN ta2 = 0 THEN NULL ELSE 100.0 * (te2 / ta2) END, 6) AS tsi
           |FROM e2 ORDER BY symbol, datetime""".stripMargin)) {
-      (s, dir) =>
+      (s, dir) => tiered(s, dir, "symbol", "datetime", "close", "tsi") {
         Q.norm(
           withTsi(Bars(s, dir)).select("symbol", "datetime", "close", "tsi"),
           "symbol", "datetime")
+      }
     },
 
     Q("w5_macd",
@@ -296,19 +451,21 @@ object Indicators {
         """SELECT symbol, datetime, round(close, 6) AS close,
           |round(macd, 6) AS macd, round(macd_signal, 6) AS macd_signal
           |FROM m3 ORDER BY symbol, datetime""".stripMargin)) {
-      (s, dir) =>
+      (s, dir) => tiered(s, dir, "symbol", "datetime", "close", "macd", "macd_signal") {
         Q.norm(
           withMacd(Bars(s, dir)).select("symbol", "datetime", "close", "macd", "macd_signal"),
           "symbol", "datetime")
+      }
     },
 
     Q("w6_adx",
       barsWith(adxCtes,
         "SELECT symbol, datetime, round(close, 6) AS close, round(adx, 6) AS adx FROM a6 ORDER BY symbol, datetime")) {
-      (s, dir) =>
+      (s, dir) => tiered(s, dir, "symbol", "datetime", "close", "adx") {
         Q.norm(
           withAdx(Bars(s, dir)).select("symbol", "datetime", "close", "adx"),
           "symbol", "datetime")
+      }
     },
 
     Q("w12_atr",
@@ -382,38 +539,24 @@ object Indicators {
     // spans SHIFTED 26 FORWARD (lead = lag(-26) of a window value:
     // pandas shift(-26) ≡ the span drawn 26 bars ahead), lagging span =
     // close shifted 26 back. Same one-shuffle per-symbol cascade.
-    Q("w17_ichimoku",
-      barsWith(
-        s"""i0 AS (SELECT symbol, datetime, close,
-           |  (${Sql.rollMax("high", 9)} + ${Sql.rollMin("low", 9)}) / 2.0 AS tenkan,
-           |  (${Sql.rollMax("high", 26)} + ${Sql.rollMin("low", 26)}) / 2.0 AS kijun,
-           |  (${Sql.rollMax("high", 52)} + ${Sql.rollMin("low", 52)}) / 2.0 AS span_b0,
-           |  lead(close, 26) ${Sql.over} AS chikou
-           |  FROM bars),
-           |i1 AS (SELECT symbol, datetime, close, tenkan, kijun, chikou,
-           |  lag((tenkan + kijun) / 2.0, 26) ${Sql.over} AS senkou_a,
-           |  lag(span_b0, 26) ${Sql.over} AS senkou_b
-           |  FROM i0)""".stripMargin,
-        """SELECT symbol, datetime, round(close, 6) AS close,
-          |round(tenkan, 6) AS tenkan, round(kijun, 6) AS kijun,
-          |round(senkou_a, 6) AS senkou_a, round(senkou_b, 6) AS senkou_b,
-          |round(chikou, 6) AS chikou
-          |FROM i1 ORDER BY symbol, datetime""".stripMargin)) {
-      (s, dir) => {
-        import org.apache.spark.sql.functions.{lag => slag, lead => slead}
-        def mid(n: Int) = (rmax(col("high"), n) + rmin(col("low"), n)) / 2.0
-        val l1 = Bars(s, dir).select(col("symbol"), col("datetime"), col("close"),
-          mid(9).as("tenkan"), mid(26).as("kijun"), mid(52).as("span_b0"),
-          slead(col("close"), 26).over(Rolling.W).as("chikou"))
-        Q.norm(
-          l1.select(col("symbol"), col("datetime"), col("close"),
-            col("tenkan"), col("kijun"), col("chikou"),
-            slag((col("tenkan") + col("kijun")) / 2.0, 26).over(Rolling.W).as("senkou_a"),
-            slag(col("span_b0"), 26).over(Rolling.W).as("senkou_b"))
-            .select("symbol", "datetime", "close", "tenkan", "kijun",
-              "senkou_a", "senkou_b", "chikou"),
-          "symbol", "datetime")
-      }
+    Q("w17_ichimoku", ichimokuOracle) {
+      // History-depth dispatch (round-11 task 1): Ichimoku was the
+      // round-10 verdict's one weak row — 40.2 s at sf10 for a 3-key
+      // WindowExec serialization. Deep history rides [[IchimokuScan]]
+      // (bit-exact, bounded frames only); shallow keeps the one-exchange
+      // window cascade. `w17_ichimoku_scan` pins the scan arm to the
+      // same oracle at every SF.
+      (s, dir) =>
+        if (Dashboard.deepHistory(s, dir))
+          Q.norm(IchimokuScan(s, dir), "symbol", "datetime")
+        else ichimokuWindows(s, dir)
+    },
+
+    // The scan arm, gate-checked unconditionally (the
+    // dashboard_cascade_scan pattern): both tiers answer one oracle, so
+    // the dispatch can only change the plan, never the rows.
+    Q("w17_ichimoku_scan", ichimokuOracle) {
+      (s, dir) => Q.norm(IchimokuScan(s, dir), "symbol", "datetime")
     },
 
     // W16 (beyond-reference): rolling pairwise correlation — the
@@ -430,56 +573,21 @@ object Indicators {
     // (PlanShapeSpec pins the hashpartitioning — a literal pair id
     // constant-folds out of the partitioning and serializes the window;
     // caught by that pin in round 10).
-    Q("w16_pair_corr",
-      s"""WITH ${graft.sources.Bars.cte},
-         |c AS (SELECT symbol, datetime, CAST(round(close * 100, 0) AS BIGINT) AS cents
-         |      FROM bars),
-         |xy AS (SELECT a.symbol || '|' || b.symbol AS pair, a.datetime AS datetime,
-         |              a.cents AS x, b.cents AS y
-         |       FROM c a JOIN c b ON a.datetime = b.datetime AND a.symbol < b.symbol),
-         |w AS (SELECT pair, datetime, x, y,
-         |        CAST(count(*) OVER win AS BIGINT) AS n,
-         |        CAST(sum(x) OVER win AS BIGINT) AS sx,
-         |        CAST(sum(y) OVER win AS BIGINT) AS sy,
-         |        CAST(sum(x*y) OVER win AS BIGINT) AS sxy,
-         |        CAST(sum(x*x) OVER win AS BIGINT) AS sxx,
-         |        CAST(sum(y*y) OVER win AS BIGINT) AS syy
-         |      FROM xy
-         |      WINDOW win AS (PARTITION BY pair ORDER BY datetime
-         |                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
-         |SELECT pair, datetime,
-         |       round(CASE WHEN n = 20 AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
-         |             THEN (n*sxy - sx*sy) /
-         |                  (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
-         |             ELSE NULL END, 6) AS corr20
-         |FROM w ORDER BY pair, datetime""".stripMargin) {
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val c = Bars(s, dir).select(col("symbol"), col("datetime"),
-          round(col("close") * 100, 0).cast("long").as("cents"))
-        val xy = c.as("a").join(c.as("b"),
-            col("a.datetime") === col("b.datetime") && col("a.symbol") < col("b.symbol"))
-          .select(concat(col("a.symbol"), lit("|"), col("b.symbol")).as("pair"),
-            col("a.datetime").as("datetime"),
-            col("a.cents").as("x"), col("b.cents").as("y"))
-        val win = Window.partitionBy("pair").orderBy("datetime")
-          .rowsBetween(-19, Window.currentRow)
-        val w = xy.select(col("pair"), col("datetime"), col("x"), col("y"),
-          count(lit(1)).over(win).as("n"),
-          sum(col("x")).over(win).as("sx"), sum(col("y")).over(win).as("sy"),
-          sum(col("x") * col("y")).over(win).as("sxy"),
-          sum(col("x") * col("x")).over(win).as("sxx"),
-          sum(col("y") * col("y")).over(win).as("syy"))
-        val dx = col("n") * col("sxx") - col("sx") * col("sx")
-        val dy = col("n") * col("syy") - col("sy") * col("sy")
-        Q.norm(
-          w.select(col("pair"), col("datetime"),
-            when(col("n") === 20 && dx > 0 && dy > 0,
-              (col("n") * col("sxy") - col("sx") * col("sy")) /
-                (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
-              .otherwise(lit(null).cast("double")).as("corr20")),
-          "pair", "datetime")
-      }
+    Q("w16_pair_corr", pairCorrSql(None)) {
+      (s, dir) => pairCorr(s, dir, None)
+    },
+
+    // w16's CANDIDATE-RESTRICTED variant (round-11 task 2): the pair
+    // universe as an explicit parameter. At a real universe (thousands
+    // of symbols) the all-pairs self-join is C(n,2) — the default must
+    // be a CHOICE, not the only plan. With a pairs list, the leg filter
+    // lands BELOW the self-join (and below the bar aggregation: the
+    // predicate is on the group key, so PushDownPredicates sinks it
+    // under the groupBy to the event rows) and the pair filter lands
+    // below the Window — the scans, the join, and the window all see
+    // only the selected legs. PlanShapeSpec pins both placements.
+    Q("w16r_pair_corr_sel", pairCorrSql(Some(SelectedPairs))) {
+      (s, dir) => pairCorr(s, dir, Some(SelectedPairs))
     },
 
     // W11 (beyond-reference): cumulative VWAP per symbol. Price x volume

@@ -544,6 +544,13 @@ object Pipeline {
     indicatorCascade(scored)
   }
 
+  /** Bound on how long an unmatched leg's state may outlive its minute:
+    * past this much processing time, the other leg is treated as dropped
+    * and the record expires (TTL, not a timer — eviction is lazy and
+    * costs nothing per element). One hour ≫ any real ingest skew between
+    * two legs of the same bar grid. */
+  val PairLegTtl: java.time.Duration = java.time.Duration.ofHours(1)
+
   /** One leg-aligned spread observation — the t6 strategy's input grain. */
   final case class SpreadRow(pair: String, datetime: java.sql.Timestamp, s: Long)
 
@@ -558,18 +565,21 @@ object Pipeline {
   /** Stage 1 of the streaming pairs strategy: align the two legs of
     * (symA, symB) on the bar grid. Keyed by the bar MINUTE — the state
     * is one small record per UNMATCHED minute (cleared the moment both
-    * legs arrive), so it is bounded by leg skew, not by history; a
-    * production variant adds a timer-based TTL for legs that never
-    * arrive. Cents quantization matches the batch t6's round(close*100)
-    * exactly (prices are positive, so half-up ≡ half-away-from-zero).
+    * legs arrive), so it is bounded by leg skew, not by history — and a
+    * state TTL (`legTtl`, default one hour of processing time) expires
+    * minutes where the other leg never arrives, so a permanent leg
+    * dropout cannot leak one record per minute forever. Cents
+    * quantization matches the batch t6's round(close*100) exactly
+    * (prices are positive, so half-up ≡ half-away-from-zero).
     */
-  class PairSpreadProcessor(symA: String, symB: String)
+  class PairSpreadProcessor(symA: String, symB: String,
+      legTtl: java.time.Duration = PairLegTtl)
       extends StatefulProcessor[java.sql.Timestamp, Bar, SpreadRow] {
     @transient private var leg: org.apache.spark.sql.streaming.ValueState[PairLegState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       leg = getHandle.getValueState[PairLegState]("leg",
-        org.apache.spark.sql.Encoders.product[PairLegState], TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.product[PairLegState], TTLConfig(legTtl))
     }
 
     override def handleInputRows(key: java.sql.Timestamp, rows: Iterator[Bar],
@@ -645,8 +655,11 @@ object Pipeline {
     import bars.sparkSession.implicits._
     bars.filter(b => b.symbol == symA || b.symbol == symB)
       .groupByKey(_.datetime)
+      // ProcessingTime mode: required for the leg-state TTL (state TTL
+      // is processing-time-based); no timers are registered, so the
+      // operator's row-for-row output is unchanged from TimeMode.None
       .transformWithState(new PairSpreadProcessor(symA, symB),
-        TimeMode.None(), OutputMode.Append())
+        TimeMode.ProcessingTime(), OutputMode.Append())
       .groupByKey(_.pair)
       .transformWithState(new PairZScoreProcessor(),
         TimeMode.None(), OutputMode.Append())

@@ -22,6 +22,28 @@ class ClassifierSpec extends SparkTestBase {
     }
   }
 
+  test("file-loaded model equals the generator model, element for element") {
+    val gen = Classifier.model(spark).select(explode(col("w")).as("w"))
+      .as[Long].collect()
+    val path = Classifier.ensureWeightsArtifact(spark)
+    val loaded = Classifier.modelFromFile(spark, path)
+      .select(explode(col("w")).as("w")).as[Long].collect()
+    assert(loaded.length == Classifier.Buckets)
+    assert(loaded.toSeq == gen.toSeq,
+      "artifact path diverges from the closed-form generator")
+    // a second call is a pure read (idempotent ensure)
+    assert(Classifier.ensureWeightsArtifact(spark) == path)
+  }
+
+  test("model file validation rejects truncated or gapped weight files") {
+    val bad = spark.conf.get("spark.sql.warehouse.dir") + "/graft_classifier_bad"
+    spark.range(10).select(col("id").as("bucket"), col("id").as("milli_w"))
+      .write.mode("overwrite").parquet(bad)
+    intercept[IllegalArgumentException] {
+      Classifier.modelFromFile(spark, bad)
+    }
+  }
+
   test("features are uni+bigrams; 1-token docs have no bigrams") {
     val got = Seq("alpha beta gamma", "solo").toDF("text")
       .select(Classifier.features(Portable.tokens(col("text"))).as("f"))

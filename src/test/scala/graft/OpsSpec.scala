@@ -64,8 +64,10 @@ class OpsSpec extends SparkTestBase {
     val st = Indicators.withStochastic(bars)
     assert(st.where(col("stoch_k") < -1e-9 || col("stoch_k") > 100 + 1e-9).count() == 0)
     assert(st.where(col("stoch_d") < -1e-9 || col("stoch_d") > 100 + 1e-9).count() == 0)
-    // %D is NULL until 3 non-null %K values have accumulated
-    assert(st.where(col("stoch_d").isNotNull && col("stoch_k").isNull).count() >= 0)
+    // %D is NULL until 3 non-null %K values have accumulated: Rolling.mean's
+    // count(stoch_k) >= 3 gate means a non-null %D implies the current %K
+    // (the frame's newest row) is itself non-null — the strict form holds.
+    assert(st.where(col("stoch_d").isNotNull && col("stoch_k").isNull).count() == 0)
 
     val obv = graft.SparkEntry.queries("w14_obv")(spark, sf)
     val firstPerSym = obv.withColumn("rn",

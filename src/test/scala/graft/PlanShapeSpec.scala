@@ -141,6 +141,26 @@ class PlanShapeSpec extends SparkTestBase {
     assert(served.nonEmpty)
   }
 
+  test("e14b: range search served from the index tables, never the corpus — and exact") {
+    val p = plan("e14b_range_index")
+    assert(p.contains("graft_ivfflat_"),
+      s"serve plan does not scan the persisted IVF-Flat lists:\n$p")
+    assert(p.contains("graft_ivfpq_cent_"),
+      s"serve plan does not scan the persisted centroids:\n$p")
+    assert(!p.contains("embeddings"),
+      s"serve plan still references the raw corpus table:\n$p")
+    // precision is EXACT: every served (query, neighbor, cos) row is a
+    // row of the brute-force e14 (the probe bound can only DROP rows,
+    // never change one) — pins the engine sides against each other
+    val served = SparkEntry.queries("e14b_range_index")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val brute = SparkEntry.queries("e14_range_search")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(served.nonEmpty, "no rows inside the radius at gate scale")
+    assert(served.subsetOf(brute),
+      s"index-served rows not a subset of brute force: ${served -- brute}")
+  }
+
   /** Non-adaptive snapshot (the Explain audit convention): exchange
     * REUSE only materializes in AQE's final plan, so pins that assert
     * it read the static plan instead of the pre-execution adaptive
@@ -177,5 +197,30 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("hashpartitioning(pair"),
       s"window not hash-partitioned by pair:\n$p")
     assert(!p.contains("No Partition Defined"), s"unpartitioned window:\n$p")
+  }
+
+  test("w16r restricted pair universe: leg + pair filters sit below the window and the bar agg") {
+    val p = staticPlan("w16r_pair_corr_sel")
+    // still the data-derived pair partitioning
+    assert(p.contains("hashpartitioning(pair"),
+      s"window not hash-partitioned by pair:\n$p")
+    val lines = p.linesIterator.toVector
+    // the pair predicate (single-element isin folds to an equality, and
+    // Catalyst folds THAT into the join condition itself) must print
+    // BELOW the Window operator — the window never sees unselected pairs
+    val winIdx = lines.indexWhere(_.contains("Window "))
+    val pairIdx = lines.indexWhere(_.contains("AAPL|MSFT"))
+    assert(winIdx >= 0 && pairIdx > winIdx,
+      s"pair predicate not below the window (win=$winIdx pair=$pairIdx):\n$p")
+    // the leg predicate is on the bar GROUP KEY, so PushDownPredicates
+    // sinks it under the re-bar aggregation all the way onto the events
+    // scan: it must appear in the scan's DataFilters — non-leg event
+    // rows are dropped at read time, before any aggregation or join
+    assert(lines.exists(l => l.contains("DataFilters") && l.contains("IN (AAPL,MSFT)")),
+      s"leg predicate did not reach the events scan's DataFilters:\n$p")
+    // and the restriction is semantically real: only the selected pair
+    val pairsOut = SparkEntry.queries("w16r_pair_corr_sel")(spark, sf)
+      .select("pair").distinct().collect().map(_.getString(0)).toSet
+    assert(pairsOut == Set("AAPL|MSFT"), s"unexpected pairs: $pairsOut")
   }
 }
