@@ -21,7 +21,11 @@ import org.apache.spark.sql.SparkSession
   *     engine, and must not be trusted as a perf signal.
   */
 object Bench {
-  val Iters = 3
+  /** Median-of-N iterations; SPARK_GRAFT_ITERS overrides (the sf100
+    * probe runs the expensive linear tail once — at 1000x data a single
+    * pass per query is the honest budget, and the artifact's `iters`
+    * field records which discipline produced the numbers). */
+  val Iters: Int = sys.env.get("SPARK_GRAFT_ITERS").map(_.toInt).getOrElse(3)
 
   /** The §2 reference-parity queries (one per SURVEY.md §2 operator row).
     * Everything else in `SparkEntry.queries` — joins (j*), dedup (d*),

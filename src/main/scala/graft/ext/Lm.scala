@@ -398,21 +398,51 @@ object Lm {
     merges.foreach { m =>
       // checkpoint per rewrite: K nested aggregate-HOF folds in one
       // projection would stack codegen depth for zero reuse (each pass
-      // is narrow and shuffle-free either way)
-      sym = sym.select(col("doc_id"), bpeApply(col("sym"), m.a, m.b).as("sym"))
-        .localCheckpoint()
+      // is narrow and shuffle-free either way); each link releases its
+      // predecessor so the chain holds ONE corpus copy, not K
+      sym = rollCheckpoint(sym,
+        sym.select(col("doc_id"), bpeApply(col("sym"), m.a, m.b).as("sym")))
     }
     sym.select(col("doc_id"), size(col("sym")).cast("long").as("n_syms"),
       array_join(col("sym"), ";").as("enc"))
   }
 
-  private def bpeTrainLoop(spark: SparkSession, dir: String): Seq[BpeMergeRow] = {
+  /** The materialized RDD behind a localCheckpoint'ed frame — the handle
+    * needed to RELEASE a checkpoint chain link once its successor is
+    * materialized. Targeted (not a getPersistentRDDs diff), so parallel
+    * suites/queries can never unpersist each other's state. */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
+  /** Checkpoint the next chain link and free the previous one. Eager
+    * localCheckpoint materializes `next` BEFORE the release, so the data
+    * is never recomputed; without the release a K-round chain holds K
+    * corpus-sized copies until driver GC gets around to them — the
+    * round-11 K=64 scaling requirement (BpeSpec pins per-round cost and
+    * that at most one predecessor stays persisted). */
+  private def rollCheckpoint(prev: DataFrame, next: DataFrame): DataFrame = {
+    val cp = next.localCheckpoint()
+    checkpointRdd(prev).foreach(_.unpersist(blocking = false))
+    cp
+  }
+
+  /** Test hook for the release discipline (BpeSpec). */
+  private[graft] def rollCheckpointForTest(prev: DataFrame, next: DataFrame): DataFrame =
+    rollCheckpoint(prev, next)
+
+  private[graft] def bpeTrainLoop(spark: SparkSession, dir: String,
+      rounds: Int = BpeRounds,
+      perRoundMillis: Option[scala.collection.mutable.ArrayBuffer[Long]] = None)
+      : Seq[BpeMergeRow] = {
     var sym = Portable.spread(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), Portable.tokens(col("text")).as("sym"))
       .localCheckpoint()
     val rows = scala.collection.mutable.ArrayBuffer.empty[BpeMergeRow]
     var exhausted = false
-    for (r <- 1 to BpeRounds if !exhausted) {
+    for (r <- 1 to rounds if !exhausted) {
+      val t0 = System.nanoTime()
       val top = sym.where(size(col("sym")) >= 2)
         .select(explode(zip_with(
           slice(col("sym"), lit(1), size(col("sym")) - 1),
@@ -430,12 +460,14 @@ object Lm {
         case None => exhausted = true
         case Some(t) =>
           val (a, b, cnt) = (t.getString(0), t.getString(1), t.getLong(2))
-          sym = sym.select(col("doc_id"), bpeApply(col("sym"), a, b).as("sym"))
-            .localCheckpoint()
+          sym = rollCheckpoint(sym,
+            sym.select(col("doc_id"), bpeApply(col("sym"), a, b).as("sym")))
           val nSyms = sym.agg(sum(size(col("sym")))).head().getLong(0)
           rows += BpeMergeRow(r.toLong, a, b, cnt, nSyms)
       }
+      perRoundMillis.foreach(_ += (System.nanoTime() - t0) / 1000000L)
     }
+    checkpointRdd(sym).foreach(_.unpersist(blocking = false))
     rows.toSeq
   }
 

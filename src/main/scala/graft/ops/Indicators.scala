@@ -339,10 +339,15 @@ object Indicators {
 
   /** Unrounded window-tier columns — what IchimokuScanSpec bit-compares
     * against [[IchimokuScan]]'s equally-unrounded output. */
-  def ichimokuWindowsRaw(s: SparkSession, dir: String): DataFrame = {
+  def ichimokuWindowsRaw(s: SparkSession, dir: String): DataFrame =
+    ichimokuCols(Bars(s, dir))
+
+  /** The same cascade over ANY bars frame (the streaming twin's batch
+    * side reuses this — one formula definition for all three tiers). */
+  def ichimokuCols(bars: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{lag => slag, lead => slead}
     def mid(n: Int) = (rmax(col("high"), n) + rmin(col("low"), n)) / 2.0
-    val l1 = Bars(s, dir).select(col("symbol"), col("datetime"), col("close"),
+    val l1 = bars.select(col("symbol"), col("datetime"), col("close"),
       mid(9).as("tenkan"), mid(26).as("kijun"), mid(52).as("span_b0"),
       slead(col("close"), 26).over(Rolling.W).as("chikou"))
     l1.select(col("symbol"), col("datetime"), col("close"),

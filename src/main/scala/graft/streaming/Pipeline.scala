@@ -548,7 +548,14 @@ object Pipeline {
     * past this much processing time, the other leg is treated as dropped
     * and the record expires (TTL, not a timer — eviction is lazy and
     * costs nothing per element). One hour ≫ any real ingest skew between
-    * two legs of the same bar grid. */
+    * two legs of the same bar grid. State TTL requires
+    * TimeMode.ProcessingTime, which makes the trigger loop itself
+    * processing-time-driven — right for a continuously-running
+    * deployment (pass Some(PairLegTtl)), but a drain-and-stop harness
+    * like MemoryStream + processAllAvailable never reaches quiescence
+    * under it (observed: the pairs spec spun empty batches for 12+
+    * minutes), so the default is off and the specs pin the
+    * TimeMode.None path. */
   val PairLegTtl: java.time.Duration = java.time.Duration.ofHours(1)
 
   /** One leg-aligned spread observation — the t6 strategy's input grain. */
@@ -565,21 +572,22 @@ object Pipeline {
   /** Stage 1 of the streaming pairs strategy: align the two legs of
     * (symA, symB) on the bar grid. Keyed by the bar MINUTE — the state
     * is one small record per UNMATCHED minute (cleared the moment both
-    * legs arrive), so it is bounded by leg skew, not by history — and a
-    * state TTL (`legTtl`, default one hour of processing time) expires
-    * minutes where the other leg never arrives, so a permanent leg
-    * dropout cannot leak one record per minute forever. Cents
-    * quantization matches the batch t6's round(close*100) exactly
-    * (prices are positive, so half-up ≡ half-away-from-zero).
+    * legs arrive), so it is bounded by leg skew, not by history — and an
+    * optional state TTL (`legTtl`, see [[PairLegTtl]]) expires minutes
+    * where the other leg never arrives, so a permanent leg dropout
+    * cannot leak one record per minute forever. Cents quantization
+    * matches the batch t6's round(close*100) exactly (prices are
+    * positive, so half-up ≡ half-away-from-zero).
     */
   class PairSpreadProcessor(symA: String, symB: String,
-      legTtl: java.time.Duration = PairLegTtl)
+      legTtl: Option[java.time.Duration] = None)
       extends StatefulProcessor[java.sql.Timestamp, Bar, SpreadRow] {
     @transient private var leg: org.apache.spark.sql.streaming.ValueState[PairLegState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       leg = getHandle.getValueState[PairLegState]("leg",
-        org.apache.spark.sql.Encoders.product[PairLegState], TTLConfig(legTtl))
+        org.apache.spark.sql.Encoders.product[PairLegState],
+        legTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
     }
 
     override def handleInputRows(key: java.sql.Timestamp, rows: Iterator[Bar],
@@ -650,16 +658,17 @@ object Pipeline {
     * exclusion as every incremental indicator store; stage-1 carry-over
     * within that contract is pinned by the spec.
     */
-  def pairsStrategy(bars: Dataset[Bar], symA: String, symB: String)
-      : Dataset[PairSignalRow] = {
+  def pairsStrategy(bars: Dataset[Bar], symA: String, symB: String,
+      legTtl: Option[java.time.Duration] = None): Dataset[PairSignalRow] = {
     import bars.sparkSession.implicits._
     bars.filter(b => b.symbol == symA || b.symbol == symB)
       .groupByKey(_.datetime)
-      // ProcessingTime mode: required for the leg-state TTL (state TTL
-      // is processing-time-based); no timers are registered, so the
-      // operator's row-for-row output is unchanged from TimeMode.None
-      .transformWithState(new PairSpreadProcessor(symA, symB),
-        TimeMode.ProcessingTime(), OutputMode.Append())
+      // with a TTL the mode must be ProcessingTime (state TTL is
+      // processing-time-based); no timers are registered either way, so
+      // the operator's row-for-row output is identical in both modes
+      .transformWithState(new PairSpreadProcessor(symA, symB, legTtl),
+        if (legTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
       .groupByKey(_.pair)
       .transformWithState(new PairZScoreProcessor(),
         TimeMode.None(), OutputMode.Append())
@@ -692,6 +701,233 @@ object Pipeline {
         expr("((n*s - sm)*(n*s - sm) * 1000) div (n*ss - sm*sm)"))
         .otherwise(-1L).as("milli_z2"))
   }
+
+  // ---- streaming w16: rolling pair correlation (round-11 task 7) ----
+
+  /** One leg-aligned (x, y) cents observation — streaming w16's grain. */
+  final case class PairObsRow(pair: String, datetime: java.sql.Timestamp,
+      x: Long, y: Long)
+
+  /** Streaming w16 output: pair, time, both legs, and the 20-bar Pearson
+    * (None until the window fills or when a leg is flat — exactly the
+    * batch query's NULL cases). */
+  final case class PairCorrRow(pair: String, datetime: java.sql.Timestamp,
+      x: Long, y: Long, corr20: Option[Double])
+
+  /** Stage 1 of streaming w16: align both legs on the bar grid, emitting
+    * the PAIR of cents values (t6's [[PairSpreadProcessor]] collapses
+    * them to a spread; correlation needs both). Same minute-keyed
+    * bounded state + TTL discipline. */
+  class PairObsProcessor(symA: String, symB: String,
+      legTtl: Option[java.time.Duration] = None)
+      extends StatefulProcessor[java.sql.Timestamp, Bar, PairObsRow] {
+    @transient private var leg: org.apache.spark.sql.streaming.ValueState[PairLegState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      leg = getHandle.getValueState[PairLegState]("leg",
+        org.apache.spark.sql.Encoders.product[PairLegState],
+        legTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    }
+
+    override def handleInputRows(key: java.sql.Timestamp, rows: Iterator[Bar],
+        timers: TimerValues): Iterator[PairObsRow] = {
+      var st = Option(leg.get()).getOrElse(PairLegState(0L, false, 0L, false))
+      for (b <- rows) {
+        val cents = math.round(b.close * 100)
+        if (b.symbol == symA) st = st.copy(aCents = cents, aSeen = true)
+        else if (b.symbol == symB) st = st.copy(bCents = cents, bSeen = true)
+      }
+      if (st.aSeen && st.bSeen) {
+        leg.clear()
+        Iterator.single(PairObsRow(s"$symA|$symB", key, st.aCents, st.bCents))
+      } else {
+        leg.update(st)
+        Iterator.empty
+      }
+    }
+  }
+
+  /** Stage 2: 20-bar rolling Pearson over a bounded per-pair buffer of
+    * (x, y) cents — the batch w16's EXACT integer sufficient statistics
+    * (n·Sxy−Sx·Sy etc. all BIGINT), with only the final two sqrts and
+    * one division in doubles, so stream ≡ batch bit-for-bit. O(n) longs
+    * of state per pair. */
+  class PairCorrProcessor(n: Int = 20)
+      extends StatefulProcessor[String, PairObsRow, PairCorrRow] {
+    @transient private var buf: ListState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[(Long, Long)]("obs",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[PairObsRow],
+        timers: TimerValues): Iterator[PairCorrRow] = {
+      val batch = rows.toArray.sortBy(_.datetime.getTime)
+      if (batch.isEmpty) return Iterator.empty
+      var b = buf.get().toList
+      val out = batch.map { r =>
+        b = (b :+ ((r.x, r.y))).takeRight(n)
+        val corr =
+          if (b.length < n) None
+          else {
+            val cnt = n.toLong
+            val sx = b.foldLeft(0L)(_ + _._1)
+            val sy = b.foldLeft(0L)(_ + _._2)
+            val sxy = b.foldLeft(0L)((a, v) => a + v._1 * v._2)
+            val sxx = b.foldLeft(0L)((a, v) => a + v._1 * v._1)
+            val syy = b.foldLeft(0L)((a, v) => a + v._2 * v._2)
+            val dx = cnt * sxx - sx * sx
+            val dy = cnt * syy - sy * sy
+            if (dx > 0 && dy > 0)
+              Some((cnt * sxy - sx * sy).toDouble /
+                (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble)))
+            else None
+          }
+        PairCorrRow(r.pair, r.datetime, r.x, r.y, corr)
+      }
+      buf.put(b.toArray)
+      out.iterator
+    }
+  }
+
+  /** The streaming w16 for one symbol pair — two chained stateful
+    * operators, exactly the [[pairsStrategy]] layout with the z-score
+    * gate swapped for the Pearson window. Same ordering contract. */
+  def pairCorrStrategy(bars: Dataset[Bar], symA: String, symB: String,
+      legTtl: Option[java.time.Duration] = None): Dataset[PairCorrRow] = {
+    import bars.sparkSession.implicits._
+    bars.filter(b => b.symbol == symA || b.symbol == symB)
+      .groupByKey(_.datetime)
+      .transformWithState(new PairObsProcessor(symA, symB, legTtl),
+        if (legTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+      .groupByKey(_.pair)
+      .transformWithState(new PairCorrProcessor(),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Batch twin of [[pairCorrStrategy]] — the w16 window algebra
+    * restricted to one pair, for the StreamingSpec equality pin. */
+  def pairCorrBatch(bars: DataFrame, symA: String, symB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = bars.where(col("symbol").isin(symA, symB))
+      .select(col("symbol"), col("datetime"),
+        round(col("close") * 100, 0).cast("long").as("cents"))
+    val xy = c.as("a").join(c.as("b"),
+        col("a.datetime") === col("b.datetime") && col("a.symbol") < col("b.symbol"))
+      .select(concat(col("a.symbol"), lit("|"), col("b.symbol")).as("pair"),
+        col("a.datetime").as("datetime"),
+        col("a.cents").as("x"), col("b.cents").as("y"))
+    val win = Window.partitionBy("pair").orderBy("datetime")
+      .rowsBetween(-19, Window.currentRow)
+    val w = xy.select(col("pair"), col("datetime"), col("x"), col("y"),
+      count(lit(1)).over(win).as("n"),
+      sum(col("x")).over(win).as("sx"), sum(col("y")).over(win).as("sy"),
+      sum(col("x") * col("y")).over(win).as("sxy"),
+      sum(col("x") * col("x")).over(win).as("sxx"),
+      sum(col("y") * col("y")).over(win).as("syy"))
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    w.select(col("pair"), col("datetime"), col("x"), col("y"),
+      when(col("n") === 20 && dx > 0 && dy > 0,
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
+        .otherwise(lit(null).cast("double")).as("corr20"))
+  }
+
+  // ---- streaming w17: Ichimoku cloud (round-11 task 7) ----
+
+  /** Streaming w17 output row (None ≡ the batch columns' NULLs). */
+  final case class IchimokuRow(symbol: String, datetime: java.sql.Timestamp,
+      close: Double, tenkan: Option[Double], kijun: Option[Double],
+      senkouA: Option[Double], senkouB: Option[Double], chikou: Option[Double])
+
+  /** Bounded per-symbol Ichimoku state: the last ≤52 (high, low) bars
+    * (the longest midpoint frame), the ≤26-deep FIFO of derived midline
+    * values (the senkou 26-bar lag), and the ≤26 rows awaiting their
+    * `lead(close, 26)` — the identical three buffers
+    * [[graft.ops.IchimokuScan]] replays per chunk, here persisted
+    * between micro-batches. ~104 doubles + 26 small rows per symbol. */
+  final case class IchiPend(datetime: java.sql.Timestamp, close: Double,
+      tenkan: Option[Double], kijun: Option[Double],
+      senkouA: Option[Double], senkouB: Option[Double])
+  final case class IchiState(hs: Seq[Double], ls: Seq[Double], n: Long,
+      fifoA: Seq[Option[Double]], fifoB: Seq[Option[Double]],
+      pending: Seq[IchiPend])
+
+  /** Streaming w17: a row EMITS when its 26-bars-later close arrives
+    * (lead(close, 26) is future-dependent — the only indicator here that
+    * must wait), so the stream's output equals the batch cascade's rows
+    * WHERE chikou IS NOT NULL; the trailing 26 bars of a key stay
+    * pending until more data comes (an unbounded stream never ends, so
+    * lead()'s end-of-series NULLs never materialize). Every emitted
+    * double is the identical IEEE expression on the identical operands
+    * — stream ≡ batch bit-for-bit. */
+  class IchimokuProcessor
+      extends StatefulProcessor[String, Bar, IchimokuRow] {
+    private val Lead = 26
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[IchiState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[IchiState]("ichi",
+        org.apache.spark.sql.Encoders.product[IchiState], TTLConfig.NONE)
+    }
+
+    private def mid(hs: Seq[Double], ls: Seq[Double], n: Long, w: Int): Option[Double] =
+      if (n < w) None
+      else Some((hs.takeRight(w).max + ls.takeRight(w).min) / 2.0)
+
+    override def handleInputRows(key: String, rows: Iterator[Bar],
+        timers: TimerValues): Iterator[IchimokuRow] = {
+      val batch = rows.toArray.sortBy(_.datetime.getTime)
+      if (batch.isEmpty) return Iterator.empty
+      var s = Option(st.get()).getOrElse(
+        IchiState(Nil, Nil, 0L, Nil, Nil, Nil))
+      val out = scala.collection.mutable.ArrayBuffer.empty[IchimokuRow]
+      batch.foreach { b =>
+        // the arriving close completes (emits) the row 26 back
+        val (popped, rest) =
+          if (s.pending.length == Lead) (Some(s.pending.head), s.pending.tail)
+          else (None, s.pending)
+        popped.foreach { p =>
+          out += IchimokuRow(key, p.datetime, p.close, p.tenkan, p.kijun,
+            p.senkouA, p.senkouB, Some(b.close))
+        }
+        val hs = (s.hs :+ b.high).takeRight(52)
+        val ls = (s.ls :+ b.low).takeRight(52)
+        val n = s.n + 1
+        val tenkan = mid(hs, ls, n, 9)
+        val kijun = mid(hs, ls, n, 26)
+        val spanB0 = mid(hs, ls, n, 52)
+        val aSrc = for (t <- tenkan; k <- kijun) yield (t + k) / 2.0
+        val (senkouA, senkouB, fa, fb) =
+          if (s.fifoA.length == Lead)
+            (s.fifoA.head, s.fifoB.head, s.fifoA.tail :+ aSrc, s.fifoB.tail :+ spanB0)
+          else (None, None, s.fifoA :+ aSrc, s.fifoB :+ spanB0)
+        s = IchiState(hs, ls, n, fa, fb,
+          rest :+ IchiPend(b.datetime, b.close, tenkan, kijun, senkouA, senkouB))
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** Streaming w17 over a bar stream. */
+  def ichimoku(bars: Dataset[Bar]): Dataset[IchimokuRow] = {
+    import bars.sparkSession.implicits._
+    bars.groupByKey(_.symbol)
+      .transformWithState(new IchimokuProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Batch twin of [[ichimoku]] — the w17 window cascade over the same
+    * frames (ONE formula definition, `Indicators.ichimokuCols`, shared
+    * by the window tier, the scan tier, and this pin). */
+  def ichimokuBatch(bars: DataFrame): DataFrame =
+    graft.ops.Indicators.ichimokuCols(bars)
 
   /** Streaming gap sessionization — the streaming twin of the batch
     * `a6_sessionize` operator, on Spark's native session windows: each

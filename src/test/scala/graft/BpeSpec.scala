@@ -61,4 +61,60 @@ class BpeSpec extends SparkTestBase {
       prev = nSyms
     }
   }
+
+  test("checkpoint chain releases each predecessor; the live link stays persisted") {
+    import org.apache.spark.storage.StorageLevel
+    var df = spark.range(0, 1000).toDF("id").localCheckpoint()
+    var links = List(df)
+    (1 to 5).foreach { _ =>
+      df = Lm.rollCheckpointForTest(df, df.select((col("id") + 1).as("id")))
+      links ::= df
+    }
+    def rddOf(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.logical.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.get
+    // head = live link: persisted; every predecessor: released
+    assert(rddOf(links.head).getStorageLevel != StorageLevel.NONE,
+      "live checkpoint must stay persisted")
+    links.tail.foreach { d =>
+      assert(rddOf(d).getStorageLevel == StorageLevel.NONE,
+        "predecessor checkpoint not released")
+    }
+    // and the chain still computes the right thing after the releases
+    assert(df.agg(sum(col("id"))).head().getLong(0) == (5L until 1005L).sum)
+  }
+
+  test("K=64 merge rounds: flat per-round cost, monotone symbol shrink (round-11 task 5)") {
+    val times = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val merges = Lm.bpeTrainLoop(spark, sf, rounds = 64, perRoundMillis = Some(times))
+    assert(merges.length == times.length)
+    assert(merges.length >= 32,
+      s"gate corpus exhausted after only ${merges.length} rounds — grow the fixture")
+    // each round: one pair-count pass + 1-row argmax + narrow rewrite on
+    // a RELEASED-predecessor checkpoint chain — cost must not grow with
+    // the round index (lineage or persisted-copy accumulation would show
+    // as a ramp). Median of the last quarter vs median of the first
+    // quarter (after the 4-round JIT/codegen warmup), generous 4x slack
+    // for GC noise on a shared box.
+    def median(xs: Seq[Long]): Long = {
+      val s = xs.sorted; s(s.length / 2)
+    }
+    val q = times.length / 4
+    val early = median(times.slice(4, 4 + q).toSeq)
+    val late = median(times.takeRight(q).toSeq)
+    assert(late <= early * 4,
+      s"per-round cost ramps: early median ${early}ms, late median ${late}ms " +
+        s"(all: ${times.mkString(",")})")
+    // the trained table is a real prefix-consistent extension: rounds
+    // 1..BpeRounds equal the K=5 production table (same argmax path)
+    val k5 = Lm.bpeTrain(spark, sf).collect().map(_.toSeq).toSeq
+    assert(merges.take(Lm.BpeRounds).map(m =>
+      Seq(m.round, m.a, m.b, m.cnt, m.n_syms)) == k5)
+    // symbol count strictly shrinks every round
+    merges.sliding(2).foreach {
+      case Seq(x, y) => assert(y.n_syms < x.n_syms)
+      case _ => ()
+    }
+  }
 }

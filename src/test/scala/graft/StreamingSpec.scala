@@ -625,4 +625,110 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == fromGrid,
       s"streamed slots != batch grid (${streamed.size} vs ${fromGrid.size} non-zero)")
   }
+
+  test("streaming w16 pair correlation equals the batch window algebra bit-for-bit") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // correlated legs with drift + independent wobble so corr20 spans
+      // positive, negative, and near-zero regimes
+      def mkLeg(sym: String, i: Int): Bar = {
+        val base = 100.0 + 10.0 * math.sin(i * 0.25)
+        val close =
+          if (sym == "AAPL") base + 3.0 * math.sin(i * 0.9)
+          else 120.0 - base + 2.0 * math.cos(i * 1.3)
+        bar(sym, i).copy(open = close, high = close + 1, low = close - 1, close = close)
+      }
+      val bars = for (sym <- Seq("AAPL", "MSFT"); i <- 0 until 60) yield mkLeg(sym, i)
+
+      val input = MemoryStream[Bar](spark)
+      val q = Pipeline.pairCorrStrategy(input.toDS(), "AAPL", "MSFT")
+        .writeStream.format("memory").queryName("paircorr")
+        .outputMode("append").start()
+      val cut = bars.find(_.symbol == "AAPL").get.datetime.getTime + 30 * 1000
+      val (w1, w2) = bars.partition(_.datetime.getTime < cut)
+      input.addData(w1: _*); q.processAllAvailable()
+      input.addData(w2: _*); q.processAllAvailable()
+      q.stop()
+
+      def key(r: Row) =
+        (r.getAs[String]("pair"), r.getAs[java.sql.Timestamp]("datetime"))
+      def vals(r: Row) = (r.getAs[Long]("x"), r.getAs[Long]("y"),
+        Option(r.getAs[java.lang.Double]("corr20")).map(_.doubleValue))
+      val streamed = spark.table("paircorr").collect().map(r => key(r) -> vals(r)).toMap
+      val batch = Pipeline.pairCorrBatch(bars.toDF(), "AAPL", "MSFT")
+        .collect().map(r => key(r) -> vals(r)).toMap
+      assert(streamed.size == 60 && batch.size == 60)
+      val diffs = batch.keys.filter(k => streamed(k) != batch(k))
+      assert(diffs.isEmpty,
+        s"${diffs.size} rows diverge, e.g. ${diffs.headOption.map(k => (k, streamed(k), batch(k)))}")
+      // the window actually filled and the corr actually moved
+      val defined = batch.values.flatMap(_._3).toSeq
+      assert(defined.nonEmpty, "corr20 never defined")
+      assert(defined.exists(_ > 0.3) || defined.exists(_ < -0.3), "corr never left zero")
+    } finally {
+      spark.streams.active.foreach(_.stop())
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming w17 ichimoku equals the batch cascade on every completed row") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def mkBar(sym: String, i: Int): Bar = {
+        val c = 100.0 + 15.0 * math.sin(i * 0.11) + (if (sym == "AAPL") 0.0 else 7.0)
+        bar(sym, i).copy(open = c, high = c + 1 + (i % 3), low = c - 1 - (i % 5), close = c)
+      }
+      // 120 bars per symbol: senkou_b first defines at bar 52+26 = 78,
+      // and only the first 120-26 = 94 rows complete their lead — so the
+      // COMPARED frame (completed rows) includes defined senkou_b rows
+      val bars = for (sym <- Seq("AAPL", "MSFT"); i <- 0 until 120) yield mkBar(sym, i)
+
+      val input = MemoryStream[Bar](spark)
+      val q = Pipeline.ichimoku(input.toDS())
+        .writeStream.format("memory").queryName("ichi_stream")
+        .outputMode("append").start()
+      // three waves: boundaries land inside the 52-raw window AND the
+      // 26-deep pending queue, exercising cross-batch state carry
+      val t0 = bars.find(_.symbol == "AAPL").get.datetime.getTime
+      val w1 = bars.filter(_.datetime.getTime < t0 + 40 * 1000)
+      val w2 = bars.filter(b => b.datetime.getTime >= t0 + 40 * 1000 &&
+        b.datetime.getTime < t0 + 81 * 1000)
+      val w3 = bars.filter(_.datetime.getTime >= t0 + 81 * 1000)
+      input.addData(w1: _*); q.processAllAvailable()
+      input.addData(w2: _*); q.processAllAvailable()
+      input.addData(w3: _*); q.processAllAvailable()
+      q.stop()
+
+      def key(r: Row) =
+        (r.getAs[String]("symbol"), r.getAs[java.sql.Timestamp]("datetime"))
+      def d(r: Row, c: String): Option[Double] =
+        Option(r.getAs[java.lang.Double](c)).map(_.doubleValue)
+      val streamed = spark.table("ichi_stream").collect().map { r =>
+        key(r) -> (r.getAs[Double]("close"), d(r, "tenkan"), d(r, "kijun"),
+          d(r, "senkouA"), d(r, "senkouB"), d(r, "chikou"))
+      }.toMap
+      // a stream never ends, so rows whose lead(close, 26) is still
+      // pending haven't emitted: the comparable frame is the batch rows
+      // WHERE chikou IS NOT NULL (the first N-26 bars per symbol)
+      val batch = Pipeline.ichimokuBatch(bars.toDF())
+        .where(col("chikou").isNotNull).collect().map { r =>
+        key(r) -> (r.getAs[Double]("close"), d(r, "tenkan"), d(r, "kijun"),
+          d(r, "senkou_a"), d(r, "senkou_b"), d(r, "chikou"))
+      }.toMap
+      assert(batch.size == 2 * (120 - 26))
+      assert(streamed.size == batch.size,
+        s"stream emitted ${streamed.size} rows, batch has ${batch.size} completed")
+      val diffs = batch.keys.filter(k => streamed(k) != batch(k))
+      assert(diffs.isEmpty,
+        s"${diffs.size} rows diverge, e.g. ${diffs.headOption.map(k => (k, streamed(k), batch(k)))}")
+      // every column actually engaged (non-null somewhere)
+      assert(batch.values.exists(_._4.isDefined), "senkou_a never defined")
+      assert(batch.values.exists(_._5.isDefined), "senkou_b never defined")
+    } finally {
+      spark.streams.active.foreach(_.stop())
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
