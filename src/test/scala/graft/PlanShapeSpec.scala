@@ -213,11 +213,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(winIdx >= 0 && pairIdx > winIdx,
       s"pair predicate not below the window (win=$winIdx pair=$pairIdx):\n$p")
     // the leg predicate is on the bar GROUP KEY, so PushDownPredicates
-    // sinks it under the re-bar aggregation all the way onto the events
-    // scan: it must appear in the scan's DataFilters — non-leg event
-    // rows are dropped at read time, before any aggregation or join
-    assert(lines.exists(l => l.contains("DataFilters") && l.contains("IN (AAPL,MSFT)")),
-      s"leg predicate did not reach the events scan's DataFilters:\n$p")
+    // sinks it under the re-bar aggregation onto the raw event rows: the
+    // pushed form is rewritten in terms of user_id (symbolFor's input),
+    // a column that EXISTS only below the aggregation — so a Filter line
+    // mentioning both is proof of placement. (Don't key on the scan's
+    // DataFilters text: that line truncates at a width the suite's
+    // longer expression ids overflow, which flapped this pin once.)
+    assert(lines.exists(l => l.contains("Filter") &&
+        l.contains("IN (AAPL,MSFT)") && l.contains("user_id")),
+      s"leg predicate not pushed below the bar aggregation:\n$p")
     // and the restriction is semantically real: only the selected pair
     val pairsOut = SparkEntry.queries("w16r_pair_corr_sel")(spark, sf)
       .select("pair").distinct().collect().map(_.getString(0)).toSet
