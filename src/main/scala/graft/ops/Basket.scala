@@ -56,18 +56,30 @@ import org.apache.spark.sql.functions._
   * the artifact content on every query.
   */
 object CoPurchase {
-  /** Bucket count for the graph artifacts — matches the engine's
-    * shuffle-partition sizing at the bench scale; a 100 TB deployment
-    * raises it with the cluster (the artifact is rebuilt per corpus
-    * fingerprint, so the count is free to change between corpora). */
-  val Buckets = 32
+  /** Bucket count for the graph artifacts, derived from the SOURCE
+    * bytes at build time (round-11 sf100 finding: a CONSTANT width
+    * means per-bucket payload grows linearly with the corpus — at 1.2B
+    * edges each of 32 buckets carried ~100× the sf10 slice and the
+    * exchange-free joins' per-task working sets crossed the
+    * memory→disk boundary). One bucket per ~32 MB of lineitem parquet,
+    * floored at the bench-scale 32 (gate/sf1/sf10 artifact identities —
+    * and their on-disk layouts — are unchanged), capped at 1024. The
+    * bucket spec is part of the artifact NAME (Layout's contract), so a
+    * resize is a rebuild under a new identity, never a mixed layout. */
+  def buckets(s: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    math.max(32L, math.min(1024L, bytes / (32L << 20) + 1)).toInt
+  }
 
   private def fp(s: SparkSession, dir: String): String =
     Layout.sourceFingerprint(s, s"$dir/lineitem.parquet")
 
   /** Distinct (ok, pk) basket rows, bucketed by order key. */
   def basket(s: SparkSession, dir: String): DataFrame =
-    Layout.ensureBucketedArtifact(s, s"graft_basket_${fp(s, dir)}", "ok", Buckets) {
+    Layout.ensureBucketedArtifact(s, s"graft_basket_${fp(s, dir)}", "ok",
+        buckets(s, dir)) {
       Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -76,7 +88,8 @@ object CoPurchase {
   /** The pair-support edge list (u, v, supp), u < v — THE Σ|basket|²
     * self-join, paid once per corpus instead of once per graph query. */
   def pairs(s: SparkSession, dir: String): DataFrame =
-    Layout.ensureBucketedArtifact(s, s"graft_cop_pairs_${fp(s, dir)}", "u", Buckets) {
+    Layout.ensureBucketedArtifact(s, s"graft_cop_pairs_${fp(s, dir)}", "u",
+        buckets(s, dir)) {
       val b = basket(s, dir)
       b.as("a")
         .join(b.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
@@ -87,7 +100,8 @@ object CoPurchase {
   /** Symmetric directed closure of [[pairs]] (every co-purchase pair in
     * both directions), bucketed by source vertex. */
   def symEdges(s: SparkSession, dir: String): DataFrame =
-    Layout.ensureBucketedArtifact(s, s"graft_cop_sym_${fp(s, dir)}", "u", Buckets) {
+    Layout.ensureBucketedArtifact(s, s"graft_cop_sym_${fp(s, dir)}", "u",
+        buckets(s, dir)) {
       val p = pairs(s, dir).select(col("u"), col("v"))
       p.unionAll(p.select(col("v").as("u"), col("u").as("v")))
     }

@@ -59,7 +59,7 @@ class ArtifactSpec extends SparkTestBase {
     // simulate a fresh session over existing artifact files by dropping
     // only the catalog entry (files survive: external table semantics)
     val fp = Layout.sourceFingerprint(spark, s"$sf/lineitem.parquet")
-    val tbl = s"graft_cop_sym_${fp}_u_b${graft.ops.CoPurchase.Buckets}"
+    val tbl = s"graft_cop_sym_${fp}_u_b${graft.ops.CoPurchase.buckets(spark, sf)}"
     val before = CoPurchase.symEdges(spark, sf).count()
     spark.sql(s"DROP TABLE $tbl")
     assert(!spark.catalog.tableExists(tbl))
