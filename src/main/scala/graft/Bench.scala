@@ -25,7 +25,27 @@ object Bench {
     * probe runs the expensive linear tail once — at 1000x data a single
     * pass per query is the honest budget, and the artifact's `iters`
     * field records which discipline produced the numbers). */
-  val Iters: Int = sys.env.get("SPARK_GRAFT_ITERS").map(_.toInt).getOrElse(3)
+  val Iters: Int = {
+    val raw = sys.env.get("SPARK_GRAFT_ITERS")
+    val n = raw.map { s =>
+      try s.toInt
+      catch { case _: NumberFormatException =>
+        sys.error(s"SPARK_GRAFT_ITERS must be a positive integer, got '$s'")
+      }
+    }.getOrElse(3)
+    require(n >= 1, s"SPARK_GRAFT_ITERS must be >= 1, got $n")
+    n
+  }
+
+  /** Bench runs with the determinism sort OFF by default (see
+    * [[Q.determinismSort]]): the noop sink needs no row order, and the
+    * single-reducer sort scaled with egress size — at sf100 it was ~10x
+    * the operator cost on 5M-row outputs. `SPARK_GRAFT_DETSORT=on`
+    * re-enables it for A/B against pre-round-12 artifacts; the artifact
+    * records which discipline ran via `det_sort`. Correctness is
+    * unaffected: [[Verify]] never touches the toggle, so the gate dumps
+    * stay totally ordered. */
+  val DetSort: Boolean = sys.env.get("SPARK_GRAFT_DETSORT").contains("on")
 
   /** The §2 reference-parity queries (one per SURVEY.md §2 operator row).
     * Everything else in `SparkEntry.queries` — joins (j*), dedup (d*),
@@ -110,6 +130,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.Q.determinismSort = DetSort
     val codegenErrors = installCodegenErrorCounter()
 
     // Per-query failures must be FIRST-CLASS in the artifact. The first
@@ -196,7 +217,7 @@ object Bench {
       } + "\""
     val errJson = queryErrors
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","core_survey2_sec":$core,"iters":$Iters,"codegen_errors":${codegenErrors.get()},"n_query_errors":${queryErrors.size},"errors":$errJson,"loadavg_1m":$loadavg,"shuffle_partitions":$shufflePartitions,"allowlist":$allowJson,"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","core_survey2_sec":$core,"iters":$Iters,"det_sort":$DetSort,"codegen_errors":${codegenErrors.get()},"n_query_errors":${queryErrors.size},"errors":$errJson,"loadavg_1m":$loadavg,"shuffle_partitions":$shufflePartitions,"allowlist":$allowJson,"queries":$qs,"sf":"$sfDir"}"""
     // The FULL line prints first — a failed file write (unwritable
     // path, cross-filesystem atomic move) can never lose the stdout
     // artifact of a possibly hours-long run.
@@ -213,7 +234,7 @@ object Bench {
     // line is truncated. The full line stays FIRST and unchanged for
     // consumers that read complete stdout; the trailer is marked
     // "trailer":true so the two are distinguishable.
-    val trailer = s"""{"metric":"total","value":$total,"unit":"sec","core_survey2_sec":$core,"iters":$Iters,"codegen_errors":${codegenErrors.get()},"n_query_errors":${queryErrors.size},"loadavg_1m":$loadavg,"shuffle_partitions":$shufflePartitions,"n_queries":${results.size},"trailer":true,"sf":"$sfDir"}"""
+    val trailer = s"""{"metric":"total","value":$total,"unit":"sec","core_survey2_sec":$core,"iters":$Iters,"det_sort":$DetSort,"codegen_errors":${codegenErrors.get()},"n_query_errors":${queryErrors.size},"loadavg_1m":$loadavg,"shuffle_partitions":$shufflePartitions,"n_queries":${results.size},"trailer":true,"sf":"$sfDir"}"""
     println(trailer)
     // The full artifact is ALSO written by Bench ITSELF — to
     // SPARK_GRAFT_BENCH_OUT when set, defaulting to .bench/last.json —

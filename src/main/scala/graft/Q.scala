@@ -46,15 +46,29 @@ object Q {
     */
   def r6(c: Column): Column = round(c * lit(1e6), 0) / lit(1e6)
 
+  /** Harness-wide determinism-sort switch. `true` (the default, and what
+    * [[graft.Verify]] runs under) keeps [[sorted]]'s total order — the
+    * DuckDB hash compare at the gate SFs is row-order-sensitive, so the
+    * dump MUST be totally ordered there. [[graft.Bench]] sets it `false`:
+    * bench times the operator through the `noop` sink, where the
+    * single-reducer sort is pure harness tax that grows with EGRESS size
+    * — at sf100 it dominated x_classifier_score (662 s for a map-side
+    * fold, ~10x the operator; SCALING.md sf100 finding #3). A production
+    * sink keeps the natural partitioning exactly like the `false` arm.
+    */
+  @volatile var determinismSort: Boolean = true
+
   /** Deterministic total order for the output dump WITHOUT `orderBy`:
     * global `orderBy` plans a RangePartitioning exchange whose bounds
     * sampling RE-EXECUTES the entire upstream plan — every query paid
     * ~2x its own cost for a sort that exists only so the DuckDB compare
     * is order-stable. One shuffled partition + an in-partition sort gives
     * the same total order in one pass; verification outputs are dump-
-    * sized, so the single reducer is irrelevant. (A production sink
-    * would keep the natural partitioning and skip the sort entirely.)
+    * sized, so the single reducer is irrelevant. Under
+    * [[determinismSort]] = false (bench/production) the frame passes
+    * through untouched — natural partitioning, no exchange, no sort.
     */
   def sorted(df: DataFrame, keys: String*): DataFrame =
-    df.repartition(1).sortWithinPartitions(keys.map(col): _*)
+    if (determinismSort) df.repartition(1).sortWithinPartitions(keys.map(col): _*)
+    else df
 }

@@ -59,15 +59,32 @@ object Classifier {
 
   /** Write the model file if absent (idempotent; the synthetic generator
     * stands in for the training job — a real deployment replaces this
-    * call with its trained (bucket, milli_w) dump at the same path). */
+    * call with its trained (bucket, milli_w) dump at the same path).
+    * Commit protocol: write to a temp path, then RENAME into place —
+    * `this.synchronized` only serializes one JVM, and the _SUCCESS
+    * check-then-overwrite was not atomic across processes sharing a
+    * warehouse (an interleaved reader could catch a half-written
+    * directory as a spurious bucket-gap failure). The rename is the
+    * atomic publish; a concurrent winner makes the rename fail, which
+    * is fine — the published artifact is already valid. */
   def ensureWeightsArtifact(spark: SparkSession): String = this.synchronized {
     val p = weightsPath(spark)
     val hp = new org.apache.hadoop.fs.Path(p)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(hp, "_SUCCESS")))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(hp, "_SUCCESS"))) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        hp.getParent, s".${hp.getName}.tmp-${java.util.UUID.randomUUID}")
       spark.range(Buckets)
         .select(col("id").as("bucket"), milliWeight(col("id")).as("milli_w"))
-        .coalesce(1).write.mode("overwrite").parquet(p)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(hp, true)
+      if (!fs.rename(tmp, hp)) {
+        // lost the publish race to another process: keep theirs
+        fs.delete(tmp, true)
+        require(fs.exists(new org.apache.hadoop.fs.Path(hp, "_SUCCESS")),
+          s"weights artifact $p: rename failed and no committed artifact exists")
+      }
+    }
     p
   }
 

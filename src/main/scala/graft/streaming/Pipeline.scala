@@ -751,7 +751,15 @@ object Pipeline {
     * (x, y) cents — the batch w16's EXACT integer sufficient statistics
     * (n·Sxy−Sx·Sy etc. all BIGINT), with only the final two sqrts and
     * one division in doubles, so stream ≡ batch bit-for-bit. O(n) longs
-    * of state per pair. */
+    * of state per pair.
+    *
+    * ORDERING CONTRACT (same as [[PairSpreadProcessor]] and the cascade,
+    * see [[rebarCascade]]): rows are sorted within a micro-batch, but
+    * arrival must be in event-time order ACROSS micro-batches — the
+    * intended upstream is a watermark-closed bar aggregation, whose
+    * append-mode emission is monotone per key. Late data fed directly
+    * (no watermark gate) would splice into the rolling buffer out of
+    * order and silently diverge from the batch twin. */
   class PairCorrProcessor(n: Int = 20)
       extends StatefulProcessor[String, PairObsRow, PairCorrRow] {
     @transient private var buf: ListState[(Long, Long)] = _
@@ -865,7 +873,14 @@ object Pipeline {
     * pending until more data comes (an unbounded stream never ends, so
     * lead()'s end-of-series NULLs never materialize). Every emitted
     * double is the identical IEEE expression on the identical operands
-    * — stream ≡ batch bit-for-bit. */
+    * — stream ≡ batch bit-for-bit.
+    *
+    * ORDERING CONTRACT (same as [[PairCorrProcessor]]): in-batch rows
+    * are sorted here, but cross-batch arrival must be event-time
+    * monotone per symbol — feed from a watermark-closed bar stream
+    * ([[rebarCascade]]'s discipline). Un-gated late bars would enter
+    * the 52-bar window and the 26-deep FIFOs out of order and silently
+    * diverge from the batch cascade. */
   class IchimokuProcessor
       extends StatefulProcessor[String, Bar, IchimokuRow] {
     private val Lead = 26

@@ -41,4 +41,22 @@ class BenchSpec extends AnyFunSuite {
     val partial = fullResults.filterNot(_._1 == "dashboard_cascade")
     assert(Bench.coreSurvey2Json(partial, erroredQueries = Set.empty) === "null")
   }
+
+  // --- the determinism-sort toggle (round-12 task 1) ---
+
+  test("Q.sorted with determinismSort off is the identity — no exchange, no sort") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val df = Seq((2, "b"), (1, "a")).toDF("k", "v")
+    assert(Q.determinismSort, "tests run under the Verify default (sort on)")
+    val sortedPlan = Q.sorted(df, "k").queryExecution.logical.toString
+    assert(sortedPlan.contains("Repartition") || sortedPlan.contains("Sort"),
+      s"default arm must keep the total order:\n$sortedPlan")
+    Q.determinismSort = false
+    try {
+      // identity by REFERENCE: zero plan nodes added, so a bench or
+      // production run pays nothing — not even a no-op projection
+      assert(Q.sorted(df, "k") eq df)
+    } finally Q.determinismSort = true
+  }
 }
