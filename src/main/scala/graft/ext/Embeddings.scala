@@ -946,7 +946,11 @@ object Embeddings {
           .select(col("qid"), col("ccl"))
         requireAdcBatch(qRows.size.toLong, cb.length, Similarity.NProbe)
         val qps = qprobe.join(q.select(col("qid"), lutMap(col("qe"), cb).as("lut")), "qid")
-        val a = codes.join(broadcast(qps),
+        // bucket pruning via the collected probe set (the e14b move):
+        // the codes scan skips buckets holding no probed cluster
+        val probedCls = qprobe.select(col("ccl")).distinct().collect().map(_.get(0))
+        val a = codes.where(col("cl").isin(probedCls.toSeq: _*))
+          .join(broadcast(qps),
             col("cl") === col("ccl") && col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),
             adcSum(col("codes"), col("lut")).as("adist2_e6"))
@@ -962,15 +966,20 @@ object Embeddings {
     // e14b: RADIUS search served from the PERSISTED index (round-11
     // task 4 — the range analog of e13). e14 brute-scans the corpus per
     // query batch, the right baseline but a full scan per request; here
-    // the probe bound cuts the search to NProbe inverted lists read off
-    // the bucketed IVF-Flat artifact, and the verification is EXACT —
-    // true cosines against the raw vectors STORED IN the lists, so no
-    // ADC approximation ever reaches the output. Semantics = e14
-    // restricted to the probed clusters (the standard IVF range-search
-    // contract: recall bounded by nprobe, precision exact); the oracle
-    // re-derives the index from the raw corpus, so artifact staleness is
-    // a hash mismatch. The serve plan contains NO embeddings scan
-    // (PlanShapeSpec pins it) — queries arrive as request input.
+    // the probed-cluster set (<= NQueries x NProbe values, collected to
+    // the driver — request-sized, the index-header budget) becomes an
+    // explicit isin() on the artifact's BUCKET KEY, so the scan prunes
+    // unprobed buckets at planning time (SelectedBucketsCount < 16,
+    // PlanShapeSpec pins it): the batch-request analog of reading only
+    // the probed inverted lists — unprobed lists are never read, not
+    // merely filtered post-scan. Verification is EXACT — true cosines
+    // against the raw vectors STORED IN the lists, so no ADC
+    // approximation ever reaches the output. Semantics = e14 restricted
+    // to the probed clusters (the standard IVF range-search contract:
+    // recall bounded by nprobe, precision exact); the oracle re-derives
+    // the index from the raw corpus, so artifact staleness is a hash
+    // mismatch. The serve plan contains NO embeddings scan (PlanShapeSpec
+    // pins it) — queries arrive as request input.
     Q("e14b_range_index", rangeIndexOracleSql) {
       (s, dir) => {
         import s.implicits._
@@ -988,11 +997,24 @@ object Embeddings {
             .orderBy(Portable.cosine(col("qe"), col("ce")).desc, col("ccl"))))
           .where(col("rn") <= Similarity.NProbe)
           .select(col("qid"), col("ccl"))
-        // (qid, probed cluster, query vector): NQueries·NProbe rows,
-        // broadcast; the bucket-key equality prunes each list to its
-        // own probes before any vector math
+        // (qid, probed cluster, query vector): NQueries·NProbe rows
         val qps = qprobe.join(q, "qid")
-        vecs.join(broadcast(qps),
+        // the probed clusters, collected (<= NQueries·NProbe values):
+        // an isin() on the bucket key lets the scan SKIP unprobed
+        // buckets entirely — without it the join reads every stored
+        // vector row and only discards the rest post-scan
+        val probedCls = qprobe.select(col("ccl")).distinct().collect().map(_.get(0))
+        // SHUFFLE_HASH on the request side, NOT broadcast: the join on
+        // the bucket key gives the scan an interesting partitioning, so
+        // DisableUnnecessaryBucketedScan keeps the bucketed read and the
+        // isin prunes to the probed lists (a broadcast join demands no
+        // distribution, and Spark 4.1's rule then drops the bucketed
+        // scan WITH its pruning — measured: every list read). This is
+        // the route-queries-to-lists serve shape: the stored side moves
+        // nothing (bucketing IS its exchange), only the request-sized
+        // probe set shuffles.
+        vecs.where(col("cl").isin(probedCls.toSeq: _*))
+          .join(qps.hint("SHUFFLE_HASH"),
             col("cl") === col("ccl") && col("vec_id") =!= col("qid"))
           .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
             Portable.cosine(col("qe"), col("embedding")).as("cos"))

@@ -123,6 +123,16 @@ class PlanShapeSpec extends SparkTestBase {
       s"DPP did not reduce partitions: selected=$sel of $total")
   }
 
+  /** The serve-scan bucket-pruning pin (e13/e14b): some scan in the plan
+    * must report `SelectedBucketsCount: X out of N` with X < N — the
+    * probed-cluster isin() actually skipped unprobed buckets. */
+  private def assertBucketPruned(p: String, buckets: Int): Unit = {
+    val sel = raw"SelectedBucketsCount: (\d+) out of (\d+)".r
+      .findAllMatchIn(p).map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+    assert(sel.exists { case (x, n) => n == buckets && x > 0 && x < n },
+      s"no scan pruned the $buckets-bucket index (found: $sel):\n$p")
+  }
+
   test("e13: the serve plan reads the persisted index, never the corpus") {
     val p = plan("e13_index_serve")
     assert(p.contains("graft_ivfpq_codes_"),
@@ -131,6 +141,7 @@ class PlanShapeSpec extends SparkTestBase {
       s"serve plan does not scan the persisted centroids:\n$p")
     assert(!p.contains("embeddings"),
       s"serve plan still references the raw corpus table:\n$p")
+    assertBucketPruned(p, ext.Embeddings.IndexBuckets)
     // and e13 answers exactly what e11 answers (same oracle; this pins
     // the engine sides against EACH OTHER, independent of DuckDB)
     val served = SparkEntry.queries("e13_index_serve")(spark, sf)
@@ -149,6 +160,11 @@ class PlanShapeSpec extends SparkTestBase {
       s"serve plan does not scan the persisted centroids:\n$p")
     assert(!p.contains("embeddings"),
       s"serve plan still references the raw corpus table:\n$p")
+    // the probed-cluster isin PRUNES BUCKETS on the IVF-Flat scan:
+    // unprobed inverted lists are never read (<=10 clusters at the gate
+    // corpus can touch at most 10 of the 16 buckets, so `< 16` cannot
+    // flap). Without the isin the join reads all 16 and discards.
+    assertBucketPruned(p, ext.Embeddings.IndexBuckets)
     // precision is EXACT: every served (query, neighbor, cos) row is a
     // row of the brute-force e14 (the probe bound can only DROP rows,
     // never change one) — pins the engine sides against each other
