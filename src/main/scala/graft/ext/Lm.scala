@@ -374,10 +374,69 @@ object Lm {
   private val mergeMemo =
     scala.collection.concurrent.TrieMap.empty[String, Seq[BpeMergeRow]]
 
+  /** Where the trained merge table PERSISTS (round-12 task 2 — the
+    * e13/classifier artifact pattern applied to the tokenizer): K rows
+    * of (round, a, b, cnt, n_syms) under the warehouse, named by the
+    * corpus fingerprint + round count, so a regenerated corpus or a
+    * changed K trains fresh instead of replaying stale merges. A NEW JVM
+    * over the same corpus serves x_bpe_encode straight from this file —
+    * K narrow rewrite passes, no pair counting, no argmax: the
+    * first-touch training cost (the slowest sf10 bench row) is paid once
+    * per corpus, ever. */
+  private[graft] def mergesPath(spark: SparkSession, dir: String): String = {
+    val fp = graft.sources.Layout
+      .sourceFingerprint(spark, s"$dir/documents.parquet")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    new org.apache.hadoop.fs.Path(warehouse,
+      s"graft_bpe_merges_${fp}_r$BpeRounds").toString
+  }
+
+  /** Test hook: training-loop invocations (the artifact-serve spec pins
+    * that a memo-cleared reload does NOT retrain). */
+  private[graft] val trainLoopRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Test hook: drop the in-JVM memo (simulates a fresh JVM over the
+    * same warehouse). */
+  private[graft] def clearMergeMemo(): Unit = mergeMemo.clear()
+
+  /** Load a committed merge artifact, validating it is a contiguous
+    * round chain (1..len, len <= K) — a gapped or over-long file fails
+    * loudly instead of silently skewing every encode. */
+  private def loadMerges(spark: SparkSession, path: String): Seq[BpeMergeRow] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select("round", "a", "b", "cnt", "n_syms")
+      .as[BpeMergeRow].collect().sortBy(_.round).toSeq
+    require(rows.length <= BpeRounds,
+      s"merge artifact $path has ${rows.length} rounds, expected <= $BpeRounds")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.round == i + 1L, s"merge artifact $path: round gap at ${i + 1}")
+    }
+    rows
+  }
+
   private def trainedMerges(spark: SparkSession, dir: String): Seq[BpeMergeRow] = {
     val key = graft.sources.Layout
       .sourceFingerprint(spark, s"$dir/documents.parquet")
-    mergeMemo.getOrElseUpdate(key, bpeTrainLoop(spark, dir))
+    mergeMemo.getOrElseUpdate(key, {
+      import spark.implicits._
+      val p = mergesPath(spark, dir)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(hp, "_SUCCESS")))
+        loadMerges(spark, p)
+      else {
+        val trained = bpeTrainLoop(spark, dir)
+        // the Classifier commit protocol: temp write + atomic-ish rename
+        // so a concurrent reader can never see a half-written table
+        val tmp = new org.apache.hadoop.fs.Path(
+          hp.getParent, s".${hp.getName}.tmp-${java.util.UUID.randomUUID}")
+        trained.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(hp, true)
+        if (!fs.rename(tmp, hp)) fs.delete(tmp, true)
+        trained
+      }
+    })
   }
 
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
@@ -436,6 +495,7 @@ object Lm {
       rounds: Int = BpeRounds,
       perRoundMillis: Option[scala.collection.mutable.ArrayBuffer[Long]] = None)
       : Seq[BpeMergeRow] = {
+    trainLoopRuns.incrementAndGet()
     var sym = Portable.spread(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), Portable.tokens(col("text")).as("sym"))
       .localCheckpoint()

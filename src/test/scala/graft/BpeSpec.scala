@@ -117,4 +117,41 @@ class BpeSpec extends SparkTestBase {
       case _ => ()
     }
   }
+
+  test("merge artifact: persisted table serves a fresh JVM without retraining (round-12 task 2)") {
+    // start clean: no memo, no committed artifact
+    val p = new org.apache.hadoop.fs.Path(Lm.mergesPath(spark, sf))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    Lm.clearMergeMemo()
+    val runs0 = Lm.trainLoopRuns.get()
+
+    // first touch trains once and COMMITS the artifact
+    val fresh = Lm.bpeTrain(spark, sf).collect().map(_.toSeq).toSeq
+    assert(Lm.trainLoopRuns.get() == runs0 + 1)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")),
+      "training did not commit the merge artifact")
+
+    // simulated fresh JVM (memo dropped): encode/train serve FROM THE
+    // FILE — artifact rows ≡ freshly trained merges, zero extra training
+    Lm.clearMergeMemo()
+    val served = Lm.bpeTrain(spark, sf).collect().map(_.toSeq).toSeq
+    assert(served == fresh, "artifact-served merges diverge from training")
+    assert(Lm.trainLoopRuns.get() == runs0 + 1,
+      "artifact hit must not retrain")
+
+    // a gapped artifact fails loudly, never silently skews the encode
+    Lm.clearMergeMemo()
+    val spark2 = spark
+    import spark2.implicits._
+    spark.read.parquet(p.toString).where(col("round") =!= 2L)
+      .write.mode("overwrite").parquet(p.toString + "_gap")
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(p.toString + "_gap"), p)
+    val e = intercept[IllegalArgumentException](Lm.bpeTrain(spark, sf).collect())
+    assert(e.getMessage.contains("round gap"))
+    // restore a clean state for any later suite touching the memo
+    fs.delete(p, true)
+    Lm.clearMergeMemo()
+  }
 }
