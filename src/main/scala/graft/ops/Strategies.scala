@@ -166,50 +166,92 @@ object Strategies {
     // engines and shuffle orders; milli_z2 = z²·1000 by exact integer
     // division rides along as the sizing diagnostic. Every C(symbols,2)
     // pair streams through the same pair-partitioned window as w16.
-    Q("t6_pairs_zscore",
-      s"""WITH ${Bars.cte},
-         |c AS (SELECT symbol, datetime, CAST(round(close * 100, 0) AS BIGINT) AS cents
-         |      FROM bars),
-         |xy AS (SELECT a.symbol || '|' || b.symbol AS pair, a.datetime AS datetime,
-         |              a.cents - b.cents AS s
-         |       FROM c a JOIN c b ON a.datetime = b.datetime AND a.symbol < b.symbol),
-         |w AS (SELECT pair, datetime, s,
-         |        CAST(count(*) OVER win AS BIGINT) AS n,
-         |        CAST(sum(s) OVER win AS BIGINT) AS sm,
-         |        CAST(sum(s*s) OVER win AS BIGINT) AS ss
-         |      FROM xy
-         |      WINDOW win AS (PARTITION BY pair ORDER BY datetime
-         |                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
-         |SELECT pair, datetime, s,
-         |       CAST(CASE WHEN n = 20 AND (n*s - sm)*(n*s - sm) > 4*(n*ss - sm*sm)
-         |                 THEN CASE WHEN n*s - sm > 0 THEN -1 ELSE 1 END
-         |                 ELSE 0 END AS BIGINT) AS signal,
-         |       CAST(CASE WHEN n = 20 AND n*ss > sm*sm
-         |                 THEN ((n*s - sm)*(n*s - sm) * 1000) // (n*ss - sm*sm)
-         |                 ELSE -1 END AS BIGINT) AS milli_z2
-         |FROM w ORDER BY pair, datetime""".stripMargin) { (s, dir) => {
-      val c = Bars(s, dir).select(col("symbol"), col("datetime"),
-        round(col("close") * 100, 0).cast("long").as("cents"))
-      val xy = c.as("a").join(c.as("b"),
-          col("a.datetime") === col("b.datetime") && col("a.symbol") < col("b.symbol"))
-        .select(concat(col("a.symbol"), lit("|"), col("b.symbol")).as("pair"),
-          col("a.datetime").as("datetime"),
-          (col("a.cents") - col("b.cents")).as("s"))
-      val win = Window.partitionBy("pair").orderBy("datetime")
-        .rowsBetween(-19, Window.currentRow)
-      val w = xy.select(col("pair"), col("datetime"), col("s"),
-        count(lit(1)).over(win).as("n"),
-        sum(col("s")).over(win).as("sm"),
-        sum(col("s") * col("s")).over(win).as("ss"))
-      val dev = col("n") * col("s") - col("sm")
-      val varn = col("n") * col("ss") - col("sm") * col("sm")
-      Q.sorted(
-        w.select(col("pair"), col("datetime"), col("s"),
-          when(col("n") === 20 && dev * dev > lit(4L) * varn,
-            when(dev > 0, -1L).otherwise(1L)).otherwise(0L).as("signal"),
-          when(col("n") === 20 && col("n") * col("ss") > col("sm") * col("sm"),
-            expr("((n*s - sm)*(n*s - sm) * 1000) div (n*ss - sm*sm)"))
-            .otherwise(-1L).as("milli_z2")),
-        "pair", "datetime")
-    }})
+    Q("t6_pairs_zscore", pairsZscoreSql(None)) {
+      (s, dir) => pairsZscore(s, dir, None)
+    },
+
+    // t6's CANDIDATE-RESTRICTED variant (round-12 task 7 — the w16r
+    // pair-universe parameter threaded through to the strategy twin):
+    // the trading signal inherits the restricted plan — leg predicate
+    // below the bar aggregation on the event rows, pair predicate below
+    // the window. At a real universe the watchlist is the input; the
+    // all-pairs C(n,2) scan must be a choice, not the only plan.
+    Q("t6r_pairs_zscore_sel",
+      pairsZscoreSql(Some(graft.ops.Indicators.SelectedPairs))) {
+      (s, dir) => pairsZscore(s, dir, Some(graft.ops.Indicators.SelectedPairs))
+    })
+
+  /** The t6 plan with the pair universe as a parameter (None = all
+    * a < b pairs in one pass) — [[graft.ops.Indicators.pairCorr]]'s
+    * predicate placement, z-score gate instead of Pearson. */
+  def pairsZscore(s: org.apache.spark.sql.SparkSession, dir: String,
+      pairs: Option[Seq[(String, String)]]): DataFrame = {
+    val base = pairs match {
+      case Some(ps) =>
+        val legs = ps.flatMap(p => Seq(p._1, p._2)).distinct
+        Bars(s, dir).where(col("symbol").isin(legs: _*))
+      case None => Bars(s, dir)
+    }
+    val c = base.select(col("symbol"), col("datetime"),
+      round(col("close") * 100, 0).cast("long").as("cents"))
+    val xyAll = c.as("a").join(c.as("b"),
+        col("a.datetime") === col("b.datetime") && col("a.symbol") < col("b.symbol"))
+      .select(concat(col("a.symbol"), lit("|"), col("b.symbol")).as("pair"),
+        col("a.datetime").as("datetime"),
+        (col("a.cents") - col("b.cents")).as("s"))
+    val xy = pairs match {
+      case Some(ps) =>
+        xyAll.where(col("pair").isin(ps.map(p => s"${p._1}|${p._2}"): _*))
+      case None => xyAll
+    }
+    val win = Window.partitionBy("pair").orderBy("datetime")
+      .rowsBetween(-19, Window.currentRow)
+    val w = xy.select(col("pair"), col("datetime"), col("s"),
+      count(lit(1)).over(win).as("n"),
+      sum(col("s")).over(win).as("sm"),
+      sum(col("s") * col("s")).over(win).as("ss"))
+    val dev = col("n") * col("s") - col("sm")
+    val varn = col("n") * col("ss") - col("sm") * col("sm")
+    Q.sorted(
+      w.select(col("pair"), col("datetime"), col("s"),
+        when(col("n") === 20 && dev * dev > lit(4L) * varn,
+          when(dev > 0, -1L).otherwise(1L)).otherwise(0L).as("signal"),
+        when(col("n") === 20 && col("n") * col("ss") > col("sm") * col("sm"),
+          expr("((n*s - sm)*(n*s - sm) * 1000) div (n*ss - sm*sm)"))
+          .otherwise(-1L).as("milli_z2")),
+      "pair", "datetime")
+  }
+
+  /** Oracle twin of [[pairsZscore]]: the same leg and pair predicates
+    * in the same positions (the pairCorrSql scheme). */
+  private def pairsZscoreSql(pairs: Option[Seq[(String, String)]]): String = {
+    val legPred = pairs.map { ps =>
+      val legs = ps.flatMap(p => Seq(p._1, p._2)).distinct
+      s" WHERE symbol IN (${legs.map(l => s"'$l'").mkString(", ")})"
+    }.getOrElse("")
+    val pairPred = pairs.map { ps =>
+      s" AND a.symbol || '|' || b.symbol IN (${ps.map(p => s"'${p._1}|${p._2}'").mkString(", ")})"
+    }.getOrElse("")
+    s"""WITH ${Bars.cte},
+       |c AS (SELECT symbol, datetime, CAST(round(close * 100, 0) AS BIGINT) AS cents
+       |      FROM bars$legPred),
+       |xy AS (SELECT a.symbol || '|' || b.symbol AS pair, a.datetime AS datetime,
+       |              a.cents - b.cents AS s
+       |       FROM c a JOIN c b ON a.datetime = b.datetime AND a.symbol < b.symbol$pairPred),
+       |w AS (SELECT pair, datetime, s,
+       |        CAST(count(*) OVER win AS BIGINT) AS n,
+       |        CAST(sum(s) OVER win AS BIGINT) AS sm,
+       |        CAST(sum(s*s) OVER win AS BIGINT) AS ss
+       |      FROM xy
+       |      WINDOW win AS (PARTITION BY pair ORDER BY datetime
+       |                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+       |SELECT pair, datetime, s,
+       |       CAST(CASE WHEN n = 20 AND (n*s - sm)*(n*s - sm) > 4*(n*ss - sm*sm)
+       |                 THEN CASE WHEN n*s - sm > 0 THEN -1 ELSE 1 END
+       |                 ELSE 0 END AS BIGINT) AS signal,
+       |       CAST(CASE WHEN n = 20 AND n*ss > sm*sm
+       |                 THEN ((n*s - sm)*(n*s - sm) * 1000) // (n*ss - sm*sm)
+       |                 ELSE -1 END AS BIGINT) AS milli_z2
+       |FROM w ORDER BY pair, datetime""".stripMargin
+  }
 }

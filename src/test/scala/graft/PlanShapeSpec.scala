@@ -243,4 +243,24 @@ class PlanShapeSpec extends SparkTestBase {
       .select("pair").distinct().collect().map(_.getString(0)).toSet
     assert(pairsOut == Set("AAPL|MSFT"), s"unexpected pairs: $pairsOut")
   }
+
+  test("t6r restricted pairs strategy: inherits w16r's predicate placement") {
+    val p = staticPlan("t6r_pairs_zscore_sel")
+    assert(p.contains("hashpartitioning(pair"),
+      s"window not hash-partitioned by pair:\n$p")
+    val lines = p.linesIterator.toVector
+    // pair predicate below the Window (see the w16r pin for why the
+    // folded literal is the robust anchor)
+    val winIdx = lines.indexWhere(_.contains("Window "))
+    val pairIdx = lines.indexWhere(_.contains("AAPL|MSFT"))
+    assert(winIdx >= 0 && pairIdx > winIdx,
+      s"pair predicate not below the window (win=$winIdx pair=$pairIdx):\n$p")
+    // leg predicate pushed below the bar aggregation to the event rows
+    assert(lines.exists(l => l.contains("Filter") &&
+        l.contains("IN (AAPL,MSFT)") && l.contains("user_id")),
+      s"leg predicate not pushed below the bar aggregation:\n$p")
+    val pairsOut = SparkEntry.queries("t6r_pairs_zscore_sel")(spark, sf)
+      .select("pair").distinct().collect().map(_.getString(0)).toSet
+    assert(pairsOut == Set("AAPL|MSFT"), s"unexpected pairs: $pairsOut")
+  }
 }
