@@ -213,6 +213,17 @@ object Indicators {
     * `dashboard_cascade_scan` (identical formulas, same CascadeState).
     * The gate SFs land one on each side of the threshold, so BOTH arms
     * stay oracle-covered (sf0.01 window, sf0.1+ scan).
+    *
+    * KNOWN ACCEPTED RISK — the [[Dashboard.cascade]] warm-up-rounding
+    * note applies VERBATIM to w1-w6 on the scan arm: the chunked replay
+    * truncates EMA warm-up beyond [[DashboardScan.TailLen]] rows, so
+    * every EMA-family column (ema5/15, rsi, tsi, macd, macd_signal,
+    * adx) can differ from the window tier by ≤ (13/14)^(TailLen−64)
+    * relative (~4e-15 absolute at 1e6 magnitude — ≥100x under the
+    * 0.5e-6 rounding threshold; DashboardScanSpec pins that margin
+    * against TailLen shrinkage). If a w1-w6 gate row ever
+    * hash-mismatches on a SINGLE cell while neighbors agree, triage as
+    * warm-up rounding (recompute with TailLen raised), not regression.
     */
   private def tiered(s: SparkSession, dir: String, cols: String*)(
       windowPlan: => DataFrame): DataFrame =

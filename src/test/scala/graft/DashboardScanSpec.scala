@@ -48,4 +48,24 @@ class DashboardScanSpec extends SparkTestBase {
     val s2 = rows(DashboardScan.cascade(spark, sf, numPartitions = 2))
     assertSame(w, s2, "n=2")
   }
+
+  test("TailLen margin: truncated EMA warm-up sits >=100x under the 6-dp rounding threshold") {
+    // The scan tier seeds every EMA TailLen rows early instead of at the
+    // key's true start; truncated history contributes at most
+    // (1-alpha_min)^(TailLen - 64) relative (alpha_min = 1/14, the ADX
+    // family; 64 discounts the bounded frames and chained lags the
+    // warm-up must also cover). w1-w6 and the flagship ride this arm at
+    // deep history (Indicators.tiered), so the margin IS the w1-w6
+    // correctness headroom: at a generous 1e6 value-magnitude bound the
+    // absolute error must stay two orders under the 0.5e-6 gate
+    // rounding. Shrinking TailLen past this pin turns the documented
+    // ~1e-10-per-cell triage note into a live flake mode — fail here
+    // first, loudly.
+    val alphaMin = 1.0 / 14.0
+    val maxAbs = 1e6
+    val err = math.pow(1.0 - alphaMin, DashboardScan.TailLen - 64) * maxAbs
+    assert(err * 100 <= 0.5e-6,
+      f"TailLen=${DashboardScan.TailLen} leaves warm-up error $err%.3e " +
+        f"within 100x of the 0.5e-6 rounding threshold")
+  }
 }
