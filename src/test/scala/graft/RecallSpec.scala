@@ -68,4 +68,46 @@ class RecallSpec extends SparkTestBase {
     // without flaking on the small sample.
     assert(recall >= 0.25, f"e4 recall collapsed: $recall%.2f over ${exact.size} pairs")
   }
+
+  // --- index-served recall observability (round-12 task 5): the
+  // nprobe-bounded paths promise "recall bounded by nprobe" — these
+  // cases make that promise a MEASURED number on the gate corpus, so a
+  // broken probe ranking or a stale list shows as a recall collapse in
+  // a spec, not as a silent quality drift in serving. ---
+
+  private def idPairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sf)
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("e14b index-served radius search: exact precision, measured recall floor vs brute e14") {
+    val brute = idPairs("e14_range_search")
+    val served = idPairs("e14b_range_index")
+    assert(brute.nonEmpty, "fixture must have in-radius pairs")
+    // precision is EXACT by construction (true cosines on stored
+    // vectors); recall is what nprobe trades away
+    assert((served -- brute).isEmpty,
+      s"served rows outside the brute result: ${served -- brute}")
+    val recall = (served & brute).size.toDouble / brute.size
+    info(f"e14b recall vs e14 brute: $recall%.3f (${(served & brute).size}/${brute.size})")
+    // NProbe=2 of 10 lists at radius 0.3: the gate corpus measures 1.0
+    // (every in-radius neighbor lives in a probed list); pin well below
+    // to catch collapse, not sampling noise
+    assert(recall >= 0.6, f"e14b recall collapsed: $recall%.3f")
+  }
+
+  test("e11 IVF-ADC top-k: measured recall floor vs brute e2") {
+    val brute = idPairs("e2_knn_brute")
+    val approx = idPairs("e11_ivf_adc")
+    assert(brute.nonEmpty)
+    val recall = (approx & brute).size.toDouble / brute.size
+    info(f"e11 recall@k vs e2 brute: $recall%.3f (${(approx & brute).size}/${brute.size})")
+    // two approximations stack here (nprobe=2/10 AND the PQ distance
+    // over near-random gate embeddings): measured 4/15 = 0.267 on the
+    // 15-pair sample — the e4 situation (small-sample binomial noise
+    // around a modest true rate). Pin just above collapse: a broken
+    // codebook or probe ranking lands at ~0, which is what this case
+    // must catch; quality tuning is nprobe's dial, not the spec's.
+    assert(recall >= 0.15, f"e11 recall collapsed: $recall%.3f")
+  }
 }
