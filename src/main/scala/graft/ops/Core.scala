@@ -161,11 +161,14 @@ object Core {
           |round(c20max, 6) AS c20max, round(c20min, 6) AS c20min
           |FROM x ORDER BY symbol, datetime""".stripMargin)) {
       (s, dir) =>
-        Q.norm(
-          Bars(s, dir).select(col("symbol"), col("datetime"),
-            Rolling.rmax(col("high"), 5).as("h5"), Rolling.rmin(col("low"), 5).as("l5"),
-            Rolling.rmax(col("close"), 20).as("c20max"), Rolling.rmin(col("close"), 20).as("c20min")),
-          "symbol", "datetime")
+        Indicators.tiered(s, dir,
+          "symbol", "datetime", "h5", "l5", "c20max", "c20min") {
+          Q.norm(
+            Bars(s, dir).select(col("symbol"), col("datetime"),
+              Rolling.rmax(col("high"), 5).as("h5"), Rolling.rmin(col("low"), 5).as("l5"),
+              Rolling.rmax(col("close"), 20).as("c20max"), Rolling.rmin(col("close"), 20).as("c20min")),
+            "symbol", "datetime")
+        }
     },
 
     Q("w9_shifted_extrema",
@@ -174,12 +177,14 @@ object Core {
         """SELECT symbol, datetime, round(prev_h5, 6) AS prev_h5, round(prev_l5, 6) AS prev_l5
           |FROM x ORDER BY symbol, datetime""".stripMargin)) {
       (s, dir) =>
-        val d = Bars(s, dir)
-          .withColumn("h5", Rolling.rmax(col("high"), 5))
-          .withColumn("l5", Rolling.rmin(col("low"), 5))
-        Q.norm(
-          d.select(col("symbol"), col("datetime"),
-            Rolling.lag1(col("h5")).as("prev_h5"), Rolling.lag1(col("l5")).as("prev_l5")),
-          "symbol", "datetime")
+        Indicators.tiered(s, dir, "symbol", "datetime", "prev_h5", "prev_l5") {
+          val d = Bars(s, dir)
+            .withColumn("h5", Rolling.rmax(col("high"), 5))
+            .withColumn("l5", Rolling.rmin(col("low"), 5))
+          Q.norm(
+            d.select(col("symbol"), col("datetime"),
+              Rolling.lag1(col("h5")).as("prev_h5"), Rolling.lag1(col("l5")).as("prev_l5")),
+            "symbol", "datetime")
+        }
     })
 }

@@ -140,6 +140,7 @@ object DashboardScan {
     private val tr14 = new NullableRing(14)
     private val dxin14 = new NullableRing(14)
     private val slope5 = new NullableRing(5)
+    private val stochD3 = new NullableRing(3)
     private var lagH5, lagL5, lagC20max, lagC20min, lagSma: java.lang.Double = null
 
     /** Advance one bar; returns the 17 computed cascade columns
@@ -211,6 +212,17 @@ object DashboardScan {
       adxE.updateOpt(dx)
       slope5.push(rmSlope)
       val bottom = slope5.fullMean
+      // w13 stochastic %K/%D: a 14-frame view of the same raw ring (the
+      // same IEEE expression order as Indicators.withStochastic), %D as
+      // the 3-mean over the nullable %K series (the dxin14 mirror)
+      val ll14: java.lang.Double = if (cnt >= 14) raw.minLow(14) else null
+      val hh14: java.lang.Double = if (cnt >= 14) raw.maxHigh(14) else null
+      val stochK: java.lang.Double =
+        if (ll14 == null || hh14 == null) null
+        else if (hh14.doubleValue == ll14.doubleValue) null
+        else 100.0 * (c - ll14.doubleValue) / (hh14.doubleValue - ll14.doubleValue)
+      stochD3.push(stochK)
+      val stochD = stochD3.fullMean
 
       // L4 / outputs
       val out: Array[Any] = if (!emit) null else {
@@ -238,7 +250,8 @@ object DashboardScan {
         val color = if (delta != null && delta.doubleValue > 0) "green" else "red"
         Array[Any](ema5.v, ema15.v, sma, rsi, tsi, macd, macdSig.v,
           adxE.valueOrNull, scalping, momentum, breakout,
-          Boolean.box(asc), Boolean.box(desc), Boolean.box(rb), color)
+          Boolean.box(asc), Boolean.box(desc), Boolean.box(rb), color,
+          h5, l5, c20max, c20min, prevH5, prevL5, stochK, stochD)
       }
 
       lagH5 = h5; lagL5 = l5; lagC20max = c20max; lagC20min = c20min; lagSma = sma
@@ -271,13 +284,24 @@ object DashboardScan {
     StructField("ascending_triangle", BooleanType, nullable = false),
     StructField("descending_triangle", BooleanType, nullable = false),
     StructField("rounding_bottom", BooleanType, nullable = false),
-    StructField("color", StringType)))
+    StructField("color", StringType),
+    // round-12 task 3: the remaining standalone window families (w8/w9
+    // rolling/shifted extrema, w13 stochastic) dispatch onto this tier
+    // at deep history — their columns are the state the cascade already
+    // tracks (or a 14-frame view of the same raw ring), exposed here.
+    // The flagship's withGlobals projection drops them, so
+    // dashboard_cascade's oracle schema is unchanged.
+    StructField("h5", DoubleType), StructField("l5", DoubleType),
+    StructField("c20max", DoubleType), StructField("c20min", DoubleType),
+    StructField("prev_h5", DoubleType), StructField("prev_l5", DoubleType),
+    StructField("stoch_k", DoubleType), StructField("stoch_d", DoubleType)))
 
   /** The scan WITHOUT the per-symbol-globals join — the tier the
-    * standalone indicator queries (w1-w6) dispatch onto: they project
-    * only replayed-state columns (ema/sma/rsi/tsi/macd/adx), so the
-    * extra globals aggregate pass (support/resistance/trend inputs)
-    * would be a third data pass bought for columns the query drops. */
+    * standalone indicator queries (w1-w6, and since round 12 the
+    * extrema/pattern/strategy families w8/w9/w13/g1-g3/t4) dispatch
+    * onto: they project only replayed-state columns, so the extra
+    * globals aggregate pass (support/resistance/trend inputs) would be
+    * a third data pass bought for columns the query drops. */
   def cascadeScanOnly(spark: SparkSession, dir: String,
       numPartitions: Int = 0): DataFrame =
     cascade(spark, dir, numPartitions, withGlobals = false)
@@ -367,7 +391,8 @@ object DashboardScan {
         Row(r.get(0), r.get(1), r.get(2), r.get(3), r.get(4), r.get(5),
           r.get(6), r.get(7),
           o(0), o(1), o(2), o(3), o(4), o(5), o(6), o(7), o(8), o(9), o(10),
-          o(11), o(12), o(13), o(14))
+          o(11), o(12), o(13), o(14), o(15), o(16), o(17), o(18), o(19),
+          o(20), o(21), o(22))
       }
     }
     val scan = spark.createDataFrame(outRdd, scanSchema)

@@ -225,11 +225,18 @@ object Indicators {
     * hash-mismatches on a SINGLE cell while neighbors agree, triage as
     * warm-up rounding (recompute with TailLen raised), not regression.
     */
-  private def tiered(s: SparkSession, dir: String, cols: String*)(
+  private[ops] def tiered(s: SparkSession, dir: String, cols: String*)(
+      windowPlan: => DataFrame): DataFrame =
+    tieredCols(s, dir, cols.map(col))(windowPlan)
+
+  /** [[tiered]] with arbitrary projection expressions — for dispatched
+    * queries whose output names differ from the scan's column names
+    * (t4 renames breakout_signal → signal). */
+  private[ops] def tieredCols(s: SparkSession, dir: String, cols: Seq[Column])(
       windowPlan: => DataFrame): DataFrame =
     if (Dashboard.deepHistory(s, dir))
       Q.norm(DashboardScan.cascadeScanOnly(s, dir)
-        .select(cols.map(col): _*), "symbol", "datetime")
+        .select(cols: _*), "symbol", "datetime")
     else windowPlan
 
   /** The w16r gate fixture: one selected pair out of C(3,2) = 3 — the
@@ -499,10 +506,12 @@ object Indicators {
           |round(stoch_k, 6) AS stoch_k, round(stoch_d, 6) AS stoch_d
           |FROM s2 ORDER BY symbol, datetime""".stripMargin)) {
       (s, dir) =>
-        Q.norm(
-          withStochastic(Bars(s, dir))
-            .select("symbol", "datetime", "close", "stoch_k", "stoch_d"),
-          "symbol", "datetime")
+        tiered(s, dir, "symbol", "datetime", "close", "stoch_k", "stoch_d") {
+          Q.norm(
+            withStochastic(Bars(s, dir))
+              .select("symbol", "datetime", "close", "stoch_k", "stoch_d"),
+            "symbol", "datetime")
+        }
     },
 
     // W14 (beyond-reference): on-balance volume — cumulative signed-volume

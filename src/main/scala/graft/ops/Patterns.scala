@@ -54,8 +54,10 @@ object Patterns {
            |  coalesce(${Sql.lag("h5")} < h5 AND ${Sql.lag("l5")} > l5, false) AS ascending_triangle FROM p)""".stripMargin,
         "SELECT symbol, datetime, ascending_triangle FROM x ORDER BY symbol, datetime")) {
       (s, dir) =>
-        Q.norm(ascendingTriangle(Bars(s, dir)).select("symbol", "datetime", "ascending_triangle"),
-          "symbol", "datetime")
+        Indicators.tiered(s, dir, "symbol", "datetime", "ascending_triangle") {
+          Q.norm(ascendingTriangle(Bars(s, dir)).select("symbol", "datetime", "ascending_triangle"),
+            "symbol", "datetime")
+        }
     },
 
     Q("g2_descending_triangle",
@@ -65,8 +67,10 @@ object Patterns {
            |  coalesce(${Sql.lag("h5")} > h5 AND ${Sql.lag("l5")} < l5, false) AS descending_triangle FROM p)""".stripMargin,
         "SELECT symbol, datetime, descending_triangle FROM x ORDER BY symbol, datetime")) {
       (s, dir) =>
-        Q.norm(descendingTriangle(Bars(s, dir)).select("symbol", "datetime", "descending_triangle"),
-          "symbol", "datetime")
+        Indicators.tiered(s, dir, "symbol", "datetime", "descending_triangle") {
+          Q.norm(descendingTriangle(Bars(s, dir)).select("symbol", "datetime", "descending_triangle"),
+            "symbol", "datetime")
+        }
     },
 
     Q("g3_rounding_bottom",
@@ -77,7 +81,9 @@ object Patterns {
            |  coalesce(${Sql.rollMean("slope", 5)} > 0, false) AS rounding_bottom FROM p1)""".stripMargin,
         "SELECT symbol, datetime, rounding_bottom FROM x ORDER BY symbol, datetime")) {
       (s, dir) =>
-        Q.norm(roundingBottom(Bars(s, dir)).select("symbol", "datetime", "rounding_bottom"),
-          "symbol", "datetime")
+        Indicators.tiered(s, dir, "symbol", "datetime", "rounding_bottom") {
+          Q.norm(roundingBottom(Bars(s, dir)).select("symbol", "datetime", "rounding_bottom"),
+            "symbol", "datetime")
+        }
     })
 }

@@ -104,8 +104,11 @@ object Strategies {
            |  CASE WHEN close > ${Sql.lag("bk_max")} THEN 1
            |       WHEN close < ${Sql.lag("bk_min")} THEN -1 ELSE 0 END AS signal FROM b1)""".stripMargin,
         base)) { (s, dir) =>
-      Q.norm(breakout(Bars(s, dir)).select("symbol", "datetime", "close", "signal"),
-        "symbol", "datetime")
+      Indicators.tieredCols(s, dir, Seq(col("symbol"), col("datetime"),
+        col("close"), col("breakout_signal").as("signal"))) {
+        Q.norm(breakout(Bars(s, dir)).select("symbol", "datetime", "close", "signal"),
+          "symbol", "datetime")
+      }
     },
 
     // T5 (beyond-reference): the query a strategy user runs NEXT — a

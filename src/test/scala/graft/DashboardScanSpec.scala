@@ -49,6 +49,31 @@ class DashboardScanSpec extends SparkTestBase {
     assertSame(w, s2, "n=2")
   }
 
+  test("extrema/stochastic scan columns match their window formulas on every partitioning") {
+    // round-12 task 3: the w8/w9/w13 dispatch columns — bounded frames
+    // only (<= 20 rows + one lag), so the warm-up makes them EXACT, not
+    // just under-rounding like the EMA family
+    import graft.ops.{Indicators, Rolling}
+    import org.apache.spark.sql.functions.col
+    val bars = graft.sources.Bars(spark, sf)
+    val win = rows(Indicators.withStochastic(
+      bars
+        .withColumn("h5", Rolling.rmax(col("high"), 5))
+        .withColumn("l5", Rolling.rmin(col("low"), 5))
+        .withColumn("c20max", Rolling.rmax(col("close"), 20))
+        .withColumn("c20min", Rolling.rmin(col("close"), 20))
+        .withColumn("prev_h5", Rolling.lag1(col("h5")))
+        .withColumn("prev_l5", Rolling.lag1(col("l5"))))
+      .select("symbol", "datetime", "h5", "l5", "c20max", "c20min",
+        "prev_h5", "prev_l5", "stoch_k", "stoch_d"))
+    for (n <- Seq(0, 2, 64)) {
+      val scan = rows(DashboardScan.cascadeScanOnly(spark, sf, numPartitions = n)
+        .select("symbol", "datetime", "h5", "l5", "c20max", "c20min",
+          "prev_h5", "prev_l5", "stoch_k", "stoch_d"))
+      assertSame(win, scan, s"extrema n=$n")
+    }
+  }
+
   test("TailLen margin: truncated EMA warm-up sits >=100x under the 6-dp rounding threshold") {
     // The scan tier seeds every EMA TailLen rows early instead of at the
     // key's true start; truncated history contributes at most
