@@ -731,4 +731,73 @@ class StreamingSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("state-scale rung: 10k-symbol cascade — measured throughput and state footprint (round-12 task 6)") {
+    // The correctness pins above run at 2-3 symbols; the 100 TB framing
+    // keys state BY SYMBOL, so this rung turns the cascade's "~104
+    // doubles per key" design note into a MEASURED envelope at 10k keys
+    // on the RocksDB provider: every key's state is written and re-read
+    // across micro-batches, per-batch latency and the store's reported
+    // footprint land in the test log, and collapse (a key exploding the
+    // state, throughput falling off a cliff) fails loudly. Semantics are
+    // already pinned by the 2-symbol stream≡batch cases — this asserts
+    // only scale-shape facts.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val keys = 10000
+      val barsPerKey = 25 // > every bounded frame (SMA20/RSI14)
+      val input = MemoryStream[Bar](spark)
+      val q = Pipeline.indicatorCascade(input.toDS())
+        .writeStream.format("memory").queryName("cascade10k")
+        .outputMode("append").start()
+
+      val t0 = System.nanoTime()
+      // 3 micro-batches: state persists and re-loads across batches for
+      // EVERY key (the expensive path), not just within one batch
+      for (lo <- Seq(0, 10, 20)) {
+        val hi = math.min(lo + 10, barsPerKey)
+        input.addData(for {
+          k <- 0 until keys; i <- lo until hi
+        } yield bar(f"S$k%05d", i))
+        q.processAllAvailable()
+      }
+      val wallSec = (System.nanoTime() - t0) / 1e9
+
+      val out = spark.table("cascade10k")
+      assert(out.count() == keys.toLong * barsPerKey)
+      assert(out.select("symbol").distinct().count() == keys.toLong)
+
+      // progress metrics: rows/s and the state store's own numbers
+      val progs = q.recentProgress.filter(_.numInputRows > 0)
+      val totalRows = progs.map(_.numInputRows).sum
+      val st = progs.last.stateOperators.head
+      val custom = st.customMetrics
+      val sstBytes = Option(custom.get("rocksdbSstFileSize"))
+        .map(_.longValue).getOrElse(-1L)
+      // memoryUsedBytes is the provider's standard footprint report
+      // (RocksDB reports its in-memory usage there)
+      val memBytes = st.memoryUsedBytes
+      info(f"10k-key cascade: ${totalRows} rows in $wallSec%.1f s = " +
+        f"${totalRows / wallSec}%.0f rows/s; state rows=${st.numRowsTotal} " +
+        f"sst=${sstBytes} B mem=${memBytes} B " +
+        f"(~${(sstBytes.max(0L) + memBytes.max(0L)) / keys} B/key reported)")
+      q.stop()
+
+      // scale-shape floors/ceilings, set far from the measured values so
+      // only a collapse trips them: single-box local[4] must stream
+      // >= 2k rows/s (measured ~20-60k), and the per-key footprint must
+      // stay bounded (<= 64 KB/key across sst+mem vs the ~1 KB design
+      // state — RocksDB block/index overhead included)
+      assert(totalRows == keys.toLong * barsPerKey)
+      assert(totalRows / wallSec >= 2000,
+        f"throughput collapsed: ${totalRows / wallSec}%.0f rows/s")
+      if (sstBytes >= 0 && memBytes >= 0)
+        assert((sstBytes + memBytes) / keys <= 64 * 1024,
+          s"state footprint exploded: ${(sstBytes + memBytes) / keys} B/key")
+    } finally {
+      spark.streams.active.foreach(_.stop())
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
