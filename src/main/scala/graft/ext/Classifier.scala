@@ -156,5 +156,132 @@ object Classifier {
           .as("mean_w"),
         when(col("score_milli") >= 0, lit("keep")).otherwise(lit("drop")).as("label"))
         .transform(d => graft.Q.sorted(d, "doc_id"))
+    },
+
+    // The TRAINING side of the quality filter (round 12 — the
+    // step→solver completion for the classifier family, the pattern
+    // that gave x_pagerank_step its x_pagerank_full and e9 its e12):
+    // a distributed batch PERCEPTRON over the same hashed uni+bigram
+    // feature space x_classifier_score serves. Exact integer algebra
+    // end to end — scores are BIGINT folds, updates are signed
+    // occurrence counts — so every round's decision boundary is
+    // bit-stable across engines and partitionings, and the oracle
+    // replays the identical fixed-round recurrence as materialized
+    // CTEs (the pagerank/BPE scheme). Labels are a deterministic text
+    // property hashed features CAN fit (contains [[LabelMarker]]), so
+    // the training error measurably FALLS — the spec pins it.
+    //
+    // Scale shape: the (doc_id, y, feature-buckets) frame checkpoints
+    // once; each round is one map-side scoring fold (broadcast weight
+    // array, the model-header budget) + one <= Buckets-key aggregation
+    // of the misclassified docs' features + a 1-row count probe.
+    // K rounds = K linear passes, O(Buckets) driver state — how a
+    // fastText-style filter trains at web scale.
+    Q("x_perceptron_train", perceptronOracleSql) {
+      (s, dir) => graft.Q.sorted(lrTrain(s, dir), "round")
     })
+
+  /** Fixed perceptron rounds (the BpeRounds convention: small enough
+    * for the oracle to replay verbatim, enough for the error to fall). */
+  val LrRounds = 3
+
+  /** The learnable label: +1 iff the document contains this token. */
+  val LabelMarker = "the"
+
+  /** The materialized RDD behind a localCheckpoint'ed frame (the Lm
+    * release discipline — targeted, so parallel queries can never
+    * unpersist each other's state). */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
+  /** The shared training loop: returns the per-round stats and the
+    * final weight vector. */
+  private def lrLoop(spark: SparkSession, dir: String)
+      : (Seq[(Long, Long, Long)], Array[Long]) = {
+    val docs = Portable.spread(Tables.documents(spark, dir), "doc_id")
+    // (doc_id, y, feature buckets with multiplicity) — one corpus pass,
+    // checkpointed: every round re-reads THIS, never the raw text
+    val df = docs.select(col("doc_id"),
+        when(array_contains(tokens(col("text")), LabelMarker), 1L)
+          .otherwise(-1L).as("y"),
+        transform(features(tokens(col("text"))), f => bucket(f)).as("fb"))
+      .localCheckpoint()
+    val w = new Array[Long](Buckets)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    for (r <- 1 to LrRounds) {
+      val wl = lit(w)
+      val miss = df.select(col("doc_id"), col("y"), col("fb"),
+          aggregate(col("fb"), lit(0L),
+            (acc, b) => acc + element_at(wl, b.cast("int") + 1)).as("s"))
+        .where(col("y") * col("s") <= 0L)
+      // both actions score against the INCOMING weights: the update
+      // aggregation (<= Buckets rows to the driver — the model-header
+      // budget) and the 1-row miss-count probe
+      val upd = miss.select(col("y"), explode(col("fb")).as("b"))
+        .groupBy("b").agg(sum(col("y")).as("dw")).collect()
+      val nMiss = miss.count()
+      upd.foreach(u => w(u.getLong(0).toInt) += u.getLong(1))
+      rows += ((r.toLong, nMiss, w.map(math.abs).sum))
+    }
+    checkpointRdd(df).foreach(_.unpersist(blocking = false))
+    (rows.toSeq, w)
+  }
+
+  /** Train [[LrRounds]] batch-perceptron rounds; returns one row per
+    * round: (round, n_miss under the incoming weights, l1 of the
+    * updated weights). */
+  def lrTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lrLoop(spark, dir)._1.toDF("round", "n_miss", "w_l1")
+  }
+
+  /** Final trained weights (for the spec: the marker's own bucket must
+    * carry positive weight). */
+  private[graft] def lrTrainedWeights(spark: SparkSession, dir: String): Array[Long] =
+    lrLoop(spark, dir)._2
+
+  /** Oracle twin: the identical fixed-round recurrence as materialized
+    * CTEs — w0 = 0 (round 1 misclassifies everything), each round's
+    * update joins the exploded feature table against that round's
+    * misclassified set. All-BIGINT casts (DuckDB sums to HUGEINT). */
+  private def perceptronOracleSql: String = {
+    val b = s"(${sqlHash32("u.f")} % $Buckets)"
+    val rounds = (2 to LrRounds).map { k =>
+      val p = k - 1
+      s"""s$k AS (SELECT f.doc_id, any_value(f.y) AS y,
+         |        CAST(COALESCE(sum(w$p.w), 0) AS BIGINT) AS s
+         |        FROM f LEFT JOIN w$p ON f.b = w$p.b GROUP BY f.doc_id),
+         |m$k AS MATERIALIZED (SELECT doc_id FROM s$k WHERE y * s <= 0),
+         |u$k AS (SELECT f.b, CAST(sum(f.y) AS BIGINT) AS dw
+         |        FROM f JOIN m$k USING (doc_id) GROUP BY f.b),
+         |w$k AS MATERIALIZED (SELECT COALESCE(w$p.b, u$k.b) AS b,
+         |        CAST(COALESCE(w$p.w, 0) + COALESCE(u$k.dw, 0) AS BIGINT) AS w
+         |        FROM w$p FULL JOIN u$k ON w$p.b = u$k.b)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to LrRounds).map { k =>
+      val missCount =
+        if (k == 1) "(SELECT count(*) FROM d)"
+        else s"(SELECT count(*) FROM m$k)"
+      s"""SELECT CAST($k AS BIGINT) AS round,
+         |       CAST($missCount AS BIGINT) AS n_miss,
+         |       (SELECT CAST(sum(abs(w)) AS BIGINT) FROM w$k) AS w_l1""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH d AS (SELECT doc_id,
+       |  CASE WHEN list_contains(string_split(text, ' '), '$LabelMarker')
+       |       THEN 1 ELSE -1 END AS y,
+       |  string_split(text, ' ') AS toks FROM documents),
+       |f0 AS (SELECT doc_id, y,
+       |  array_concat(toks, list_transform(range(1, len(toks)),
+       |    i -> toks[i] || '_' || toks[i+1])) AS feats
+       |  FROM d),
+       |f AS MATERIALIZED (SELECT doc_id, y, $b AS b
+       |  FROM f0, UNNEST(feats) AS u(f)),
+       |w1 AS MATERIALIZED (SELECT b, CAST(sum(y) AS BIGINT) AS w
+       |  FROM f GROUP BY b),
+       |$rounds
+       |$out
+       |ORDER BY round""".stripMargin
+  }
 }

@@ -74,4 +74,28 @@ class ClassifierSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(score(2) == score(13))
   }
+
+  test("perceptron trainer: error falls, the marker's bucket goes positive, rounds deterministic") {
+    val rows = Classifier.lrTrain(spark, sf)
+      .orderBy("round").as[(Long, Long, Long)].collect()
+    assert(rows.length == Classifier.LrRounds)
+    val total = sources.Tables.documents(spark, sf).count()
+    // round 1 scores under w0 = 0: everything misclassifies by definition
+    assert(rows.head._2 == total, s"round-1 n_miss ${rows.head._2} != corpus $total")
+    // the label IS learnable from the hashed features (the marker's own
+    // unigram bucket), so training error must FALL across the rounds
+    assert(rows.last._2 < rows.head._2,
+      s"training error did not fall: ${rows.map(_._2).mkString(",")}")
+    // the decisive feature carries positive weight after training
+    val w = Classifier.lrTrainedWeights(spark, sf)
+    val markerBucket = spark.range(1)
+      .select(Classifier.bucket(lit(Classifier.LabelMarker)).cast("int"))
+      .head().getInt(0)
+    assert(w(markerBucket) > 0,
+      s"marker bucket $markerBucket weight ${w(markerBucket)} not positive")
+    // integer algebra: a re-run reproduces the rounds bit-for-bit
+    val again = Classifier.lrTrain(spark, sf)
+      .orderBy("round").as[(Long, Long, Long)].collect()
+    assert(again.toSeq == rows.toSeq)
+  }
 }
