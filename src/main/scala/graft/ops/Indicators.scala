@@ -251,9 +251,11 @@ object Indicators {
     * pairs fan out as independent partitions (a literal pair id would
     * constant-fold out of the partitioning and serialize the window —
     * caught by the PlanShapeSpec pin in round 10). */
-  def pairCorr(s: SparkSession, dir: String,
+  /** The leg-aligned (pair, datetime, x, y) cents series with the
+    * optional pair-universe restriction (leg predicate below the bar
+    * aggregation, pair predicate below everything downstream). */
+  private[graft] def pairXY(s: SparkSession, dir: String,
       pairs: Option[Seq[(String, String)]]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = pairs match {
       case Some(ps) =>
         val legs = ps.flatMap(p => Seq(p._1, p._2)).distinct
@@ -269,19 +271,49 @@ object Indicators {
       .select(concat(col("a.symbol"), lit("|"), col("b.symbol")).as("pair"),
         col("a.datetime").as("datetime"),
         col("a.cents").as("x"), col("b.cents").as("y"))
-    val xy = pairs match {
+    pairs match {
       case Some(ps) =>
         xyAll.where(col("pair").isin(ps.map(p => s"${p._1}|${p._2}"): _*))
       case None => xyAll
     }
-    val win = Window.partitionBy("pair").orderBy("datetime")
-      .rowsBetween(-19, Window.currentRow)
-    val w = xy.select(col("pair"), col("datetime"), col("x"), col("y"),
-      count(lit(1)).over(win).as("n"),
-      sum(col("x")).over(win).as("sx"), sum(col("y")).over(win).as("sy"),
-      sum(col("x") * col("y")).over(win).as("sxy"),
-      sum(col("x") * col("x")).over(win).as("sxx"),
-      sum(col("y") * col("y")).over(win).as("syy"))
+  }
+
+  /** The 20-row rolling integer sufficient statistics over [[pairXY]],
+    * tier-dispatched — but ONLY for a RESTRICTED pair universe at deep
+    * history: there the window serializes onto |watchlist| tasks and
+    * the [[PairScan]] chunked replay wins (measured at sf10: w16r
+    * 10.7 → 4.4 s). The ALL-pairs case stays on the window at every
+    * depth — its parallelism is C(symbols, 2) and GROWS with the
+    * universe, while the scan arm pays the range-partitioner's
+    * sampling pass over the self-join (measured REGRESSION at sf10:
+    * w16 11.8 → 14.9 s, t6 8.0 → 24.1 s — the falsified arm, kept out
+    * of the dispatch on that evidence). The scan replay is EXACT
+    * (bounded frames, integer sums — no EMA-style warm-up caveat).
+    * Both w16 (Pearson) and t6 (spread z-score) consume this frame;
+    * their final formulas are ordinary column expressions on the
+    * identical integer statistics, so both tiers answer the same
+    * oracles (gate SFs exercise the window arm, sf0.1+ the scan arm
+    * for the restricted variants). */
+  private[graft] def pairStats(s: SparkSession, dir: String,
+      pairs: Option[Seq[(String, String)]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val xy = pairXY(s, dir, pairs)
+    if (pairs.isDefined && Dashboard.deepHistory(s, dir)) PairScan.stats(s, xy)
+    else {
+      val win = Window.partitionBy("pair").orderBy("datetime")
+        .rowsBetween(-19, Window.currentRow)
+      xy.select(col("pair"), col("datetime"), col("x"), col("y"),
+        count(lit(1)).over(win).as("n"),
+        sum(col("x")).over(win).as("sx"), sum(col("y")).over(win).as("sy"),
+        sum(col("x") * col("y")).over(win).as("sxy"),
+        sum(col("x") * col("x")).over(win).as("sxx"),
+        sum(col("y") * col("y")).over(win).as("syy"))
+    }
+  }
+
+  def pairCorr(s: SparkSession, dir: String,
+      pairs: Option[Seq[(String, String)]]): DataFrame = {
+    val w = pairStats(s, dir, pairs)
     val dx = col("n") * col("sxx") - col("sx") * col("sx")
     val dy = col("n") * col("syy") - col("sy") * col("sy")
     Q.norm(

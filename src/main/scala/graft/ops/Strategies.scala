@@ -189,30 +189,16 @@ object Strategies {
     * predicate placement, z-score gate instead of Pearson. */
   def pairsZscore(s: org.apache.spark.sql.SparkSession, dir: String,
       pairs: Option[Seq[(String, String)]]): DataFrame = {
-    val base = pairs match {
-      case Some(ps) =>
-        val legs = ps.flatMap(p => Seq(p._1, p._2)).distinct
-        Bars(s, dir).where(col("symbol").isin(legs: _*))
-      case None => Bars(s, dir)
-    }
-    val c = base.select(col("symbol"), col("datetime"),
-      round(col("close") * 100, 0).cast("long").as("cents"))
-    val xyAll = c.as("a").join(c.as("b"),
-        col("a.datetime") === col("b.datetime") && col("a.symbol") < col("b.symbol"))
-      .select(concat(col("a.symbol"), lit("|"), col("b.symbol")).as("pair"),
-        col("a.datetime").as("datetime"),
-        (col("a.cents") - col("b.cents")).as("s"))
-    val xy = pairs match {
-      case Some(ps) =>
-        xyAll.where(col("pair").isin(ps.map(p => s"${p._1}|${p._2}"): _*))
-      case None => xyAll
-    }
-    val win = Window.partitionBy("pair").orderBy("datetime")
-      .rowsBetween(-19, Window.currentRow)
-    val w = xy.select(col("pair"), col("datetime"), col("s"),
-      count(lit(1)).over(win).as("n"),
-      sum(col("s")).over(win).as("sm"),
-      sum(col("s") * col("s")).over(win).as("ss"))
+    // shares w16's tier-dispatched rolling integer statistics
+    // (Indicators.pairStats — window at shallow history, PairScan's
+    // chunked replay at deep); the spread sums are integer identities
+    // of the (x, y) sums: Σs = Σx−Σy, Σs² = Σx²−2Σxy+Σy² — EXACT, so
+    // the signal is unchanged by the re-derivation
+    val w = Indicators.pairStats(s, dir, pairs)
+      .select(col("pair"), col("datetime"), col("n"),
+        (col("x") - col("y")).as("s"),
+        (col("sx") - col("sy")).as("sm"),
+        (col("sxx") - lit(2L) * col("sxy") + col("syy")).as("ss"))
     val dev = col("n") * col("s") - col("sm")
     val varn = col("n") * col("ss") - col("sm") * col("sm")
     Q.sorted(
