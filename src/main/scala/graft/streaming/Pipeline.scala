@@ -757,24 +757,35 @@ object Pipeline {
     * see [[rebarCascade]]): rows are sorted within a micro-batch, but
     * arrival must be in event-time order ACROSS micro-batches — the
     * intended upstream is a watermark-closed bar aggregation, whose
-    * append-mode emission is monotone per key. Late data fed directly
-    * (no watermark gate) would splice into the rolling buffer out of
-    * order and silently diverge from the batch twin. */
+    * append-mode emission is monotone per key. The contract is GUARDED:
+    * a cross-batch regression (late data fed without a watermark gate)
+    * fails the query loudly instead of splicing the rolling buffer out
+    * of order and silently diverging from the batch twin. */
   class PairCorrProcessor(n: Int = 20)
       extends StatefulProcessor[String, PairObsRow, PairCorrRow] {
     @transient private var buf: ListState[(Long, Long)] = _
+    @transient private var maxTs: org.apache.spark.sql.streaming.ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       buf = getHandle.getListState[(Long, Long)]("obs",
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaLong,
           org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+      maxTs = getHandle.getValueState[Long]("maxTs",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
     }
 
     override def handleInputRows(key: String, rows: Iterator[PairObsRow],
         timers: TimerValues): Iterator[PairCorrRow] = {
       val batch = rows.toArray.sortBy(_.datetime.getTime)
       if (batch.isEmpty) return Iterator.empty
+      val seen = if (maxTs.exists()) maxTs.get() else Long.MinValue
+      if (batch.head.datetime.getTime < seen)
+        throw new IllegalStateException(
+          s"pair $key: out-of-order arrival across micro-batches " +
+            s"(${batch.head.datetime} after max seen ${new java.sql.Timestamp(seen)}) — " +
+            "feed this processor from a watermark-closed bar stream")
+      maxTs.update(batch.last.datetime.getTime)
       var b = buf.get().toList
       val out = batch.map { r =>
         b = (b :+ ((r.x, r.y))).takeRight(n)
@@ -875,20 +886,24 @@ object Pipeline {
     * double is the identical IEEE expression on the identical operands
     * — stream ≡ batch bit-for-bit.
     *
-    * ORDERING CONTRACT (same as [[PairCorrProcessor]]): in-batch rows
-    * are sorted here, but cross-batch arrival must be event-time
-    * monotone per symbol — feed from a watermark-closed bar stream
-    * ([[rebarCascade]]'s discipline). Un-gated late bars would enter
-    * the 52-bar window and the 26-deep FIFOs out of order and silently
-    * diverge from the batch cascade. */
+    * ORDERING CONTRACT (same as [[PairCorrProcessor]], and GUARDED the
+    * same way): in-batch rows are sorted here, but cross-batch arrival
+    * must be event-time monotone per symbol — feed from a
+    * watermark-closed bar stream ([[rebarCascade]]'s discipline). An
+    * un-gated late bar fails the query loudly instead of entering the
+    * 52-bar window and the 26-deep FIFOs out of order and silently
+    * diverging from the batch cascade. */
   class IchimokuProcessor
       extends StatefulProcessor[String, Bar, IchimokuRow] {
     private val Lead = 26
     @transient private var st: org.apache.spark.sql.streaming.ValueState[IchiState] = _
+    @transient private var maxTs: org.apache.spark.sql.streaming.ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       st = getHandle.getValueState[IchiState]("ichi",
         org.apache.spark.sql.Encoders.product[IchiState], TTLConfig.NONE)
+      maxTs = getHandle.getValueState[Long]("maxTs",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
     }
 
     private def mid(hs: Seq[Double], ls: Seq[Double], n: Long, w: Int): Option[Double] =
@@ -899,6 +914,13 @@ object Pipeline {
         timers: TimerValues): Iterator[IchimokuRow] = {
       val batch = rows.toArray.sortBy(_.datetime.getTime)
       if (batch.isEmpty) return Iterator.empty
+      val seen = if (maxTs.exists()) maxTs.get() else Long.MinValue
+      if (batch.head.datetime.getTime < seen)
+        throw new IllegalStateException(
+          s"symbol $key: out-of-order arrival across micro-batches " +
+            s"(${batch.head.datetime} after max seen ${new java.sql.Timestamp(seen)}) — " +
+            "feed this processor from a watermark-closed bar stream")
+      maxTs.update(batch.last.datetime.getTime)
       var s = Option(st.get()).getOrElse(
         IchiState(Nil, Nil, 0L, Nil, Nil, Nil))
       val out = scala.collection.mutable.ArrayBuffer.empty[IchimokuRow]

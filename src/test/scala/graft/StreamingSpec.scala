@@ -732,6 +732,36 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("w16/w17 processors fail LOUDLY on out-of-order arrival across micro-batches") {
+    // the ordering contract is guarded, not just documented: un-gated
+    // late data must kill the query with a diagnosable error, never
+    // splice the rolling state silently (the batch twin would diverge)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Bar](spark)
+      val q = Pipeline.ichimoku(input.toDS())
+        .writeStream.format("memory").queryName("ichi_guard")
+        .outputMode("append").start()
+      input.addData((10 until 15).map(i => bar("AAPL", i)): _*)
+      q.processAllAvailable()
+      // a bar EARLIER than the max seen arrives in a later micro-batch
+      input.addData(bar("AAPL", 3))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(causes(e).exists(_.contains("out-of-order arrival")),
+        s"expected the ordering guard, got: ${causes(e).mkString(" | ")}")
+      q.stop()
+    } finally {
+      spark.streams.active.foreach(_.stop())
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("state-scale rung: 10k-symbol cascade — measured throughput and state footprint (round-12 task 6)") {
     // The correctness pins above run at 2-3 symbols; the 100 TB framing
     // keys state BY SYMBOL, so this rung turns the cascade's "~104
