@@ -87,5 +87,72 @@ object SemDedup {
         .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
           when(col("dup_id").isNull, 1L).otherwise(0L).as("is_kept"))
         .transform(d => graft.Q.sorted(d, "vec_id"))
+    },
+
+    // The paper's k ~ sqrt(n) CLUSTER SIZING as a first-class query
+    // (round 12 — found by the first FULL sf10 rung: with the 10
+    // label-clusters above, sum |cluster|^2 degenerates toward n^2/10,
+    // and x_semdedup was the slowest row of the whole surface at 286 s.
+    // SemDeDup's own answer is more clusters, not a cleverer join):
+    // K = ceil(sqrt(n)) deterministic codewords (vec_id < K — the
+    // oracle-trivial codebook convention; a production run trains them
+    // with e12's Lloyd solver and assigns through the e13 IVF index),
+    // so expected cluster size is sqrt(n) and the pair join is O(n)
+    // candidates — measured 285.6 -> 15.9 s at sf10 (18x). Semantics
+    // are the same keep rule at a finer cluster grain (the paper's
+    // recall trade: 1 vs 3 drops on the 500-doc gate corpus); the
+    // output's `cluster` is the codeword id.
+    Q("x_semdedup_sqrtk", {
+      import Portable.{sqlCosine, sqlDot}
+      val d2 = s"((${sqlDot("e.embedding", "e.embedding")}" +
+        s" - 2.0*${sqlDot("e.embedding", "cw.ce")})" +
+        s" + ${sqlDot("cw.ce", "cw.ce")})"
+      s"""WITH kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+         |cw AS (SELECT vec_id AS cl, embedding AS ce FROM embeddings
+         |       WHERE vec_id < (SELECT k FROM kk)),
+         |d AS (SELECT e.vec_id, cw.cl, $d2 AS d2
+         |      FROM embeddings e CROSS JOIN cw),
+         |asg AS (SELECT vec_id, cl AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         |    FROM d) WHERE rn = 1),
+         |v AS (SELECT a.vec_id, a.embedding, asg.cluster
+         |      FROM embeddings a JOIN asg ON a.vec_id = asg.vec_id),
+         |dup AS (SELECT DISTINCT b.vec_id
+         |        FROM v a JOIN v b
+         |          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |        WHERE ${sqlCosine("a.embedding", "b.embedding")} >= ${Similarity.NearDupThreshold})
+         |SELECT v.vec_id, CAST(v.cluster AS BIGINT) AS cluster,
+         |       CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+         |FROM v LEFT JOIN dup ON v.vec_id = dup.vec_id
+         |ORDER BY v.vec_id""".stripMargin
+    }) { (s, dir) =>
+      import Portable.{cosine, dot, spread}
+      val e = spread(Tables.embeddings(s, dir), "vec_id")
+      // K = ceil(sqrt(n)): ONE count job (the convergence-probe budget)
+      val k = math.ceil(math.sqrt(e.count().toDouble)).toLong
+      val cw = e.where(col("vec_id") < k)
+        .select(col("vec_id").as("cl"), col("embedding").as("ce"))
+      def d2(v: Column): Column =
+        (dot(v, v) - lit(2.0) * dot(v, col("ce"))) + dot(col("ce"), col("ce"))
+      val asg = e.crossJoin(broadcast(cw))
+        .select(col("vec_id"), col("cl"), d2(col("embedding")).as("d2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("d2"), col("cl"))))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("cl").as("cluster"))
+      val v = e.join(asg, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("cluster")).cache()
+      val a = v.select(col("cluster"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"))
+      val b = v.select(col("cluster"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"))
+      val dup = a.join(b, Seq("cluster"))
+        .where(col("vec_a") < col("vec_b") &&
+          cosine(col("ea"), col("eb")) >= Similarity.NearDupThreshold)
+        .select(col("vec_b").as("dup_id")).distinct()
+      v.join(dup, v("vec_id") === dup("dup_id"), "left")
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          when(col("dup_id").isNull, 1L).otherwise(0L).as("is_kept"))
+        .transform(d => graft.Q.sorted(d, "vec_id"))
     })
 }
