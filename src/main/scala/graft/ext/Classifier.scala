@@ -64,9 +64,13 @@ object Classifier {
     * `this.synchronized` only serializes one JVM, and the _SUCCESS
     * check-then-overwrite was not atomic across processes sharing a
     * warehouse (an interleaved reader could catch a half-written
-    * directory as a spurious bucket-gap failure). The rename is the
-    * atomic publish; a concurrent winner makes the rename fail, which
-    * is fine — the published artifact is already valid. */
+    * directory as a spurious bucket-gap failure). A COMMITTED
+    * destination (_SUCCESS present) is never deleted — a concurrent
+    * winner's artifact survives and this writer discards its temp; only
+    * a crashed writer's debris (directory without _SUCCESS) is swept
+    * before the rename. The residual cross-process window is one
+    * exists-then-rename pair — best-effort on a shared local FS, where
+    * a real deployment uses the object store's conditional put. */
   def ensureWeightsArtifact(spark: SparkSession): String = this.synchronized {
     val p = weightsPath(spark)
     val hp = new org.apache.hadoop.fs.Path(p)
@@ -77,15 +81,27 @@ object Classifier {
       spark.range(Buckets)
         .select(col("id").as("bucket"), milliWeight(col("id")).as("milli_w"))
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(hp, true)
-      if (!fs.rename(tmp, hp)) {
-        // lost the publish race to another process: keep theirs
-        fs.delete(tmp, true)
-        require(fs.exists(new org.apache.hadoop.fs.Path(hp, "_SUCCESS")),
-          s"weights artifact $p: rename failed and no committed artifact exists")
-      }
+      publishArtifact(fs, tmp, hp)
     }
     p
+  }
+
+  /** Publish `tmp` at `dst` without ever deleting a committed artifact
+    * (shared with [[graft.ext.Lm]]'s merge table — the warehouse commit
+    * protocol). */
+  private[ext] def publishArtifact(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
+    val success = new org.apache.hadoop.fs.Path(dst, "_SUCCESS")
+    if (fs.exists(success)) { fs.delete(tmp, true); return } // lost the race: keep theirs
+    // crashed-writer debris (dir without _SUCCESS): sweep, then rename.
+    // NEVER rename onto an existing dir — Hadoop local-FS rename would
+    // move tmp INSIDE it instead of replacing it.
+    if (fs.exists(dst)) fs.delete(dst, true)
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, true)
+      require(fs.exists(success),
+        s"artifact $dst: rename failed and no committed artifact exists")
+    }
   }
 
   /** The SERVING load path (round-11 task 3): read the weight file to
@@ -196,9 +212,24 @@ object Classifier {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
 
+  /** Trained-run memo (the BPE mergeMemo convention): one training run
+    * per corpus fingerprint serves both the stats query and the weight
+    * consumers — without it a caller wanting stats AND weights paid the
+    * K distributed rounds twice. */
+  private val lrMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(Long, Long, Long)], Array[Long])]
+
+  /** Test hook (the determinism spec re-runs the REAL loop, not the memo). */
+  private[graft] def clearLrMemo(): Unit = lrMemo.clear()
+
   /** The shared training loop: returns the per-round stats and the
-    * final weight vector. */
+    * final weight vector, memoized per corpus fingerprint. */
   private def lrLoop(spark: SparkSession, dir: String)
+      : (Seq[(Long, Long, Long)], Array[Long]) = lrMemo.getOrElseUpdate(
+    graft.sources.Layout.sourceFingerprint(spark, s"$dir/documents.parquet"),
+    lrLoopUncached(spark, dir))
+
+  private def lrLoopUncached(spark: SparkSession, dir: String)
       : (Seq[(Long, Long, Long)], Array[Long]) = {
     val docs = Portable.spread(Tables.documents(spark, dir), "doc_id")
     // (doc_id, y, feature buckets with multiplicity) — one corpus pass,

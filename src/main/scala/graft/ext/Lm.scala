@@ -427,13 +427,12 @@ object Lm {
         loadMerges(spark, p)
       else {
         val trained = bpeTrainLoop(spark, dir)
-        // the Classifier commit protocol: temp write + atomic-ish rename
-        // so a concurrent reader can never see a half-written table
+        // the Classifier commit protocol: temp write + publish that
+        // never deletes a committed artifact (Classifier.publishArtifact)
         val tmp = new org.apache.hadoop.fs.Path(
           hp.getParent, s".${hp.getName}.tmp-${java.util.UUID.randomUUID}")
         trained.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(hp, true)
-        if (!fs.rename(tmp, hp)) fs.delete(tmp, true)
+        Classifier.publishArtifact(fs, tmp, hp)
         trained
       }
     })

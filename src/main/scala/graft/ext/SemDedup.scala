@@ -2,7 +2,7 @@ package graft.ext
 
 import graft.Q
 import graft.sources.Tables
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,9 +13,7 @@ import org.apache.spark.sql.functions._
   * sets prune paraphrases that exact/MinHash dedup cannot see.
   *
   * Pipeline (all relational, no all-pairs anywhere):
-  *   1. codebook: one deterministic codeword per label (the e8/e10
-  *      first-vector-per-label convention — at scale this is the e9
-  *      Lloyd-trained codebook, broadcast);
+  *   1. codebook: deterministic codewords (two sizings below), broadcast;
   *   2. assign: nearest codeword by exact squared distance, ties by
   *      codeword id — broadcast join + per-row argmin, NO shuffle of the
   *      corpus beyond the initial spread;
@@ -26,133 +24,107 @@ import org.apache.spark.sql.functions._
   *      cluster is cosine-similar above the threshold (deterministic
   *      min-id representative, the same convention as d8's keep).
   *
+  * Both queries share ONE assign/pair/keep pipeline ([[keepPlan]] /
+  * [[keepSql]]) parameterized by the codebook — only the cluster sizing
+  * differs:
+  *   - `x_semdedup`: one codeword per label (k = 10 — the e8/e10
+  *     convention; reference-parity shape);
+  *   - `x_semdedup_sqrtk`: K = ceil(sqrt(n)) codewords (vec_id < K) —
+  *     the paper's sizing. Found by the first FULL sf10 rung: at 200k
+  *     vectors the 10-cluster pair join degenerates toward n²/10 and
+  *     x_semdedup was the slowest row of the whole surface at 285.6 s;
+  *     sqrt-k measures 15.9 s (18x), same keep rule at the finer grain
+  *     (the paper's recall trade: 1 vs 3 drops on the 500-doc gate
+  *     corpus). A production run trains the codewords with e12's Lloyd
+  *     solver and assigns through the e13 IVF index.
+  *
   * Cross-engine exactness: distances and cosines are [[Portable.dot]]
   * sequential folds (identical IEEE accumulation order), so the argmin
   * and the threshold compare resolve identically in Spark and DuckDB.
   */
 object SemDedup {
+  import Portable.{cosine, dot, spread, sqlCosine, sqlDot}
+
+  /** Assign → within-cluster pair → keep decision over the given
+    * codebook (cl, ce). The corpus-with-cluster frame is used three
+    * times (both self-join legs + the output), hence the cache; the
+    * verify/bench harnesses clear the session cache after every query —
+    * a LIBRARY caller running this inside a longer session should
+    * unpersist via `spark.catalog.clearCache()` (or uncache the plan)
+    * once the result is consumed. */
+  private def keepPlan(e: DataFrame, cw: DataFrame): DataFrame = {
+    def d2(v: Column): Column =
+      (dot(v, v) - lit(2.0) * dot(v, col("ce"))) + dot(col("ce"), col("ce"))
+    val asg = e.crossJoin(broadcast(cw))
+      .select(col("vec_id"), col("cl"), d2(col("embedding")).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("cl"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cl").as("cluster"))
+    val v = e.join(asg, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cluster")).cache()
+    val a = v.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"))
+    val b = v.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    val dup = a.join(b, Seq("cluster"))
+      .where(col("vec_a") < col("vec_b") &&
+        cosine(col("ea"), col("eb")) >= Similarity.NearDupThreshold)
+      .select(col("vec_b").as("dup_id")).distinct()
+    v.join(dup, v("vec_id") === dup("dup_id"), "left")
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        when(col("dup_id").isNull, 1L).otherwise(0L).as("is_kept"))
+      .transform(d => graft.Q.sorted(d, "vec_id"))
+  }
+
+  /** Oracle twin of [[keepPlan]]: the identical CTE chain over a
+    * codebook CTE the caller supplies as `cw AS (...cl, ce...)`. */
+  private def keepSql(cwCte: String): String = {
+    val d2 = s"((${sqlDot("e.embedding", "e.embedding")}" +
+      s" - 2.0*${sqlDot("e.embedding", "cw.ce")})" +
+      s" + ${sqlDot("cw.ce", "cw.ce")})"
+    s"""$cwCte,
+       |d AS (SELECT e.vec_id, cw.cl, $d2 AS d2
+       |      FROM embeddings e CROSS JOIN cw),
+       |asg AS (SELECT vec_id, cl AS cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+       |    FROM d) WHERE rn = 1),
+       |v AS (SELECT a.vec_id, a.embedding, asg.cluster
+       |      FROM embeddings a JOIN asg ON a.vec_id = asg.vec_id),
+       |dup AS (SELECT DISTINCT b.vec_id
+       |        FROM v a JOIN v b
+       |          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |        WHERE ${sqlCosine("a.embedding", "b.embedding")} >= ${Similarity.NearDupThreshold})
+       |SELECT v.vec_id, CAST(v.cluster AS BIGINT) AS cluster,
+       |       CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+       |FROM v LEFT JOIN dup ON v.vec_id = dup.vec_id
+       |ORDER BY v.vec_id""".stripMargin
+  }
 
   def queries: Seq[Q] = Seq(
-    Q("x_semdedup", {
-      import Portable.{sqlCosine, sqlDot}
-      val d2 = s"((${sqlDot("e.embedding", "e.embedding")}" +
-        s" - 2.0*${sqlDot("e.embedding", "cw.ce")})" +
-        s" + ${sqlDot("cw.ce", "cw.ce")})"
-      s"""WITH cw AS (
-         |  SELECT label AS cl, embedding AS ce FROM (
-         |    SELECT label, embedding,
-         |           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-         |    FROM embeddings) WHERE rn = 1),
-         |d AS (SELECT e.vec_id, cw.cl, $d2 AS d2
-         |      FROM embeddings e CROSS JOIN cw),
-         |asg AS (SELECT vec_id, cl AS cluster FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
-         |    FROM d) WHERE rn = 1),
-         |v AS (SELECT a.vec_id, a.embedding, asg.cluster
-         |      FROM embeddings a JOIN asg ON a.vec_id = asg.vec_id),
-         |dup AS (SELECT DISTINCT b.vec_id
-         |        FROM v a JOIN v b
-         |          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-         |        WHERE ${sqlCosine("a.embedding", "b.embedding")} >= ${Similarity.NearDupThreshold})
-         |SELECT v.vec_id, CAST(v.cluster AS BIGINT) AS cluster,
-         |       CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_kept
-         |FROM v LEFT JOIN dup ON v.vec_id = dup.vec_id
-         |ORDER BY v.vec_id""".stripMargin
-    }) { (s, dir) =>
-      import Portable.{cosine, dot, spread}
+    Q("x_semdedup", keepSql(
+      """WITH cw AS (
+        |  SELECT label AS cl, embedding AS ce FROM (
+        |    SELECT label, embedding,
+        |           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        |    FROM embeddings) WHERE rn = 1)""".stripMargin)) { (s, dir) =>
       val e = spread(Tables.embeddings(s, dir), "vec_id")
       val cw = e.withColumn("rn",
           row_number().over(Window.partitionBy("label").orderBy("vec_id")))
         .where(col("rn") === 1)
         .select(col("label").as("cl"), col("embedding").as("ce"))
-      def d2(v: Column): Column =
-        (dot(v, v) - lit(2.0) * dot(v, col("ce"))) + dot(col("ce"), col("ce"))
-      val asg = e.crossJoin(broadcast(cw))
-        .select(col("vec_id"), col("cl"), d2(col("embedding")).as("d2"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("d2"), col("cl"))))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("cl").as("cluster"))
-      val v = e.join(asg, "vec_id")
-        .select(col("vec_id"), col("embedding"), col("cluster")).cache()
-      val a = v.select(col("cluster"), col("vec_id").as("vec_a"),
-        col("embedding").as("ea"))
-      val b = v.select(col("cluster"), col("vec_id").as("vec_b"),
-        col("embedding").as("eb"))
-      val dup = a.join(b, Seq("cluster"))
-        .where(col("vec_a") < col("vec_b") &&
-          cosine(col("ea"), col("eb")) >= Similarity.NearDupThreshold)
-        .select(col("vec_b").as("dup_id")).distinct()
-      v.join(dup, v("vec_id") === dup("dup_id"), "left")
-        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
-          when(col("dup_id").isNull, 1L).otherwise(0L).as("is_kept"))
-        .transform(d => graft.Q.sorted(d, "vec_id"))
+      keepPlan(e, cw)
     },
 
-    // The paper's k ~ sqrt(n) CLUSTER SIZING as a first-class query
-    // (round 12 — found by the first FULL sf10 rung: with the 10
-    // label-clusters above, sum |cluster|^2 degenerates toward n^2/10,
-    // and x_semdedup was the slowest row of the whole surface at 286 s.
-    // SemDeDup's own answer is more clusters, not a cleverer join):
-    // K = ceil(sqrt(n)) deterministic codewords (vec_id < K — the
-    // oracle-trivial codebook convention; a production run trains them
-    // with e12's Lloyd solver and assigns through the e13 IVF index),
-    // so expected cluster size is sqrt(n) and the pair join is O(n)
-    // candidates — measured 285.6 -> 15.9 s at sf10 (18x). Semantics
-    // are the same keep rule at a finer cluster grain (the paper's
-    // recall trade: 1 vs 3 drops on the 500-doc gate corpus); the
-    // output's `cluster` is the codeword id.
-    Q("x_semdedup_sqrtk", {
-      import Portable.{sqlCosine, sqlDot}
-      val d2 = s"((${sqlDot("e.embedding", "e.embedding")}" +
-        s" - 2.0*${sqlDot("e.embedding", "cw.ce")})" +
-        s" + ${sqlDot("cw.ce", "cw.ce")})"
-      s"""WITH kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
-         |cw AS (SELECT vec_id AS cl, embedding AS ce FROM embeddings
-         |       WHERE vec_id < (SELECT k FROM kk)),
-         |d AS (SELECT e.vec_id, cw.cl, $d2 AS d2
-         |      FROM embeddings e CROSS JOIN cw),
-         |asg AS (SELECT vec_id, cl AS cluster FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
-         |    FROM d) WHERE rn = 1),
-         |v AS (SELECT a.vec_id, a.embedding, asg.cluster
-         |      FROM embeddings a JOIN asg ON a.vec_id = asg.vec_id),
-         |dup AS (SELECT DISTINCT b.vec_id
-         |        FROM v a JOIN v b
-         |          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-         |        WHERE ${sqlCosine("a.embedding", "b.embedding")} >= ${Similarity.NearDupThreshold})
-         |SELECT v.vec_id, CAST(v.cluster AS BIGINT) AS cluster,
-         |       CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_kept
-         |FROM v LEFT JOIN dup ON v.vec_id = dup.vec_id
-         |ORDER BY v.vec_id""".stripMargin
-    }) { (s, dir) =>
-      import Portable.{cosine, dot, spread}
+    Q("x_semdedup_sqrtk", keepSql(
+      """WITH kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+        |cw AS (SELECT vec_id AS cl, embedding AS ce FROM embeddings
+        |       WHERE vec_id < (SELECT k FROM kk))""".stripMargin)) { (s, dir) =>
       val e = spread(Tables.embeddings(s, dir), "vec_id")
       // K = ceil(sqrt(n)): ONE count job (the convergence-probe budget)
       val k = math.ceil(math.sqrt(e.count().toDouble)).toLong
       val cw = e.where(col("vec_id") < k)
         .select(col("vec_id").as("cl"), col("embedding").as("ce"))
-      def d2(v: Column): Column =
-        (dot(v, v) - lit(2.0) * dot(v, col("ce"))) + dot(col("ce"), col("ce"))
-      val asg = e.crossJoin(broadcast(cw))
-        .select(col("vec_id"), col("cl"), d2(col("embedding")).as("d2"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("d2"), col("cl"))))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("cl").as("cluster"))
-      val v = e.join(asg, "vec_id")
-        .select(col("vec_id"), col("embedding"), col("cluster")).cache()
-      val a = v.select(col("cluster"), col("vec_id").as("vec_a"),
-        col("embedding").as("ea"))
-      val b = v.select(col("cluster"), col("vec_id").as("vec_b"),
-        col("embedding").as("eb"))
-      val dup = a.join(b, Seq("cluster"))
-        .where(col("vec_a") < col("vec_b") &&
-          cosine(col("ea"), col("eb")) >= Similarity.NearDupThreshold)
-        .select(col("vec_b").as("dup_id")).distinct()
-      v.join(dup, v("vec_id") === dup("dup_id"), "left")
-        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
-          when(col("dup_id").isNull, 1L).otherwise(0L).as("is_kept"))
-        .transform(d => graft.Q.sorted(d, "vec_id"))
+      keepPlan(e, cw)
     })
 }

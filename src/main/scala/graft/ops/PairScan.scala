@@ -52,6 +52,7 @@ object PairScan {
     * x/y integral cents. */
   def stats(spark: SparkSession, xy: DataFrame, frame: Int = 20,
       numPartitions: Int = 0): DataFrame = {
+    require(frame >= 2, s"frame must be >= 2 (warm-up is frame-1 rows), got $frame")
     val n = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
     val sorted = xy.select(col("pair"), col("datetime"),

@@ -780,9 +780,12 @@ object Pipeline {
       val batch = rows.toArray.sortBy(_.datetime.getTime)
       if (batch.isEmpty) return Iterator.empty
       val seen = if (maxTs.exists()) maxTs.get() else Long.MinValue
-      if (batch.head.datetime.getTime < seen)
+      // <= : an EQUAL timestamp in a later batch is a re-delivered bar —
+      // as corrupt for the rolling buffer as a late one (a bar stream
+      // emits one row per (key, window))
+      if (batch.head.datetime.getTime <= seen)
         throw new IllegalStateException(
-          s"pair $key: out-of-order arrival across micro-batches " +
+          s"pair $key: out-of-order or duplicate arrival across micro-batches " +
             s"(${batch.head.datetime} after max seen ${new java.sql.Timestamp(seen)}) — " +
             "feed this processor from a watermark-closed bar stream")
       maxTs.update(batch.last.datetime.getTime)
@@ -915,9 +918,10 @@ object Pipeline {
       val batch = rows.toArray.sortBy(_.datetime.getTime)
       if (batch.isEmpty) return Iterator.empty
       val seen = if (maxTs.exists()) maxTs.get() else Long.MinValue
-      if (batch.head.datetime.getTime < seen)
+      // <= : see PairCorrProcessor — an equal timestamp is a duplicate
+      if (batch.head.datetime.getTime <= seen)
         throw new IllegalStateException(
-          s"symbol $key: out-of-order arrival across micro-batches " +
+          s"symbol $key: out-of-order or duplicate arrival across micro-batches " +
             s"(${batch.head.datetime} after max seen ${new java.sql.Timestamp(seen)}) — " +
             "feed this processor from a watermark-closed bar stream")
       maxTs.update(batch.last.datetime.getTime)

@@ -93,7 +93,10 @@ class ClassifierSpec extends SparkTestBase {
       .head().getInt(0)
     assert(w(markerBucket) > 0,
       s"marker bucket $markerBucket weight ${w(markerBucket)} not positive")
-    // integer algebra: a re-run reproduces the rounds bit-for-bit
+    // integer algebra: a FRESH training run (memo dropped — otherwise
+    // this would just read the cache back) reproduces the rounds
+    // bit-for-bit
+    Classifier.clearLrMemo()
     val again = Classifier.lrTrain(spark, sf)
       .orderBy("round").as[(Long, Long, Long)].collect()
     assert(again.toSeq == rows.toSeq)

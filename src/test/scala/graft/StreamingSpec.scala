@@ -753,7 +753,7 @@ class StreamingSpec extends SparkTestBase {
       def causes(t: Throwable): Seq[String] =
         Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
           .map(x => Option(x.getMessage).getOrElse("")).toSeq
-      assert(causes(e).exists(_.contains("out-of-order arrival")),
+      assert(causes(e).exists(_.contains("out-of-order or duplicate arrival")),
         s"expected the ordering guard, got: ${causes(e).mkString(" | ")}")
       q.stop()
     } finally {
