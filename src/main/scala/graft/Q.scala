@@ -55,6 +55,14 @@ object Q {
     * — at sf100 it dominated x_classifier_score (662 s for a map-side
     * fold, ~10x the operator; SCALING.md sf100 finding #3). A production
     * sink keeps the natural partitioning exactly like the `false` arm.
+    *
+    * SINGLE-MAIN ASSUMPTION: this is a process-global toggle read by
+    * every [[sorted]] call at PLAN-BUILD time — safe because exactly one
+    * harness main owns a JVM (Verify and Bench are separate processes,
+    * and the test suites run sequentially in the forked test JVM with
+    * the default `true`). A library embedding that builds plans from
+    * concurrent threads must NOT flip this mid-flight; it should leave
+    * the default and strip the terminal sort via its own sink instead.
     */
   @volatile var determinismSort: Boolean = true
 

@@ -86,17 +86,29 @@ object Classifier {
     p
   }
 
-  /** Publish `tmp` at `dst` without ever deleting a committed artifact
-    * (shared with [[graft.ext.Lm]]'s merge table — the warehouse commit
-    * protocol). */
+  /** Publish `tmp` at `dst`, best-effort avoiding the deletion of a
+    * committed artifact (shared with [[graft.ext.Lm]]'s merge table —
+    * the warehouse commit protocol). Within ONE JVM the callers'
+    * `synchronized` makes this safe outright; across processes sharing a
+    * warehouse the _SUCCESS re-check immediately before the sweep
+    * shrinks — but cannot close — the exists→delete window (a local FS
+    * has no conditional put; a real deployment uses the object store's).
+    * A failed rename is treated as a lost race: if a committed artifact
+    * exists by then, keep theirs and let the caller read it; only when
+    * nothing committed exists is the failure surfaced. */
   private[ext] def publishArtifact(fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
     val success = new org.apache.hadoop.fs.Path(dst, "_SUCCESS")
     if (fs.exists(success)) { fs.delete(tmp, true); return } // lost the race: keep theirs
     // crashed-writer debris (dir without _SUCCESS): sweep, then rename.
     // NEVER rename onto an existing dir — Hadoop local-FS rename would
-    // move tmp INSIDE it instead of replacing it.
-    if (fs.exists(dst)) fs.delete(dst, true)
+    // move tmp INSIDE it instead of replacing it. Re-check _SUCCESS at
+    // the last possible moment: a concurrent writer may have committed
+    // between the check above and here.
+    if (fs.exists(dst)) {
+      if (fs.exists(success)) { fs.delete(tmp, true); return }
+      fs.delete(dst, true)
+    }
     if (!fs.rename(tmp, dst)) {
       fs.delete(tmp, true)
       require(fs.exists(success),

@@ -28,15 +28,21 @@ import org.apache.spark.sql.functions._
   * [[keepSql]]) parameterized by the codebook — only the cluster sizing
   * differs:
   *   - `x_semdedup`: one codeword per label (k = 10 — the e8/e10
-  *     convention; reference-parity shape);
+  *     convention; reference-parity shape) — BELOW
+  *     [[LabelArmMaxRows]]; past it the query DISPATCHES onto the
+  *     sqrt-k sizing (round-12 verdict #1: the label arm's pair join is
+  *     Σ|cluster|² ≈ n²/10 candidates — the first full sf10 rung
+  *     measured it the slowest row of the whole surface, 285.6 s over
+  *     200k vectors, growing quadratically; the sqrt-k arm measured
+  *     15.9 s). The `ops/Indicators.tiered` pattern on the cluster
+  *     axis: the semantics stay "SemDeDup keep rule over a deterministic
+  *     codebook", the codebook sizing becomes scale-appropriate, and the
+  *     DuckDB oracle adjudicates the label shape at the gate SFs where
+  *     the dispatch keeps it.
   *   - `x_semdedup_sqrtk`: K = ceil(sqrt(n)) codewords (vec_id < K) —
-  *     the paper's sizing. Found by the first FULL sf10 rung: at 200k
-  *     vectors the 10-cluster pair join degenerates toward n²/10 and
-  *     x_semdedup was the slowest row of the whole surface at 285.6 s;
-  *     sqrt-k measures 15.9 s (18x), same keep rule at the finer grain
-  *     (the paper's recall trade: 1 vs 3 drops on the 500-doc gate
-  *     corpus). A production run trains the codewords with e12's Lloyd
-  *     solver and assigns through the e13 IVF index.
+  *     the paper's sizing, unconditionally. A production run trains the
+  *     codewords with e12's Lloyd solver and assigns through the e13
+  *     IVF index.
   *
   * Cross-engine exactness: distances and cosines are [[Portable.dot]]
   * sequential folds (identical IEEE accumulation order), so the argmin
@@ -44,6 +50,22 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
   import Portable.{cosine, dot, spread, sqlCosine, sqlDot}
+
+  /** Corpus-size ceiling for x_semdedup's label-cluster arm. With k
+    * fixed at ~10 label clusters the within-cluster pair join carries
+    * Σ|cluster|² ≈ n²/k candidate cosines, versus ~2·n·√n for the
+    * sqrt-k codebook (n·√n assignment distances + n·√n expected pairs)
+    * — the crossover is n ≈ (2k)² ≈ 400, so by 20k rows the label arm
+    * is already ~20× the work and climbing linearly in n. 20_000 keeps
+    * the reference-parity label shape through every oracle-adjudicated
+    * SF (gate corpora are 500–2000 vectors; sf1 is exactly 20k) and
+    * routes sf10+ (200k+) onto the paper's sizing.
+    */
+  val LabelArmMaxRows = 20000L
+
+  /** The dispatch decision, naked for the spec: sqrt-k sizing iff the
+    * corpus exceeds [[LabelArmMaxRows]]. */
+  def useSqrtK(n: Long): Boolean = n > LabelArmMaxRows
 
   /** Assign → within-cluster pair → keep decision over the given
     * codebook (cl, ce). The corpus-with-cluster frame is used three
@@ -101,19 +123,45 @@ object SemDedup {
        |ORDER BY v.vec_id""".stripMargin
   }
 
+  /** One deterministic codeword per label (min-vec_id representative —
+    * the e3/e8 centroid convention): the reference-parity sizing. */
+  private def labelCodebook(e: DataFrame): DataFrame =
+    e.withColumn("rn",
+        row_number().over(Window.partitionBy("label").orderBy("vec_id")))
+      .where(col("rn") === 1)
+      .select(col("label").as("cl"), col("embedding").as("ce"))
+
+  /** K = ceil(sqrt(n)) codewords (vec_id < K) — the paper's sizing,
+    * which keeps the within-cluster pair join O(n·√n). */
+  private def sqrtkCodebook(e: DataFrame, n: Long): DataFrame = {
+    val k = math.ceil(math.sqrt(n.toDouble)).toLong
+    e.where(col("vec_id") < k)
+      .select(col("vec_id").as("cl"), col("embedding").as("ce"))
+  }
+
+  /** The dispatched x_semdedup plan, with the threshold injectable so
+    * the spec can pin BOTH dispatch arms on the gate corpus. */
+  private[graft] def semdedupPlan(s: SparkSession, dir: String,
+      labelArmMaxRows: Long = LabelArmMaxRows): DataFrame = {
+    val e = spread(Tables.embeddings(s, dir), "vec_id")
+    // ONE count job (the convergence-probe budget) decides the sizing;
+    // the sqrt-k arm needs n anyway
+    val n = e.count()
+    val cw = if (n > labelArmMaxRows) sqrtkCodebook(e, n) else labelCodebook(e)
+    keepPlan(e, cw)
+  }
+
   def queries: Seq[Q] = Seq(
+    // oracle = the label shape: the gate SFs sit under LabelArmMaxRows,
+    // where the dispatch keeps the reference-parity codebook (SemDedup
+    // dispatch spec pins that the over-threshold arm ≡ x_semdedup_sqrtk)
     Q("x_semdedup", keepSql(
       """WITH cw AS (
         |  SELECT label AS cl, embedding AS ce FROM (
         |    SELECT label, embedding,
         |           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
         |    FROM embeddings) WHERE rn = 1)""".stripMargin)) { (s, dir) =>
-      val e = spread(Tables.embeddings(s, dir), "vec_id")
-      val cw = e.withColumn("rn",
-          row_number().over(Window.partitionBy("label").orderBy("vec_id")))
-        .where(col("rn") === 1)
-        .select(col("label").as("cl"), col("embedding").as("ce"))
-      keepPlan(e, cw)
+      semdedupPlan(s, dir)
     },
 
     Q("x_semdedup_sqrtk", keepSql(
@@ -122,9 +170,6 @@ object SemDedup {
         |       WHERE vec_id < (SELECT k FROM kk))""".stripMargin)) { (s, dir) =>
       val e = spread(Tables.embeddings(s, dir), "vec_id")
       // K = ceil(sqrt(n)): ONE count job (the convergence-probe budget)
-      val k = math.ceil(math.sqrt(e.count().toDouble)).toLong
-      val cw = e.where(col("vec_id") < k)
-        .select(col("vec_id").as("cl"), col("embedding").as("ce"))
-      keepPlan(e, cw)
+      keepPlan(e, sqrtkCodebook(e, e.count()))
     })
 }

@@ -143,10 +143,11 @@ object DashboardScan {
     private val stochD3 = new NullableRing(3)
     private var lagH5, lagL5, lagC20max, lagC20min, lagSma: java.lang.Double = null
 
-    /** Advance one bar; returns the 17 computed cascade columns
+    /** Advance one bar; returns the 23 computed cascade columns
       * (ema5, ema15, sma, rsi, tsi, macd, macd_signal, adx, scalping,
-      * momentum, breakout, asc, desc, rounding_bottom, color) or null
-      * when warming up. */
+      * momentum, breakout, asc, desc, rounding_bottom, color, h5, l5,
+      * c20max, c20min, prev_h5, prev_l5, stoch_k, stoch_d) or null when
+      * warming up. */
     def step(h: Double, l: Double, c: Double, emit: Boolean): Array[Any] = {
       // previous-row raw lags BEFORE pushing the current bar
       val seeded = n >= 1

@@ -31,9 +31,16 @@ import scala.collection.mutable.ArrayBuffer
   */
 object PairScan {
 
-  /** Rows of warm-up context per partition boundary: the frame is 20
-    * rows, so 19 prior rows fully seed it. */
+  /** Rows of warm-up context per partition boundary at the DEFAULT
+    * frame: the frame is [[DefaultFrame]] rows, so frame−1 prior rows
+    * fully seed it. [[stats]] derives its warm-up from the `frame`
+    * argument; this constant exists only through [[DefaultFrame]], so it
+    * cannot drift from the actual warm-up. */
   val WarmLen = 19
+
+  /** The 20-row frame every pair-stats caller uses ([[WarmLen]] + 1 —
+    * defined this way round so the two constants cannot disagree). */
+  val DefaultFrame = WarmLen + 1
 
   private val statsSchema = StructType(Seq(
     StructField("pair", StringType), StructField("datetime", TimestampType),
@@ -50,7 +57,7 @@ object PairScan {
   /** 20-row rolling integer statistics over the (pair, datetime)-sorted
     * chunked series. `xy` must have columns (pair, datetime, x, y) with
     * x/y integral cents. */
-  def stats(spark: SparkSession, xy: DataFrame, frame: Int = 20,
+  def stats(spark: SparkSession, xy: DataFrame, frame: Int = DefaultFrame,
       numPartitions: Int = 0): DataFrame = {
     require(frame >= 2, s"frame must be >= 2 (warm-up is frame-1 rows), got $frame")
     val n = if (numPartitions > 0) numPartitions

@@ -788,6 +788,15 @@ object Pipeline {
           s"pair $key: out-of-order or duplicate arrival across micro-batches " +
             s"(${batch.head.datetime} after max seen ${new java.sql.Timestamp(seen)}) — " +
             "feed this processor from a watermark-closed bar stream")
+      // duplicates WITHIN one micro-batch are the same corruption (one
+      // row per (key, window)): the sorted batch must be strictly
+      // increasing, not merely above the previous batch's max
+      batch.iterator.sliding(2).withPartial(false).foreach { w =>
+        if (w(0).datetime.getTime == w(1).datetime.getTime)
+          throw new IllegalStateException(
+            s"pair $key: duplicate timestamp ${w(0).datetime} within one " +
+              "micro-batch — a bar stream emits one row per (key, window)")
+      }
       maxTs.update(batch.last.datetime.getTime)
       var b = buf.get().toList
       val out = batch.map { r =>
@@ -924,6 +933,14 @@ object Pipeline {
           s"symbol $key: out-of-order or duplicate arrival across micro-batches " +
             s"(${batch.head.datetime} after max seen ${new java.sql.Timestamp(seen)}) — " +
             "feed this processor from a watermark-closed bar stream")
+      // strictly-increasing guard within the batch too (see
+      // PairCorrProcessor): an equal-timestamp pair is a duplicate bar
+      batch.iterator.sliding(2).withPartial(false).foreach { w =>
+        if (w(0).datetime.getTime == w(1).datetime.getTime)
+          throw new IllegalStateException(
+            s"symbol $key: duplicate timestamp ${w(0).datetime} within one " +
+              "micro-batch — a bar stream emits one row per (key, window)")
+      }
       maxTs.update(batch.last.datetime.getTime)
       var s = Option(st.get()).getOrElse(
         IchiState(Nil, Nil, 0L, Nil, Nil, Nil))

@@ -42,6 +42,31 @@ class BpeSpec extends SparkTestBase {
     assert(enc.where(col("enc").contains(merged)).count() > 0)
   }
 
+  test("single-pass encode ≡ K-pass encode on the gate corpus (round-13 task 2)") {
+    // the serve path folds the whole merge table into ONE projection;
+    // it must reproduce the K chained rewrite passes row for row
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "n_syms", "enc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val onePass = rows(Lm.bpeEncode(spark, sf))
+    val kPass = rows(Lm.bpeEncodeKPass(spark, sf))
+    assert(onePass == kPass,
+      s"single-pass diverged: only-one=${(onePass -- kPass).take(3)} " +
+        s"only-k=${(kPass -- onePass).take(3)}")
+    // and the single-pass plan really is one scan: no LogicalRDD
+    // (checkpoint materialization) anywhere in it
+    val plan = Lm.bpeEncode(spark, sf).queryExecution.optimizedPlan
+    val rdds = plan.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr }
+    assert(rdds.isEmpty, "single-pass encode must not checkpoint the corpus")
+    // empty merge table degenerates to identity (guard path)
+    import spark.implicits._
+    val id = Seq(Tuple1(Seq("x", "y"))).toDF("sym")
+      .select(Lm.bpeApplyAll(col("sym"), Nil).as("out"))
+      .as[Seq[String]].head()
+    assert(id == Seq("x", "y"))
+  }
+
   test("trainer: deterministic merge table, symbol count shrinks by the applied merges") {
     val t1 = Lm.bpeTrain(spark, sf).collect().map(_.toSeq).toSeq
     val t2 = Lm.bpeTrain(spark, sf).collect().map(_.toSeq).toSeq

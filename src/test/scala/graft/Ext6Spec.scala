@@ -120,6 +120,26 @@ class Ext6Spec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("x_semdedup dispatch: label arm at gate size, sqrt-k arm past the threshold") {
+    // decision function: the gate corpora sit under the threshold (the
+    // oracle adjudicates the label shape there); past it, sqrt-k
+    assert(!graft.ext.SemDedup.useSqrtK(500))
+    assert(!graft.ext.SemDedup.useSqrtK(graft.ext.SemDedup.LabelArmMaxRows))
+    assert(graft.ext.SemDedup.useSqrtK(graft.ext.SemDedup.LabelArmMaxRows + 1))
+    // force the threshold below the gate corpus: the dispatched plan
+    // must reproduce x_semdedup_sqrtk verbatim (same codebook, same
+    // keep rule — the dispatch changes sizing, never semantics)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val forced = rows(graft.ext.SemDedup.semdedupPlan(spark, sf, labelArmMaxRows = 1))
+    val sqrtk = rows(run("x_semdedup_sqrtk"))
+    assert(forced == sqrtk,
+      s"dispatched arm diverged from x_semdedup_sqrtk: only-forced=${forced -- sqrtk} only-sqrtk=${sqrtk -- forced}")
+    // (the label-shape half of the dispatch is pinned by the full
+    // recheck below, which recomputes the LABEL clusters driver-side
+    // against the default x_semdedup at gate size)
+  }
+
   test("x_semdedup: keep rule is exact against a driver-side full recheck") {
     val out = run("x_semdedup").cache()
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
