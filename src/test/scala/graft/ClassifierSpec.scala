@@ -55,7 +55,7 @@ class ClassifierSpec extends SparkTestBase {
   test("score is partitioning-independent and the label gate matches its sign") {
     val q = Classifier.queries.find(_.name == "x_classifier_score").get
     val out = q.build(spark, sf)
-      .select("doc_id", "score_milli", "label")
+      .select("doc_id", "score", "label")
       .as[(Long, Long, String)].collect()
     assert(out.nonEmpty)
     out.foreach { case (id, s, l) =>
@@ -73,6 +73,44 @@ class ClassifierSpec extends SparkTestBase {
           .as("s"))
       .as[(Long, Long)].collect().toMap
     assert(score(2) == score(13))
+  }
+
+  test("train→file→serve round trip: artifact == trained weights, artifact hit never retrains, stale fingerprints get their own path") {
+    // start clean: no committed trained artifact, no memo
+    val p = new org.apache.hadoop.fs.Path(Classifier.trainedWeightsPath(spark, sf))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    Classifier.clearLrMemo()
+    val runs0 = Classifier.lrLoopRuns.get()
+
+    // first touch trains once and COMMITS the dense weight file
+    val path = Classifier.ensureTrainedWeightsArtifact(spark, sf)
+    assert(Classifier.lrLoopRuns.get() == runs0 + 1)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")),
+      "training did not commit the trained-weights artifact")
+    val trained = Classifier.lrTrainedWeights(spark, sf)
+
+    // simulated fresh JVM: the served model comes FROM THE FILE, equals
+    // the in-memory trained vector element for element, and the ensure
+    // is a pure read (no retraining)
+    Classifier.clearLrMemo()
+    val loaded = Classifier.modelFromFile(spark,
+        Classifier.ensureTrainedWeightsArtifact(spark, sf), "w")
+      .select(explode(col("w")).as("w")).as[Long].collect()
+    assert(Classifier.lrLoopRuns.get() == runs0 + 1,
+      "artifact hit must not retrain")
+    assert(loaded.toSeq == trained.toSeq,
+      "file-served weights diverge from the trained vector")
+
+    // a DIFFERENT corpus fingerprints to a DIFFERENT path: stale
+    // weights can never be served across corpora by construction
+    assert(Classifier.trainedWeightsPath(spark, sf) !=
+      Classifier.trainedWeightsPath(spark, "/root/testdata/sf0.01"))
+
+    // and the path carries the model geometry (a resized feature space
+    // or changed round count is a different model)
+    assert(path.contains(s"b${Classifier.Buckets}") &&
+      path.contains(s"r${Classifier.LrRounds}"))
   }
 
   test("perceptron trainer: error falls, the marker's bucket goes positive, rounds deterministic") {
