@@ -29,6 +29,17 @@ object Embeddings {
   val PqM = 8
   val SubDim = Dims / PqM
 
+  /** Exact-re-rank candidate multiplier for e11/e13 (round-12 verdict
+    * task 4 — standard FAISS IVFPQ practice): the compressed-domain ADC
+    * scan keeps RerankC·K candidates per query, and ONLY those rows
+    * fetch their stored vectors for an exact-cosine re-rank. The ADC
+    * distance decides the SHORTLIST; the exact cosine decides the
+    * ANSWER — which is what lifted e11/e13 recall@3 from 0.267 (ADC
+    * order alone) to the RecallSpec-pinned floor, at the cost of
+    * RerankC·K·|Q| stored-vector fetches per request instead of zero.
+    */
+  val RerankC = 8
+
   /** Sequential-fold dot product over arrays of ANY numeric element type
     * (mirrors [[Portable.sqlDot]] exactly: per-index double products,
     * index-ascending accumulation). The codegen kernel
@@ -451,10 +462,18 @@ object Embeddings {
        |      JOIN lut l ON l.qid = qp.qid AND l.m = c.m AND l.cl = c.code
        |      WHERE c.vec_id != l.qid
        |      GROUP BY 1, 2),
+       |ac AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |         ORDER BY adist2_e6, vec_id) AS ark FROM a),
+       |x AS (SELECT ac.qid, ac.vec_id,
+       |             ${Portable.sqlCosine("q.qe", "e.embedding")} AS cos
+       |      FROM ac
+       |      JOIN q ON q.qid = ac.qid
+       |      JOIN embeddings e ON e.vec_id = ac.vec_id
+       |      WHERE ac.ark <= ${RerankC * Similarity.K}),
        |r2 AS (SELECT *, row_number() OVER (PARTITION BY qid
-       |         ORDER BY adist2_e6, vec_id) AS rk FROM a)
+       |         ORDER BY cos DESC, vec_id) AS rk FROM x)
        |SELECT qid AS query_id, vec_id AS neighbor_id, CAST(rk AS BIGINT) AS rk,
-       |       adist2_e6
+       |       round(cos, 6) AS cos
        |FROM r2 WHERE rk <= ${Similarity.K} ORDER BY query_id, rk""".stripMargin
   }
 
@@ -904,11 +923,27 @@ object Embeddings {
             col("cl") === col("ccl") && col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),
             adcSum(col("codes"), col("lut")).as("adist2_e6"))
-        val wr = Window.partitionBy("qid").orderBy(col("adist2_e6"), col("vec_id"))
-        a.withColumn("rk", row_number().over(wr).cast("long"))
+        // compressed-domain SHORTLIST: RerankC·K ADC candidates per
+        // query — the bounded window that keeps the stored-vector fetch
+        // request-sized
+        val wa = Window.partitionBy("qid").orderBy(col("adist2_e6"), col("vec_id"))
+        val cand = a.withColumn("ark", row_number().over(wa))
+          .where(col("ark") <= RerankC * Similarity.K)
+          .select(col("qid"), col("vec_id"))
+        // exact re-rank (round-12 task 4): only the shortlist fetches
+        // its raw vectors; candidates+query-vectors are request-sized,
+        // so they BROADCAST onto the corpus scan — the corpus never
+        // re-keys, and the final top-K window runs on |Q|·RerankC·K rows
+        val candQ = cand.join(qe, "qid")
+        val x = e.select(col("vec_id"), col("embedding"))
+          .join(broadcast(candQ), "vec_id")
+          .select(col("qid"), col("vec_id"),
+            Portable.cosine(col("qe"), col("embedding")).as("cos"))
+        val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        x.withColumn("rk", row_number().over(wr).cast("long"))
           .where(col("rk") <= Similarity.K)
           .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
-            col("rk"), col("adist2_e6"))
+            col("rk"), graft.Q.r6(col("cos")).as("cos"))
           .transform(d => graft.Q.sorted(d, "query_id", "rk"))
       }
     },
@@ -952,13 +987,33 @@ object Embeddings {
         val a = codes.where(col("cl").isin(probedCls.toSeq: _*))
           .join(broadcast(qps),
             col("cl") === col("ccl") && col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"),
+          .select(col("qid"), col("vec_id"), col("cl").as("bcl"),
             adcSum(col("codes"), col("lut")).as("adist2_e6"))
-        val wr = Window.partitionBy("qid").orderBy(col("adist2_e6"), col("vec_id"))
-        a.withColumn("rk", row_number().over(wr).cast("long"))
+        // shortlist: RerankC·K ADC candidates per query, KEEPING the
+        // coarse cluster — the re-rank fetch below joins the IVF-FLAT
+        // lists on their bucket key, so it inherits the same
+        // probed-bucket pruning as the codes scan
+        val wa = Window.partitionBy("qid").orderBy(col("adist2_e6"), col("vec_id"))
+        val cand = a.withColumn("ark", row_number().over(wa))
+          .where(col("ark") <= RerankC * Similarity.K)
+          .select(col("qid"), col("vec_id").as("cand_id"), col("bcl"))
+        // exact re-rank from the STORED vectors (graft_ivfflat — the
+        // artifact, never the corpus): request-sized candidate set,
+        // SHUFFLE_HASH hint for the e14b reason (a broadcast join
+        // demands no distribution and Spark 4.1 then drops the bucketed
+        // scan WITH its pruning)
+        val vecs = ivfflatVecs(s, dir)
+        val candQ = cand.join(q, "qid")
+        val x = vecs.where(col("cl").isin(probedCls.toSeq: _*))
+          .join(candQ.hint("SHUFFLE_HASH"),
+            col("cl") === col("bcl") && col("vec_id") === col("cand_id"))
+          .select(col("qid"), col("vec_id"),
+            Portable.cosine(col("qe"), col("embedding")).as("cos"))
+        val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        x.withColumn("rk", row_number().over(wr).cast("long"))
           .where(col("rk") <= Similarity.K)
           .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
-            col("rk"), col("adist2_e6"))
+            col("rk"), graft.Q.r6(col("cos")).as("cos"))
           .transform(d => graft.Q.sorted(d, "query_id", "rk"))
       }
     },

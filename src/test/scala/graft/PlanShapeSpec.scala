@@ -139,6 +139,10 @@ class PlanShapeSpec extends SparkTestBase {
       s"serve plan does not scan the persisted codes table:\n$p")
     assert(p.contains("graft_ivfpq_cent_"),
       s"serve plan does not scan the persisted centroids:\n$p")
+    // the exact re-rank (round-13) fetches ONLY from the stored
+    // IVF-Flat lists — still an index table, still not the corpus
+    assert(p.contains("graft_ivfflat_"),
+      s"re-rank does not fetch from the persisted IVF-Flat lists:\n$p")
     assert(!p.contains("embeddings"),
       s"serve plan still references the raw corpus table:\n$p")
     assertBucketPruned(p, ext.Embeddings.IndexBuckets)
