@@ -474,17 +474,20 @@ object Lm {
 
   /** The trained tokenizer APPLIED: the corpus in its post-merge symbol
     * stream — what a tokenize stage hands to packing/counting. Serves
-    * the memoized merge decisions through [[bpeApplyAll]]: ONE corpus
-    * scan, one narrow projection, the merge table riding in as a K-row
-    * array literal (how a real tokenizer applies a loaded merge file).
-    * The symbol arrays stay distributed end to end — the driver sees
-    * only the K merge rows.
+    * the memoized merge decisions through the
+    * [[graft.functions.ArrayOps.bpeEncodeAll]] KERNEL: ONE corpus scan,
+    * one narrow projection, the merge table riding in as a K-row
+    * constant (how a real tokenizer applies a loaded merge file), and K
+    * tight JVM passes per document instead of the interpreted HOF fold
+    * ([[bpeApplyAll]] — kept as the semantics reference BpeSpec pins
+    * the kernel against). The symbol arrays stay distributed end to
+    * end — the driver sees only the K merge rows.
     */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val merges = trainedMerges(spark, dir)
     Portable.spread(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"),
-        bpeApplyAll(Portable.tokens(col("text")),
+        graft.functions.ArrayOps.bpeEncodeAll(Portable.tokens(col("text")),
           merges.map(m => (m.a, m.b))).as("sym"))
       .select(col("doc_id"), size(col("sym")).cast("long").as("n_syms"),
         array_join(col("sym"), ";").as("enc"))

@@ -218,6 +218,71 @@ object ArrayOps {
     Interop.column(SimHash32(Interop.expression(hashes)))
   def topCount(xs: Column): Column =
     Interop.column(TopCount(Interop.expression(xs)))
+  def bpeEncodeAll(sym: Column, merges: Seq[(String, String)]): Column =
+    Interop.column(BpeEncodeAllK(Interop.expression(sym), merges))
+}
+
+/** The whole trained BPE merge table applied to one symbol array —
+  * kernel form of [[graft.ext.Lm.bpeApplyAll]]'s nested `aggregate`
+  * fold. Semantics are IDENTICAL (K greedy left-to-right passes in
+  * merge order, a matched position consuming its right neighbor;
+  * BpeSpec pins kernel ≡ HOF ≡ K-pass): the HOF form allocates a fresh
+  * accumulator array per SYMBOL per pass (O(len²) element copies per
+  * doc-pass) and evaluates every step through interpreted lambda
+  * dispatch — measured ~13 µs per doc-pass at sf10, which put the
+  * sf100 served encode at ~290 s of pure fold overhead. This kernel
+  * reads the token array once and runs K tight JVM passes over
+  * UTF8String slots — same output bits, one corpus scan, no per-element
+  * Catalyst eval. Codegen dispatches to the compiled loop
+  * (`CodegenFallback`, the Shingles3K convention): only the dispatch is
+  * uncompiled, surrounding stages keep whole-stage codegen.
+  */
+case class BpeEncodeAllK(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode_all"
+
+  // merge table pre-lowered to UTF8String once per expression instance
+  // (K rows — the model-header budget), not per evaluated row
+  @transient private lazy val mA = merges.map(m =>
+    org.apache.spark.unsafe.types.UTF8String.fromString(m._1)).toArray
+  @transient private lazy val mB = merges.map(m =>
+    org.apache.spark.unsafe.types.UTF8String.fromString(m._2)).toArray
+  @transient private lazy val mM = merges.map(m =>
+    org.apache.spark.unsafe.types.UTF8String.fromString(m._1 + "_" + m._2)).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val in = input.asInstanceOf[ArrayData]
+    var n = in.numElements()
+    var cur = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) { cur(i) = in.getUTF8String(i); i += 1 }
+    var k = 0
+    while (k < mA.length) {
+      val a = mA(k); val b = mB(k); val m = mM(k)
+      val out = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var w = 0
+      i = 0
+      while (i < n) {
+        if (i + 1 < n && cur(i).equals(a) && cur(i + 1).equals(b)) {
+          out(w) = m; w += 1; i += 2 // greedy: the match consumes its right neighbor
+        } else {
+          out(w) = cur(i); w += 1; i += 1
+        }
+      }
+      cur = out; n = w
+      k += 1
+    }
+    val res = new Array[Any](n)
+    i = 0
+    while (i < n) { res(i) = cur(i); i += 1 }
+    new GenericArrayData(res)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeAllK =
+    copy(child = newChild)
 }
 
 /** Distinct 3-word shingles of a token array (first-occurrence order).

@@ -67,6 +67,28 @@ class BpeSpec extends SparkTestBase {
     assert(id == Seq("x", "y"))
   }
 
+  test("bpeEncodeAll kernel ≡ the HOF fold on adversarial merge chains") {
+    import spark.implicits._
+    // chains that exercise greedy consumption, merge-created pairs that
+    // a LATER round does/doesn't see, runs, and 1-token docs
+    val docs = Seq(
+      Seq("a", "a", "a", "a", "a"),
+      Seq("a", "b", "a", "b", "c"),
+      Seq("a", "b", "b", "c", "a", "b"),
+      Seq("x"),
+      Seq("a_b", "c", "a", "b"), // pre-merged token colliding with a merge result
+      Seq("c", "a", "b", "c")).zipWithIndex.map(_.swap).toDF("id", "sym")
+    val merges = Seq(("a", "b"), ("a_b", "c"), ("a", "a"))
+    def run(c: org.apache.spark.sql.Column) =
+      docs.select(col("id"), c.as("out")).as[(Int, Seq[String])]
+        .collect().sortBy(_._1).toSeq
+    val kern = run(graft.functions.ArrayOps.bpeEncodeAll(col("sym"), merges))
+    val hof = run(Lm.bpeApplyAll(col("sym"), merges))
+    assert(kern == hof, s"kernel diverged from HOF:\nk=$kern\nh=$hof")
+    // and the kernel is what bpeEncode serves (already pinned ≡ K-pass
+    // above through the full gate corpus)
+  }
+
   test("trainer: deterministic merge table, symbol count shrinks by the applied merges") {
     val t1 = Lm.bpeTrain(spark, sf).collect().map(_.toSeq).toSeq
     val t2 = Lm.bpeTrain(spark, sf).collect().map(_.toSeq).toSeq
