@@ -99,6 +99,60 @@ object Joins {
       }
     },
 
+    // j2b: the SAME big-big join SERVED from co-bucketed artifacts.
+    // lineitem and orders each persist ONCE per corpus fingerprint,
+    // bucketed on the order key at the same size-scaled bucket count
+    // (CoPurchase.buckets), so the join consumes both scans' bucketing
+    // as its distribution: NO exchange on either side (PlanShapeSpec
+    // pins zero Exchange below the join) — bucketing IS the shuffle,
+    // paid at write time and amortized over every join after. Same
+    // oracle as j2 (the artifacts are projections of the raw tables),
+    // so a stale or mis-bucketed artifact is a hash mismatch.
+    //
+    // MEASURED HONESTLY (round-13 sf100 A/B, same run, 600M-row sides):
+    // j2b served 90.7 s vs raw-scan j2 67.1 s — on ONE box the saved
+    // exchange is page-cache memcpy while the bucketed arm sorts
+    // 2.7M-row per-bucket chunks instead of AQE-sized 0.6M-row shuffle
+    // partitions, so locally the exchange-free plan LOSES wall-clock.
+    // The property this query carries is the PLAN SHAPE: on a
+    // 1000-executor cluster the exchange is cross-network (the
+    // dominant cost at 100 TB) and the bucketed layout removes it;
+    // single-box wall-clock cannot price that, which is why both
+    // shapes ship and the spec pins the plan, not the seconds.
+    Q("j2b_bigjoin_bucketed",
+      """SELECT o.o_orderpriority AS priority,
+        |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |       count(*) AS n_lines,
+        |       count(DISTINCT l.l_orderkey) AS n_orders
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, dir) => {
+        val b = CoPurchase.buckets(s, dir)
+        val l = graft.sources.Layout.ensureBucketedArtifact(s,
+            s"graft_li_${graft.sources.Layout.sourceFingerprint(s, s"$dir/lineitem.parquet")}",
+            "l_orderkey", b) {
+          Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+        }
+        val o = graft.sources.Layout.ensureBucketedArtifact(s,
+            s"graft_ord_${graft.sources.Layout.sourceFingerprint(s, s"$dir/orders.parquet")}",
+            "o_orderkey", b) {
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+        }
+        // SHUFFLE_MERGE keeps the tiny gate-SF orders side from
+        // broadcasting (which would discard the bucketed distribution
+        // and its zero-exchange property — the plan under test)
+        Q.norm(
+          l.hint("SHUFFLE_MERGE")
+            .join(o, col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("o_orderpriority").as("priority"))
+            .agg(
+              sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+              count(lit(1)).as("n_lines"),
+              countDistinct(col("l_orderkey")).as("n_orders")),
+          "priority")
+      }
+    },
+
     // j3: per-segment customer counts with (semi) and without (anti)
     // open orders.
     Q("j3_semi_anti",

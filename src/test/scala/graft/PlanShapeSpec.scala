@@ -52,6 +52,30 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
   }
 
+  test("j2b: co-bucketed join — both scans bucketed, zero exchange below the join") {
+    // build the artifacts, then snapshot the plan
+    val df = SparkEntry.queries("j2b_bigjoin_bucketed")(spark, sf)
+    assert(df.collect().nonEmpty)
+    spark.catalog.clearCache()
+    val qe = SparkEntry.queries("j2b_bigjoin_bucketed")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(count(p, "Bucketed: true") >= 2,
+      s"both sides must read their bucketed layout:\n$p")
+    // the join consumes the bucketing as its distribution: no shuffle
+    // may sit between either scan and the join (the agg above it still
+    // exchanges on `priority` — that one is fine and expected). In the
+    // printed tree the join's SUBTREE is everything from the join line
+    // on (children print after their parent), so "no Exchange below the
+    // join" is "no Exchange in that suffix".
+    val ji = p.indexOf("SortMergeJoin")
+    assert(ji >= 0, s"expected a sort-merge join operator:\n$p")
+    val below = p.substring(ji)
+    assert(!below.contains("Exchange"),
+      s"bucketed join must not re-shuffle its children:\n$p")
+    assert(count(below, "Bucketed: true") >= 2,
+      s"both join children must be the bucketed scans:\n$p")
+  }
+
   test("j3: planner uses semi/anti joins, not row-widening inner joins") {
     val p = plan("j3_semi_anti")
     assert(p.contains("LeftSemi"), s"expected LeftSemi:\n$p")
