@@ -128,7 +128,14 @@ object Classifier {
     * never joined, never shuffled. `weightCol` names the weight column
     * ("milli_w" for the synthetic fixture, "w" for the trained model). */
   def modelFromFile(spark: SparkSession, path: String,
-      weightCol: String = "milli_w"): DataFrame = {
+      weightCol: String = "milli_w"): DataFrame =
+    spark.range(1).select(lit(weightsFromFile(spark, path, weightCol)).as("w"))
+
+  /** The validated driver-side weight vector itself — what the scoring
+    * KERNEL bakes into its expression (the broadcast-array frame above
+    * wraps this same read for the HOF/spec surface). */
+  def weightsFromFile(spark: SparkSession, path: String,
+      weightCol: String = "milli_w"): Array[Long] = {
     val rows = spark.read.parquet(path)
       .select(col("bucket"), col(weightCol)).orderBy("bucket").collect()
     require(rows.length == Buckets,
@@ -138,7 +145,7 @@ object Classifier {
       require(r.getLong(0) == i.toLong, s"model file $path: bucket gap at $i")
       w(i) = r.getLong(1)
     }
-    spark.range(1).select(lit(w).as("w"))
+    w
   }
 
   /** Where the TRAINED model persists: fingerprint-keyed (a regenerated
@@ -203,15 +210,19 @@ object Classifier {
     // engines round identically.
     Q("x_classifier_score", classifierScoreOracleSql) { (s, dir) =>
       val docs = Portable.spread(Tables.documents(s, dir), "doc_id")
-      val model = modelFromFile(s, ensureTrainedWeightsArtifact(s, dir), "w")
+      // the trained weights, baked INTO the scoring kernel (the model
+      // header is plan state, like the e8 codebook): one compiled pass
+      // per document streams the uni+bigram bytes through SHA-256 and
+      // folds the weights — no feature strings, no broadcast join, no
+      // per-feature interpreted hash chain (sf100 serve 103.4 → see
+      // SCALING.md). ClassifierSpec pins kernel ≡ the HOF fold.
+      val w = weightsFromFile(s, ensureTrainedWeightsArtifact(s, dir), "w")
       val scored = docs
-        .crossJoin(broadcast(model))
-        .select(col("doc_id"), features(tokens(col("text"))).as("feats"), col("w"))
         .select(col("doc_id"),
-          size(col("feats")).cast("long").as("n_features"),
-          aggregate(col("feats"), lit(0L),
-            (acc, f) => acc + element_at(col("w"), bucket(f).cast("int") + 1))
-            .as("score"))
+          graft.functions.ArrayOps
+            .hashedFeatureScore(tokens(col("text")), w, Buckets).as("fs"))
+        .select(col("doc_id"),
+          col("fs.n_features").as("n_features"), col("fs.score").as("score"))
       scored.select(col("doc_id"), col("n_features"), col("score"),
         graft.Q.r6(col("score") * lit(1.0) / col("n_features")).as("mean_w"),
         when(col("score") >= 0, lit("keep")).otherwise(lit("drop")).as("label"))

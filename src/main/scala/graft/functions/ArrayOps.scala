@@ -220,6 +220,81 @@ object ArrayOps {
     Interop.column(TopCount(Interop.expression(xs)))
   def bpeEncodeAll(sym: Column, merges: Seq[(String, String)]): Column =
     Interop.column(BpeEncodeAllK(Interop.expression(sym), merges))
+  def hashedFeatureScore(toks: Column, weights: Array[Long], buckets: Int): Column =
+    Interop.column(HashedFeatureScoreK(Interop.expression(toks), weights, buckets))
+}
+
+/** The classifier's hashed uni+bigram scoring fold in one compiled
+  * pass — kernel form of
+  * `aggregate(features(toks), 0L, acc + w[hash32(f) % B + 1])`
+  * ([[graft.ext.Classifier]]). The HOF form materializes every bigram
+  * STRING, then per feature evaluates the interpreted
+  * sha2→substring→conv→cast chain — the sf100 serve measured 103 s of
+  * mostly lambda dispatch and string churn. This kernel walks the
+  * token array once: per feature it streams the exact same UTF-8 bytes
+  * through one reused SHA-256 digest (bigrams as aBytes ++ '_' ++
+  * bBytes — byte-identical to `concat_ws("_", a, b)` since tokens are
+  * UTF-8 already), takes the digest's first 4 bytes as the unsigned
+  * 32-bit value `conv(substr(hex, 1, 8), 16, 10)` parses, and folds
+  * `weights(h % buckets)` in exact integer math. Output
+  * struct(n_features, score) — bit-identical to the HOF/oracle pair
+  * (ClassifierSpec pins kernel ≡ HOF on unicode/single-token/repeat
+  * docs; the DuckDB gate adjudicates end-to-end).
+  * CodegenFallback per the Shingles3K convention.
+  */
+case class HashedFeatureScoreK(child: Expression, weights: Array[Long], buckets: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_features", LongType, nullable = false),
+    StructField("score", LongType, nullable = false)))
+  override def prettyName: String = "hashed_feature_score"
+
+  // one digest per thread: expression instances can be shared across
+  // local-mode tasks, and MessageDigest is stateful
+  @transient private lazy val mdTl =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("SHA-256"))
+
+  private val underscore = Array[Byte]('_'.toByte)
+
+  private def bucketOf(md: java.security.MessageDigest): Int = {
+    val d = md.digest()
+    // first 8 hex chars == first 4 digest bytes, big-endian unsigned —
+    // exactly what conv(substring(sha2(x,256),1,8),16,10) yields
+    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (h % buckets).toInt
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val md = mdTl.get()
+    var score = 0L
+    var i = 0
+    while (i < n) { // unigrams
+      md.reset()
+      md.update(toks.getUTF8String(i).getBytes)
+      score += weights(bucketOf(md))
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) { // bigrams a_b
+      md.reset()
+      md.update(toks.getUTF8String(i).getBytes)
+      md.update(underscore)
+      md.update(toks.getUTF8String(i + 1).getBytes)
+      score += weights(bucketOf(md))
+      i += 1
+    }
+    val nFeatures = if (n >= 2) 2L * n - 1L else n.toLong
+    InternalRow(nFeatures, score)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedFeatureScoreK =
+    copy(child = newChild)
 }
 
 /** The whole trained BPE merge table applied to one symbol array —

@@ -75,6 +75,30 @@ class ClassifierSpec extends SparkTestBase {
     assert(score(2) == score(13))
   }
 
+  test("scoring kernel ≡ the HOF hash-and-fold on adversarial docs") {
+    // unicode (multi-byte UTF-8 through the digest), single token (no
+    // bigrams), repeats (same bucket folded twice), long tokens, and
+    // tokens containing the bigram separator itself
+    val docs = Seq(
+      "alpha beta gamma", "solo", "a a a a", "héllo wörld ünïcode 日本語",
+      "x_y z x_y", "the quick brown fox jumps over the lazy dog").zipWithIndex
+      .map(_.swap).toDF("id", "text")
+    val w = Array.tabulate(Classifier.Buckets)(b =>
+      (b.toLong * 2654435761L) % 1001L - 500L)
+    val kern = docs.select(col("id"),
+        graft.functions.ArrayOps.hashedFeatureScore(
+          Portable.tokens(col("text")), w, Classifier.Buckets).as("fs"))
+      .select(col("id"), col("fs.n_features"), col("fs.score"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    val hof = docs.crossJoin(broadcast(Classifier.model(spark)))
+      .select(col("id"),
+        size(Classifier.features(Portable.tokens(col("text")))).cast("long"),
+        aggregate(Classifier.features(Portable.tokens(col("text"))), lit(0L),
+          (a, f) => a + element_at(col("w"), Classifier.bucket(f).cast("int") + 1)))
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(kern == hof, s"kernel diverged from HOF:\nk=$kern\nh=$hof")
+  }
+
   test("train→file→serve round trip: artifact == trained weights, artifact hit never retrains, stale fingerprints get their own path") {
     // start clean: no committed trained artifact, no memo
     val p = new org.apache.hadoop.fs.Path(Classifier.trainedWeightsPath(spark, sf))
