@@ -297,7 +297,11 @@ object Classifier {
     val df = docs.select(col("doc_id"),
         when(array_contains(tokens(col("text")), LabelMarker), 1L)
           .otherwise(-1L).as("y"),
-        transform(features(tokens(col("text"))), f => bucket(f)).as("fb"))
+        // the one-time feature pass rides the bucket KERNEL (same
+        // digest arithmetic as serving; ClassifierSpec pins kernel ≡
+        // the transform/bucket HOF including order)
+        graft.functions.ArrayOps
+          .hashedFeatureBuckets(tokens(col("text")), Buckets).as("fb"))
       .localCheckpoint()
     val w = new Array[Long](Buckets)
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]

@@ -222,6 +222,27 @@ object ArrayOps {
     Interop.column(BpeEncodeAllK(Interop.expression(sym), merges))
   def hashedFeatureScore(toks: Column, weights: Array[Long], buckets: Int): Column =
     Interop.column(HashedFeatureScoreK(Interop.expression(toks), weights, buckets))
+  def hashedFeatureBuckets(toks: Column, buckets: Int): Column =
+    Interop.column(HashedFeatureBucketsK(Interop.expression(toks), buckets))
+}
+
+/** Shared SHA-256 feature-bucket arithmetic of the two classifier
+  * kernels: one reused per-thread digest, bucket = the unsigned 32-bit
+  * value of the digest's first 4 bytes (what
+  * `conv(substring(sha2(x, 256), 1, 8), 16, 10)` parses) mod the
+  * feature-space size. */
+private[functions] object FeatureHash {
+  val mdTl: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("SHA-256"))
+  val underscore: Array[Byte] = Array[Byte]('_'.toByte)
+
+  def bucketOf(md: java.security.MessageDigest, buckets: Int): Int = {
+    val d = md.digest()
+    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (h % buckets).toInt
+  }
 }
 
 /** The classifier's hashed uni+bigram scoring fold in one compiled
@@ -251,42 +272,25 @@ case class HashedFeatureScoreK(child: Expression, weights: Array[Long], buckets:
     StructField("score", LongType, nullable = false)))
   override def prettyName: String = "hashed_feature_score"
 
-  // one digest per thread: expression instances can be shared across
-  // local-mode tasks, and MessageDigest is stateful
-  @transient private lazy val mdTl =
-    ThreadLocal.withInitial[java.security.MessageDigest](() =>
-      java.security.MessageDigest.getInstance("SHA-256"))
-
-  private val underscore = Array[Byte]('_'.toByte)
-
-  private def bucketOf(md: java.security.MessageDigest): Int = {
-    val d = md.digest()
-    // first 8 hex chars == first 4 digest bytes, big-endian unsigned —
-    // exactly what conv(substring(sha2(x,256),1,8),16,10) yields
-    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-    (h % buckets).toInt
-  }
-
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val n = toks.numElements()
-    val md = mdTl.get()
+    val md = FeatureHash.mdTl.get()
     var score = 0L
     var i = 0
     while (i < n) { // unigrams
       md.reset()
       md.update(toks.getUTF8String(i).getBytes)
-      score += weights(bucketOf(md))
+      score += weights(FeatureHash.bucketOf(md, buckets))
       i += 1
     }
     i = 0
     while (i < n - 1) { // bigrams a_b
       md.reset()
       md.update(toks.getUTF8String(i).getBytes)
-      md.update(underscore)
+      md.update(FeatureHash.underscore)
       md.update(toks.getUTF8String(i + 1).getBytes)
-      score += weights(bucketOf(md))
+      score += weights(FeatureHash.bucketOf(md, buckets))
       i += 1
     }
     val nFeatures = if (n >= 2) 2L * n - 1L else n.toLong
@@ -294,6 +298,49 @@ case class HashedFeatureScoreK(child: Expression, weights: Array[Long], buckets:
   }
 
   override protected def withNewChildInternal(newChild: Expression): HashedFeatureScoreK =
+    copy(child = newChild)
+}
+
+/** The feature-bucket ARRAY of a token array (unigrams then bigrams,
+  * the `features` order) — kernel form of
+  * `transform(features(toks), f => hash32(f) % B)`, the trainer's
+  * one-time corpus pass ([[graft.ext.Classifier]]'s lrLoop). Same
+  * digest arithmetic as [[HashedFeatureScoreK]]; emitted as a plain
+  * long array so the per-round scoring folds and the misclassified-set
+  * explode read it unchanged. */
+case class HashedFeatureBucketsK(child: Expression, buckets: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_feature_buckets"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val md = FeatureHash.mdTl.get()
+    val m = if (n >= 2) 2 * n - 1 else n
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(toks.getUTF8String(i).getBytes)
+      out(i) = FeatureHash.bucketOf(md, buckets).toLong
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      md.reset()
+      md.update(toks.getUTF8String(i).getBytes)
+      md.update(FeatureHash.underscore)
+      md.update(toks.getUTF8String(i + 1).getBytes)
+      out(n + i) = FeatureHash.bucketOf(md, buckets).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedFeatureBucketsK =
     copy(child = newChild)
 }
 

@@ -97,6 +97,17 @@ class ClassifierSpec extends SparkTestBase {
           (a, f) => a + element_at(col("w"), Classifier.bucket(f).cast("int") + 1)))
       .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
     assert(kern == hof, s"kernel diverged from HOF:\nk=$kern\nh=$hof")
+    // and the trainer's bucket-array kernel: same buckets, same ORDER
+    // (unigrams then bigrams — the features() contract)
+    val kb = docs.select(col("id"),
+        graft.functions.ArrayOps.hashedFeatureBuckets(
+          Portable.tokens(col("text")), Classifier.Buckets).as("fb"))
+      .as[(Int, Seq[Long])].collect().sortBy(_._1).toSeq
+    val hb = docs.select(col("id"),
+        transform(Classifier.features(Portable.tokens(col("text"))),
+          f => Classifier.bucket(f)).as("fb"))
+      .as[(Int, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(kb == hb, s"bucket kernel diverged:\nk=$kb\nh=$hb")
   }
 
   test("train→file→serve round trip: artifact == trained weights, artifact hit never retrains, stale fingerprints get their own path") {
