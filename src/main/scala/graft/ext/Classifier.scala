@@ -90,33 +90,60 @@ object Classifier {
     p
   }
 
-  /** Publish `tmp` at `dst`, best-effort avoiding the deletion of a
-    * committed artifact (shared with [[graft.ext.Lm]]'s merge table —
-    * the warehouse commit protocol). Within ONE JVM the callers'
-    * `synchronized` makes this safe outright; across processes sharing a
-    * warehouse the _SUCCESS re-check immediately before the sweep
-    * shrinks — but cannot close — the exists→delete window (a local FS
-    * has no conditional put; a real deployment uses the object store's).
-    * A failed rename is treated as a lost race: if a committed artifact
-    * exists by then, keep theirs and let the caller read it; only when
-    * nothing committed exists is the failure surfaced. */
+  /** Publish `tmp` at `dst` without ever deleting a committed artifact
+    * (shared with [[graft.ext.Lm]]'s merge table — the warehouse commit
+    * protocol). Within ONE JVM the callers' `synchronized` makes this
+    * safe outright; across processes sharing a warehouse, mutual
+    * exclusion comes from a lock FILE taken with
+    * `FileSystem.create(path, overwrite = false)` — atomic on the local
+    * FS and HDFS — around the sweep+rename, which closes the
+    * exists→delete→rename TOCTOU the bare re-check protocol left open
+    * (two JVMs could interleave so a committed artifact was deleted
+    * after the last _SUCCESS re-check). A loser of the lock race drops
+    * its tmp and waits for the winner's _SUCCESS; a lock older than
+    * [[PublishLockStaleMs]] is presumed crashed-writer debris and
+    * broken. (On an object store without atomic create-exclusive, use
+    * the store's conditional put instead.) */
+  private[ext] val PublishLockStaleMs = 10 * 60 * 1000L
   private[ext] def publishArtifact(fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
-    val success = new org.apache.hadoop.fs.Path(dst, "_SUCCESS")
+    import org.apache.hadoop.fs.Path
+    val success = new Path(dst, "_SUCCESS")
     if (fs.exists(success)) { fs.delete(tmp, true); return } // lost the race: keep theirs
-    // crashed-writer debris (dir without _SUCCESS): sweep, then rename.
-    // NEVER rename onto an existing dir — Hadoop local-FS rename would
-    // move tmp INSIDE it instead of replacing it. Re-check _SUCCESS at
-    // the last possible moment: a concurrent writer may have committed
-    // between the check above and here.
-    if (fs.exists(dst)) {
-      if (fs.exists(success)) { fs.delete(tmp, true); return }
-      fs.delete(dst, true)
-    }
-    if (!fs.rename(tmp, dst)) {
+    val lock = new Path(dst.getParent, s".${dst.getName}.lock")
+    // break a stale lock (crashed publisher): age over the threshold
+    try {
+      val st = fs.getFileStatus(lock)
+      if (System.currentTimeMillis() - st.getModificationTime > PublishLockStaleMs)
+        fs.delete(lock, false)
+    } catch { case _: java.io.FileNotFoundException => () }
+    val acquired =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (acquired) {
+      try {
+        // under the lock: sweep crashed-writer debris (dir without
+        // _SUCCESS), then rename. NEVER rename onto an existing dir —
+        // Hadoop local-FS rename would move tmp INSIDE it instead of
+        // replacing it. The _SUCCESS re-check handles a writer that
+        // committed before we took the lock.
+        if (fs.exists(success)) { fs.delete(tmp, true); return }
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (!fs.rename(tmp, dst)) {
+          fs.delete(tmp, true)
+          require(fs.exists(success),
+            s"artifact $dst: rename failed and no committed artifact exists")
+        }
+      } finally fs.delete(lock, false)
+    } else {
+      // another publisher holds the lock: our tmp is redundant — drop it
+      // and wait for their commit rather than racing the sweep.
       fs.delete(tmp, true)
+      val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
+      while (!fs.exists(success) && System.nanoTime < deadline)
+        Thread.sleep(200)
       require(fs.exists(success),
-        s"artifact $dst: rename failed and no committed artifact exists")
+        s"artifact $dst: concurrent publisher held the lock but no committed artifact appeared")
     }
   }
 

@@ -365,13 +365,22 @@ object Lm {
     * is the difference between K corpus scans and one (the sf100 served
     * encode was 286 s of mostly rescan cost).
     */
-  def bpeApplyAll(sym: Column, merges: Seq[(String, String)]): Column =
+  def bpeApplyAll(sym: Column, merges: Seq[(String, String)]): Column = {
+    // An empty merge symbol would diverge HOF vs kernel: the HOF's
+    // out-of-range right neighbor substitutes "" (so b == "" could
+    // "match" past the last element) while BpeEncodeAllK's i+1 < n guard
+    // never can. Training can't produce empty symbols (pairs come from
+    // whitespace tokens, merges concat with '_'), so reject them here
+    // rather than carry a latent divergence.
+    require(merges.forall { case (a, b) => a.nonEmpty && b.nonEmpty },
+      "BPE merge pairs must be non-empty symbols")
     if (merges.isEmpty) sym
     else aggregate(
       array(merges.map { case (a, b) =>
         struct(lit(a).as("a"), lit(b).as("b")) }: _*),
       sym,
       (acc, m) => bpeApplyCol(acc, m.getField("a"), m.getField("b")))
+  }
 
   final case class BpeMergeRow(
       round: Long, a: String, b: String, cnt: Long, n_syms: Long)

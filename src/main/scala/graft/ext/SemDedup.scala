@@ -152,15 +152,25 @@ object SemDedup {
   }
 
   def queries: Seq[Q] = Seq(
-    // oracle = the label shape: the gate SFs sit under LabelArmMaxRows,
-    // where the dispatch keeps the reference-parity codebook (SemDedup
-    // dispatch spec pins that the over-threshold arm ≡ x_semdedup_sqrtk)
+    // oracle = the SAME dispatch as the plan (round-13 advice: the plan
+    // switches codebooks at LabelArmMaxRows, so a label-only oracle was
+    // valid only at gate SFs — a sf10+ oracle run would report a false
+    // mismatch). The cw CTE picks the label codebook when
+    // count(*) <= LabelArmMaxRows, the sqrt-k codebook above, keyed on
+    // the SAME threshold constant, so oracle and plan agree at EVERY
+    // corpus size.
     Q("x_semdedup", keepSql(
-      """WITH cw AS (
-        |  SELECT label AS cl, embedding AS ce FROM (
-        |    SELECT label, embedding,
-        |           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-        |    FROM embeddings) WHERE rn = 1)""".stripMargin)) { (s, dir) =>
+      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+         |cw AS (
+         |  SELECT cl, ce FROM (
+         |    SELECT label AS cl, embedding AS ce,
+         |           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1
+         |    AND (SELECT n FROM nn) <= $LabelArmMaxRows
+         |  UNION ALL
+         |  SELECT vec_id AS cl, embedding AS ce FROM embeddings
+         |  WHERE (SELECT n FROM nn) > $LabelArmMaxRows
+         |    AND vec_id < CAST(ceil(sqrt((SELECT n FROM nn))) AS BIGINT))""".stripMargin)) { (s, dir) =>
       semdedupPlan(s, dir)
     },
 

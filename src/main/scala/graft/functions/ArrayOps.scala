@@ -218,10 +218,17 @@ object ArrayOps {
     Interop.column(SimHash32(Interop.expression(hashes)))
   def topCount(xs: Column): Column =
     Interop.column(TopCount(Interop.expression(xs)))
-  def bpeEncodeAll(sym: Column, merges: Seq[(String, String)]): Column =
+  def bpeEncodeAll(sym: Column, merges: Seq[(String, String)]): Column = {
+    // same boundary guard as Lm.bpeApplyAll: an empty merge symbol would
+    // diverge the HOF (substitutes "" past the end) from this kernel
+    // (guards i+1 < n) — reject rather than carry the latent split
+    require(merges.forall { case (a, b) => a.nonEmpty && b.nonEmpty },
+      "BPE merge pairs must be non-empty symbols")
     Interop.column(BpeEncodeAllK(Interop.expression(sym), merges))
+  }
   def hashedFeatureScore(toks: Column, weights: Array[Long], buckets: Int): Column =
-    Interop.column(HashedFeatureScoreK(Interop.expression(toks), weights, buckets))
+    Interop.column(HashedFeatureScoreK(Interop.expression(toks),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(weights), buckets))
   def hashedFeatureBuckets(toks: Column, buckets: Int): Column =
     Interop.column(HashedFeatureBucketsK(Interop.expression(toks), buckets))
 }
@@ -263,9 +270,17 @@ private[functions] object FeatureHash {
   * docs; the DuckDB gate adjudicates end-to-end).
   * CodegenFallback per the Shingles3K convention.
   */
-case class HashedFeatureScoreK(child: Expression, weights: Array[Long], buckets: Int)
+case class HashedFeatureScoreK(child: Expression, weights: IndexedSeq[Long], buckets: Int)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  // weights is a Seq (not Array) so case-class equals/hashCode compare
+  // CONTENTS: two score expressions built from separate weightsFromFile
+  // reads canonicalize equal, keeping CSE / plan-cache reuse eligible
+  // (array fields compare by reference and silently disable both). The
+  // hot eval path reads a flat primitive array rebuilt once per
+  // deserialized instance — Seq#apply on Long boxes per lookup.
+  @transient private lazy val w: Array[Long] = weights.toArray
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_features", LongType, nullable = false),
@@ -281,7 +296,7 @@ case class HashedFeatureScoreK(child: Expression, weights: Array[Long], buckets:
     while (i < n) { // unigrams
       md.reset()
       md.update(toks.getUTF8String(i).getBytes)
-      score += weights(FeatureHash.bucketOf(md, buckets))
+      score += w(FeatureHash.bucketOf(md, buckets))
       i += 1
     }
     i = 0
@@ -290,7 +305,7 @@ case class HashedFeatureScoreK(child: Expression, weights: Array[Long], buckets:
       md.update(toks.getUTF8String(i).getBytes)
       md.update(FeatureHash.underscore)
       md.update(toks.getUTF8String(i + 1).getBytes)
-      score += weights(FeatureHash.bucketOf(md, buckets))
+      score += w(FeatureHash.bucketOf(md, buckets))
       i += 1
     }
     val nFeatures = if (n >= 2) 2L * n - 1L else n.toLong
