@@ -1,0 +1,21 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object PlanPeek {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save() // build artifacts
+      spark.catalog.clearCache()
+      val df2 = SparkEntry.queries(name)(spark, sfDir)
+      println(s"===== $name =====")
+      println(df2.queryExecution.executedPlan.toString)
+    }
+    spark.stop()
+  }
+}

@@ -216,6 +216,68 @@ object AsOf {
       }
     },
 
+    // a20c: a20b's as-of LEFT join SERVED from co-bucketed, (key, ts)-
+    // sorted artifacts — the j2b pattern applied to the round-13 sf100
+    // worst a-row (a20b 173.1 s, almost all exchange + disk sort, not
+    // merge cost). Both sides persist ONCE per corpus fingerprint,
+    // bucketed on symbol at the same size-scaled count and sorted
+    // (symbol, ts) within buckets; AsOfJoinExec declares
+    // ClusteredDistribution(symbol) + (symbol, ts) ordering, so with
+    // one file per bucket the scans satisfy BOTH requirements and the
+    // exec plans with zero Exchange and zero Sort (PlanShapeSpec pins
+    // it). Same DuckDB ASOF LEFT JOIN oracle as a20b — the artifacts
+    // are projections of the raw tables, so a stale or mis-bucketed
+    // artifact is a hash mismatch.
+    Q("a20c_asof_bucketed",
+      s"""WITH ${Bars.cte},
+         |ev AS (SELECT event_id, ${Bars.sqlSymbolFor("user_id")} AS symbol,
+         |              ts, value
+         |       FROM events),
+         |b AS (SELECT symbol, datetime, close FROM bars)
+         |SELECT ev.event_id, ev.symbol, ev.ts, round(ev.value, 6) AS value,
+         |       coalesce(round(b.close, 6), -1) AS bar_close,
+         |       CAST(CASE WHEN b.datetime IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |         AS matched
+         |FROM ev ASOF LEFT JOIN b
+         |  ON ev.symbol = b.symbol AND ev.ts >= b.datetime
+         |ORDER BY ev.event_id""".stripMargin) {
+      (s, dir) => {
+        // Spark reports a bucketed scan's in-file sort as outputOrdering
+        // only under this flag (SPARK-28595 turned it off by default
+        // because multi-file buckets interleave) — and even then ONLY
+        // when every bucket has exactly one file, which
+        // ensureBucketedArtifact's pre-write repartition guarantees and
+        // append paths (multiple files per bucket) automatically fail,
+        // so the flag can never claim an ordering the files don't have.
+        // Without it the exec's (key, ts) requirement plans a
+        // partition-local sort over each scan — the exact disk-resident
+        // sort that made a20b's sf100 row 173 s.
+        s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        val b = graft.ops.CoPurchase.buckets(s, dir)
+        val fp = graft.sources.Layout
+          .sourceFingerprint(s, s"$dir/events.parquet")
+        val ev = graft.sources.Layout.ensureBucketedArtifact(s,
+            s"graft_asofev_$fp", "symbol", b, Seq("symbol", "ts")) {
+          Tables.events(s, dir).select(
+            col("event_id"), Bars.symbolFor(col("user_id")).as("symbol"),
+            col("ts"), col("value"))
+        }
+        val bars = graft.sources.Layout.ensureBucketedArtifact(s,
+            s"graft_asofbar_$fp", "symbol", b, Seq("symbol", "bar_time")) {
+          Bars(s, dir)
+            .select(col("symbol"), col("datetime").as("bar_time"),
+              col("close").as("bar_close"))
+        }
+        Q.norm(
+          asofJoinNative(ev, bars, "symbol", "ts", "bar_time",
+            payload = Seq("bar_time", "bar_close"), leftOuter = true)
+            .select(col("event_id"), col("symbol"), col("ts"), col("value"),
+              coalesce(col("bar_close"), lit(-1.0)).as("bar_close"),
+              when(col("bar_time").isNull, 0L).otherwise(1L).as("matched")),
+          "event_id")
+      }
+    },
+
     // a11: per-bar activity in the 5 minutes from bar open — a range
     // join (bars x events on a time interval) through the bucketized
     // equi-join, checked against DuckDB's plain inequality join.

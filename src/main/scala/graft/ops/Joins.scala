@@ -387,6 +387,60 @@ object Joins {
       }
     },
 
+    // j8b: j8 SERVED from a partkey-bucketed lineitem artifact (round-13
+    // verdict task 7: the raw j8 row at sf100 was 329 s, dominated by
+    // scanning the 600M-row fact twice AND shuffling it twice on
+    // l_partkey — once for the per-part stats agg, once for the probe
+    // join). With the projected fact persisted bucketed on l_partkey,
+    // BOTH consumers read the bucketing as their distribution: the
+    // stats aggregation is exchange-free, the self-join is exchange-free
+    // on both sides (the agg's output inherits the scan's partitioning),
+    // and only the final per-brand agg shuffles its handful of groups.
+    // PlanShapeSpec pins zero Exchange below the probe join. Same
+    // oracle as j8 — the artifact is a projection of the raw fact, so a
+    // stale artifact is a hash mismatch.
+    Q("j8b_tpch_q17_bucketed",
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |stats AS (
+        |  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM li GROUP BY l_partkey)
+        |SELECT p.p_brand,
+        |       CAST(count(*) AS BIGINT) AS n_small,
+        |       CAST(sum(li.cents) AS BIGINT) AS revenue_cents
+        |FROM li JOIN stats ON li.l_partkey = stats.l_partkey
+        |        JOIN part p ON li.l_partkey = p.p_partkey
+        |WHERE 5 * li.qty * stats.cnt < stats.sum_qty
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin) {
+      (s, dir) => {
+        val b = CoPurchase.buckets(s, dir)
+        val li = graft.sources.Layout.ensureBucketedArtifact(s,
+            s"graft_lipk_${graft.sources.Layout.sourceFingerprint(s, s"$dir/lineitem.parquet")}",
+            "l_partkey", b) {
+          Tables.lineitem(s, dir).select(
+            col("l_partkey"),
+            round(col("l_quantity"), 0).cast("long").as("qty"),
+            round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        }
+        val stats = li.groupBy("l_partkey")
+          .agg(sum("qty").as("sum_qty"), count(lit(1)).as("cnt"))
+        // SHUFFLE_MERGE keeps the tiny gate-SF stats side from
+        // broadcasting, which would discard the co-partitioned
+        // zero-exchange property under test (the j2b discipline)
+        li.hint("SHUFFLE_MERGE").join(stats, "l_partkey")
+          .where(lit(5) * col("qty") * col("cnt") < col("sum_qty"))
+          .join(broadcast(Tables.part(s, dir)),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_small"), sum("cents").as("revenue_cents"))
+          .transform(d => graft.Q.sorted(d, "p_brand"))
+      }
+    },
+
     // j9: TPC-H Q21 shape — the EXISTS + NOT EXISTS chain ("this
     // supplier shipped late on a multi-supplier order where every OTHER
     // supplier shipped on time"), the hardest decorrelation in the

@@ -150,7 +150,8 @@ object Layout {
       spark: SparkSession,
       baseName: String,
       bucketCol: String,
-      buckets: Int)(build: => DataFrame): DataFrame = Layout.synchronized {
+      buckets: Int,
+      sortCols: Seq[String] = Nil)(build: => DataFrame): DataFrame = Layout.synchronized {
     // the bucket SPEC is part of the artifact's identity, same as the
     // source fingerprint the caller embeds in baseName: path 2 below
     // re-registers bare files with the CURRENT (bucketCol, buckets) DDL,
@@ -159,7 +160,18 @@ object Layout {
     // wrong buckets in joins. (Build-LOGIC constants that change the
     // frame's content — thresholds, caps — belong in baseName too, the
     // caller's side of the same contract.)
-    val table = s"${baseName}_${bucketCol}_b$buckets"
+    //
+    // `sortCols` extends the in-bucket sort beyond the key (e.g.
+    // (symbol, ts) for an as-of side): with one file per bucket — which
+    // the pre-write repartition guarantees — FileSourceScanExec reports
+    // the sort as its outputOrdering, so an operator requiring
+    // (key, ts) order (AsOfJoinExec) plans with ZERO exchange AND zero
+    // sort over the scan. The sort spec is part of the identity too:
+    // differently-sorted layouts must never answer for each other.
+    val sortSpec = if (sortCols.isEmpty) Seq(bucketCol) else sortCols
+    val sortTag =
+      if (sortSpec == Seq(bucketCol)) "" else s"_s${sortSpec.mkString("_")}"
+    val table = s"${baseName}_${bucketCol}_b$buckets$sortTag"
     if (!spark.catalog.tableExists(table)) {
       val warehouse = spark.conf.get("spark.sql.warehouse.dir")
       val loc = new org.apache.hadoop.fs.Path(warehouse, table)
@@ -174,7 +186,7 @@ object Layout {
         spark.sql(
           s"""CREATE TABLE $table (${schema.toDDL})
              |USING parquet
-             |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $buckets BUCKETS
+             |CLUSTERED BY ($bucketCol) SORTED BY (${sortSpec.mkString(", ")}) INTO $buckets BUCKETS
              |LOCATION '${loc.toString}'""".stripMargin)
         true
       } catch { case _: Exception => false })
@@ -188,7 +200,7 @@ object Layout {
         // reader wants: no small-files tax, maximal run-length merges)
         build.repartition(buckets, col(bucketCol)).write
           .bucketBy(buckets, bucketCol)
-          .sortBy(bucketCol)
+          .sortBy(sortSpec.head, sortSpec.tail: _*)
           .option("path", loc.toString)
           .mode("overwrite")
           .format("parquet")

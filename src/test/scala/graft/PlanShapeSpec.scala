@@ -76,10 +76,50 @@ class PlanShapeSpec extends SparkTestBase {
       s"both join children must be the bucketed scans:\n$p")
   }
 
+  test("j8b: partkey-bucketed fact — stats agg and probe join both exchange-free") {
+    val df = SparkEntry.queries("j8b_tpch_q17_bucketed")(spark, sf)
+    assert(df.collect().nonEmpty)
+    spark.catalog.clearCache()
+    val p = plan("j8b_tpch_q17_bucketed")
+    val ji = p.indexOf("SortMergeJoin")
+    assert(ji >= 0, s"expected the probe SMJ:\n$p")
+    // the SMJ subtree (printed suffix) holds both bucketed scans AND the
+    // per-part stats aggregation — none of them may shuffle; the part
+    // dimension's BroadcastExchange is expected and fine
+    val below = p.substring(ji)
+    assert(!below.contains("Exchange hashpartitioning"),
+      s"bucketed fact must feed the agg and the join without a shuffle:\n$p")
+    assert(count(below, "Bucketed: true") >= 2,
+      s"both fact consumers must read the bucketed artifact:\n$p")
+    assert(below.contains("HashAggregate"),
+      s"the stats agg must sit below the join, over the bucketed scan:\n$p")
+  }
+
   test("j3: planner uses semi/anti joins, not row-widening inner joins") {
     val p = plan("j3_semi_anti")
     assert(p.contains("LeftSemi"), s"expected LeftSemi:\n$p")
     assert(p.contains("LeftAnti"), s"expected LeftAnti:\n$p")
+  }
+
+  test("a20c: co-bucketed as-of — zero Exchange AND zero Sort below the exec") {
+    // build the artifacts, then snapshot the pristine plan (j2b pattern)
+    val df = SparkEntry.queries("a20c_asof_bucketed")(spark, sf)
+    assert(df.collect().nonEmpty)
+    spark.catalog.clearCache()
+    val p = plan("a20c_asof_bucketed")
+    val ji = p.indexOf("AsOfJoin")
+    assert(ji >= 0, s"expected the native AsOfJoin operator:\n$p")
+    // children print after their parent: the exec's subtree is the
+    // suffix. The (symbol, ts)-sorted bucket files satisfy BOTH the
+    // clustering and the ordering requirement — no exchange, no sort,
+    // the shape that deletes a20b's sf100 exchange+disk-sort cost.
+    val below = p.substring(ji)
+    assert(!below.contains("Exchange"),
+      s"bucketed as-of must not re-shuffle its children:\n$p")
+    assert(!below.contains("Sort "),
+      s"(key, ts)-sorted buckets must feed the exec without a re-sort:\n$p")
+    assert(count(below, "Bucketed: true") >= 2,
+      s"both children must be the bucketed scans:\n$p")
   }
 
   test("a8 as-of join: single shuffle+sort per side, no nested-loop join") {
