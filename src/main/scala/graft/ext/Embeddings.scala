@@ -2,7 +2,7 @@ package graft.ext
 
 import graft.Q
 import graft.sources.Tables
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,16 +29,29 @@ object Embeddings {
   val PqM = 8
   val SubDim = Dims / PqM
 
-  /** Exact-re-rank candidate multiplier for e11/e13 (round-12 verdict
+  /** Exact-re-rank candidate budget for e11/e13 (round-12 verdict
     * task 4 — standard FAISS IVFPQ practice): the compressed-domain ADC
-    * scan keeps RerankC·K candidates per query, and ONLY those rows
-    * fetch their stored vectors for an exact-cosine re-rank. The ADC
-    * distance decides the SHORTLIST; the exact cosine decides the
-    * ANSWER — which is what lifted e11/e13 recall@3 from 0.267 (ADC
-    * order alone) to the RecallSpec-pinned floor, at the cost of
-    * RerankC·K·|Q| stored-vector fetches per request instead of zero.
-    */
-  val RerankC = 8
+    * scan keeps a SHORTLIST per query, and ONLY those rows fetch their
+    * stored vectors for an exact-cosine re-rank. The ADC distance
+    * decides the shortlist; the exact cosine decides the ANSWER —
+    * which is what lifted e11/e13 recall@3 from 0.267 (ADC order
+    * alone) to the RecallSpec-pinned floor, at the cost of
+    * shortlist·|Q| stored-vector fetches per request instead of zero.
+    *
+    * The shortlist SCALES WITH THE PROBE WIDTH —
+    * [[rerankShortlist]] = RerankPerList·K·nprobe — because a FIXED
+    * bound inverts the nprobe dial: extra probed lists flood a fixed
+    * shortlist with more approximately-close candidates, evicting true
+    * neighbors BEFORE the exact re-rank can see them (measured on the
+    * gate corpus: fixed 24-slot shortlist gave recall 0.800 / 0.667 /
+    * 0.600 at nprobe 2/4/6 — widening probes LOWERED recall). A
+    * constant per-list budget keeps the eviction pressure flat, making
+    * recall monotone in nprobe (0.800 / 0.867 / 0.933 measured), which
+    * is the property the dial exists to buy. At nprobe=2 the bound is
+    * 24 — identical to the round-13 shipped shortlist. */
+  val RerankPerList = 4
+  def rerankShortlist(nprobe: Int): Int =
+    RerankPerList * Similarity.K * nprobe
 
   /** Sequential-fold dot product over arrays of ANY numeric element type
     * (mirrors [[Portable.sqlDot]] exactly: per-index double products,
@@ -408,7 +421,7 @@ object Embeddings {
     * the persisted artifact and a fresh coding shows up as an e13-only
     * failure.
     */
-  private def ivfAdcOracleSql: String = {
+  private def ivfAdcOracleSql(nprobe: Int): String = {
     def va(m: Int) = s"(e.embedding)[${m * SubDim + 1}:${(m + 1) * SubDim}]"
     def ca(m: Int) = s"(cw.ce)[${m * SubDim + 1}:${(m + 1) * SubDim}]"
     def qa(m: Int) = s"(q.qe)[${m * SubDim + 1}:${(m + 1) * SubDim}]"
@@ -448,7 +461,7 @@ object Embeddings {
        |           row_number() OVER (PARTITION BY e.vec_id
        |             ORDER BY $cosEC DESC, cw.cl) AS rn
        |    FROM embeddings e CROSS JOIN cw
-       |    WHERE e.vec_id < ${Similarity.NQueries}) WHERE rn <= ${Similarity.NProbe}),
+       |    WHERE e.vec_id < ${Similarity.NQueries}) WHERE rn <= $nprobe),
        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
        |      WHERE vec_id < ${Similarity.NQueries}),
        |lp AS (SELECT q.qid, cw.cl,
@@ -469,7 +482,7 @@ object Embeddings {
        |      FROM ac
        |      JOIN q ON q.qid = ac.qid
        |      JOIN embeddings e ON e.vec_id = ac.vec_id
-       |      WHERE ac.ark <= ${RerankC * Similarity.K}),
+       |      WHERE ac.ark <= ${rerankShortlist(nprobe)}),
        |r2 AS (SELECT *, row_number() OVER (PARTITION BY qid
        |         ORDER BY cos DESC, vec_id) AS rk FROM x)
        |SELECT qid AS query_id, vec_id AS neighbor_id, CAST(rk AS BIGINT) AS rk,
@@ -566,6 +579,139 @@ object Embeddings {
         .where(col("rn") === 1)
         .select(col("label").as("cl"), col("embedding").as("ce"))
     }
+
+  /** e11's transient IVF-ADC retrieval plan, with the probe width
+    * injectable so RecallSpec can measure the recall-vs-nprobe curve on
+    * one code path (round-13 verdict task 3). The shipped default is
+    * [[Similarity.NProbeServe]] — the oracle derives with the SAME
+    * constant, so plan and oracle agree at every width. */
+  private[graft] def ivfAdcPlan(s: SparkSession, dir: String,
+      nprobe: Int = Similarity.NProbeServe): DataFrame = {
+    import Portable._
+    val e = Portable.spread(Tables.embeddings(s, dir), "vec_id")
+    val cb = codebook(e)
+    // coarse assignment unrolled into the SAME projection as the PQ
+    // coder (pqPass withAssign: greatest() of the k cosines, first
+    // codeword matching — the cl-ascending codebook makes
+    // first-match the (cos DESC, cl) tie-break of the oracle's
+    // row_number; sharded past ArgminShardSize). One corpus pass
+    // emits (vec_id, cluster, codes); the checkpoint is the same
+    // CollapseProject barrier e10 needs (n·(M+2) small values).
+    val codes = pqPass(e, cb, withErr = false, withAssign = true)
+      .select(col("vec_id"), col("cl"),
+        array((0 until PqM).map(m => col(s"code$m")): _*).as("codes"))
+      .localCheckpoint()
+    // query side is NQueries rows: the window-over-crossJoin probe
+    // selection is driver-trivial and broadcast downstream
+    val centDf = e.withColumn("rn",
+        row_number().over(Window.partitionBy("label").orderBy("vec_id")))
+      .where(col("rn") === 1)
+      .select(col("label").as("ccl"), col("embedding").as("ce"))
+    val qe = e.where(col("vec_id") < Similarity.NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val qprobe = qe.crossJoin(broadcast(centDf))
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(Portable.cosine(col("qe"), col("ce")).desc, col("ccl"))))
+      .where(col("rn") <= nprobe)
+      .select(col("qid"), col("ccl"))
+    val lutPerQ = qe
+      .select(col("qid"), lutMap(col("qe"), cb).as("lut"))
+    // (qid, probed cluster, LUT map): queries×nprobe rows, broadcast;
+    // the cluster-equality join prunes each corpus row to its own
+    // cluster's probes before any ADC math or re-keying happens.
+    // The batch guard bounds the replicated-LUT broadcast size —
+    // past it, batch the queries (see adcMaxQueryBatch)
+    requireAdcBatch(Similarity.NQueries, cb.length, nprobe)
+    val qps = qprobe.join(lutPerQ, "qid")
+    val a = codes.join(broadcast(qps),
+        col("cl") === col("ccl") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        adcSum(col("codes"), col("lut")).as("adist2_e6"))
+    // compressed-domain SHORTLIST: rerankShortlist(nprobe) ADC candidates per
+    // query — the bounded window that keeps the stored-vector fetch
+    // request-sized
+    val wa = Window.partitionBy("qid").orderBy(col("adist2_e6"), col("vec_id"))
+    val cand = a.withColumn("ark", row_number().over(wa))
+      .where(col("ark") <= rerankShortlist(nprobe))
+      .select(col("qid"), col("vec_id"))
+    // exact re-rank (round-12 task 4): only the shortlist fetches
+    // its raw vectors; candidates+query-vectors are request-sized,
+    // so they BROADCAST onto the corpus scan — the corpus never
+    // re-keys, and the final top-K window runs on |Q|·shortlist rows
+    val candQ = cand.join(qe, "qid")
+    val x = e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candQ), "vec_id")
+      .select(col("qid"), col("vec_id"),
+        Portable.cosine(col("qe"), col("embedding")).as("cos"))
+    val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    x.withColumn("rk", row_number().over(wr).cast("long"))
+      .where(col("rk") <= Similarity.K)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("rk"), graft.Q.r6(col("cos")).as("cos"))
+      .transform(d => graft.Q.sorted(d, "query_id", "rk"))
+  }
+
+  /** e13's index-served retrieval plan (e11 over the persisted bucketed
+    * artifacts), probe width injectable — see [[ivfAdcPlan]]. */
+  private[graft] def indexServePlan(s: SparkSession, dir: String,
+      nprobe: Int = Similarity.NProbeServe): DataFrame = {
+    import Portable._
+    val cent = ivfpqCentroids(s, dir)
+    val codes = ivfpqCodes(s, dir)
+    // index header -> driver (k·d floats), like loading a FAISS index
+    val cb = cent.orderBy("cl").collect()
+      .map(r => (r.get(0), r.getSeq[Float](1).toArray))
+    // the query vectors are REQUEST INPUT in this shape — read once
+    // outside the plan and shipped as a local relation (5 rows); the
+    // serve plan itself never touches the corpus table
+    import s.implicits._
+    val qRows = Portable.spread(Tables.embeddings(s, dir), "vec_id")
+      .where(col("vec_id") < Similarity.NQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val q = qRows.toDF("qid", "qe")
+    val qprobe = q.crossJoin(broadcast(cent.select(col("cl").as("ccl"), col("ce"))))
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(Portable.cosine(col("qe"), col("ce")).desc, col("ccl"))))
+      .where(col("rn") <= nprobe)
+      .select(col("qid"), col("ccl"))
+    requireAdcBatch(qRows.size.toLong, cb.length, nprobe)
+    val qps = qprobe.join(q.select(col("qid"), lutMap(col("qe"), cb).as("lut")), "qid")
+    // bucket pruning via the collected probe set (the e14b move):
+    // the codes scan skips buckets holding no probed cluster
+    val probedCls = qprobe.select(col("ccl")).distinct().collect().map(_.get(0))
+    val a = codes.where(col("cl").isin(probedCls.toSeq: _*))
+      .join(broadcast(qps),
+        col("cl") === col("ccl") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cl").as("bcl"),
+        adcSum(col("codes"), col("lut")).as("adist2_e6"))
+    // shortlist: rerankShortlist(nprobe) ADC candidates per query, KEEPING the
+    // coarse cluster — the re-rank fetch below joins the IVF-FLAT
+    // lists on their bucket key, so it inherits the same
+    // probed-bucket pruning as the codes scan
+    val wa = Window.partitionBy("qid").orderBy(col("adist2_e6"), col("vec_id"))
+    val cand = a.withColumn("ark", row_number().over(wa))
+      .where(col("ark") <= rerankShortlist(nprobe))
+      .select(col("qid"), col("vec_id").as("cand_id"), col("bcl"))
+    // exact re-rank from the STORED vectors (graft_ivfflat — the
+    // artifact, never the corpus): request-sized candidate set,
+    // SHUFFLE_HASH hint for the e14b reason (a broadcast join
+    // demands no distribution and Spark 4.1 then drops the bucketed
+    // scan WITH its pruning)
+    val vecs = ivfflatVecs(s, dir)
+    val candQ = cand.join(q, "qid")
+    val x = vecs.where(col("cl").isin(probedCls.toSeq: _*))
+      .join(candQ.hint("SHUFFLE_HASH"),
+        col("cl") === col("bcl") && col("vec_id") === col("cand_id"))
+      .select(col("qid"), col("vec_id"),
+        Portable.cosine(col("qe"), col("embedding")).as("cos"))
+    val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    x.withColumn("rk", row_number().over(wr).cast("long"))
+      .where(col("rk") <= Similarity.K)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("rk"), graft.Q.r6(col("cos")).as("cos"))
+      .transform(d => graft.Q.sorted(d, "query_id", "rk"))
+  }
 
   def queries: Seq[Q] = Seq(
     Q("e6_centroids",
@@ -881,71 +1027,8 @@ object Embeddings {
     // e10's full crossJoin, and only candidates re-key for the top-K
     // window. This is the documented 100 TB path past e1's exact
     // quadratic tier.
-    Q("e11_ivf_adc", ivfAdcOracleSql) {
-      (s, dir) => {
-        import Portable._
-        val e = Portable.spread(Tables.embeddings(s, dir), "vec_id")
-        val cb = codebook(e)
-        // coarse assignment unrolled into the SAME projection as the PQ
-        // coder (pqPass withAssign: greatest() of the k cosines, first
-        // codeword matching — the cl-ascending codebook makes
-        // first-match the (cos DESC, cl) tie-break of the oracle's
-        // row_number; sharded past ArgminShardSize). One corpus pass
-        // emits (vec_id, cluster, codes); the checkpoint is the same
-        // CollapseProject barrier e10 needs (n·(M+2) small values).
-        val codes = pqPass(e, cb, withErr = false, withAssign = true)
-          .select(col("vec_id"), col("cl"),
-            array((0 until PqM).map(m => col(s"code$m")): _*).as("codes"))
-          .localCheckpoint()
-        // query side is NQueries rows: the window-over-crossJoin probe
-        // selection is driver-trivial and broadcast downstream
-        val centDf = e.withColumn("rn",
-            row_number().over(Window.partitionBy("label").orderBy("vec_id")))
-          .where(col("rn") === 1)
-          .select(col("label").as("ccl"), col("embedding").as("ce"))
-        val qe = e.where(col("vec_id") < Similarity.NQueries)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val qprobe = qe.crossJoin(broadcast(centDf))
-          .withColumn("rn", row_number().over(Window.partitionBy("qid")
-            .orderBy(Portable.cosine(col("qe"), col("ce")).desc, col("ccl"))))
-          .where(col("rn") <= Similarity.NProbe)
-          .select(col("qid"), col("ccl"))
-        val lutPerQ = qe
-          .select(col("qid"), lutMap(col("qe"), cb).as("lut"))
-        // (qid, probed cluster, LUT map): queries×nprobe rows, broadcast;
-        // the cluster-equality join prunes each corpus row to its own
-        // cluster's probes before any ADC math or re-keying happens.
-        // The batch guard bounds the replicated-LUT broadcast size —
-        // past it, batch the queries (see adcMaxQueryBatch)
-        requireAdcBatch(Similarity.NQueries, cb.length, Similarity.NProbe)
-        val qps = qprobe.join(lutPerQ, "qid")
-        val a = codes.join(broadcast(qps),
-            col("cl") === col("ccl") && col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"),
-            adcSum(col("codes"), col("lut")).as("adist2_e6"))
-        // compressed-domain SHORTLIST: RerankC·K ADC candidates per
-        // query — the bounded window that keeps the stored-vector fetch
-        // request-sized
-        val wa = Window.partitionBy("qid").orderBy(col("adist2_e6"), col("vec_id"))
-        val cand = a.withColumn("ark", row_number().over(wa))
-          .where(col("ark") <= RerankC * Similarity.K)
-          .select(col("qid"), col("vec_id"))
-        // exact re-rank (round-12 task 4): only the shortlist fetches
-        // its raw vectors; candidates+query-vectors are request-sized,
-        // so they BROADCAST onto the corpus scan — the corpus never
-        // re-keys, and the final top-K window runs on |Q|·RerankC·K rows
-        val candQ = cand.join(qe, "qid")
-        val x = e.select(col("vec_id"), col("embedding"))
-          .join(broadcast(candQ), "vec_id")
-          .select(col("qid"), col("vec_id"),
-            Portable.cosine(col("qe"), col("embedding")).as("cos"))
-        val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-        x.withColumn("rk", row_number().over(wr).cast("long"))
-          .where(col("rk") <= Similarity.K)
-          .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
-            col("rk"), graft.Q.r6(col("cos")).as("cos"))
-          .transform(d => graft.Q.sorted(d, "query_id", "rk"))
-      }
+    Q("e11_ivf_adc", ivfAdcOracleSql(Similarity.NProbeServe)) {
+      (s, dir) => ivfAdcPlan(s, dir)
     },
 
     // e13: IVF-ADC served from the PERSISTED index — e11's retrieval with
@@ -957,65 +1040,8 @@ object Embeddings {
     // a broadcast. Same oracle as e11: the DuckDB twin re-derives the
     // index from the raw vectors, so a stale or corrupted artifact is a
     // hash mismatch, not a silent wrong answer.
-    Q("e13_index_serve", ivfAdcOracleSql) {
-      (s, dir) => {
-        import Portable._
-        val cent = ivfpqCentroids(s, dir)
-        val codes = ivfpqCodes(s, dir)
-        // index header -> driver (k·d floats), like loading a FAISS index
-        val cb = cent.orderBy("cl").collect()
-          .map(r => (r.get(0), r.getSeq[Float](1).toArray))
-        // the query vectors are REQUEST INPUT in this shape — read once
-        // outside the plan and shipped as a local relation (5 rows); the
-        // serve plan itself never touches the corpus table
-        import s.implicits._
-        val qRows = Portable.spread(Tables.embeddings(s, dir), "vec_id")
-          .where(col("vec_id") < Similarity.NQueries)
-          .select(col("vec_id"), col("embedding"))
-          .as[(Long, Array[Float])].collect().toSeq
-        val q = qRows.toDF("qid", "qe")
-        val qprobe = q.crossJoin(broadcast(cent.select(col("cl").as("ccl"), col("ce"))))
-          .withColumn("rn", row_number().over(Window.partitionBy("qid")
-            .orderBy(Portable.cosine(col("qe"), col("ce")).desc, col("ccl"))))
-          .where(col("rn") <= Similarity.NProbe)
-          .select(col("qid"), col("ccl"))
-        requireAdcBatch(qRows.size.toLong, cb.length, Similarity.NProbe)
-        val qps = qprobe.join(q.select(col("qid"), lutMap(col("qe"), cb).as("lut")), "qid")
-        // bucket pruning via the collected probe set (the e14b move):
-        // the codes scan skips buckets holding no probed cluster
-        val probedCls = qprobe.select(col("ccl")).distinct().collect().map(_.get(0))
-        val a = codes.where(col("cl").isin(probedCls.toSeq: _*))
-          .join(broadcast(qps),
-            col("cl") === col("ccl") && col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"), col("cl").as("bcl"),
-            adcSum(col("codes"), col("lut")).as("adist2_e6"))
-        // shortlist: RerankC·K ADC candidates per query, KEEPING the
-        // coarse cluster — the re-rank fetch below joins the IVF-FLAT
-        // lists on their bucket key, so it inherits the same
-        // probed-bucket pruning as the codes scan
-        val wa = Window.partitionBy("qid").orderBy(col("adist2_e6"), col("vec_id"))
-        val cand = a.withColumn("ark", row_number().over(wa))
-          .where(col("ark") <= RerankC * Similarity.K)
-          .select(col("qid"), col("vec_id").as("cand_id"), col("bcl"))
-        // exact re-rank from the STORED vectors (graft_ivfflat — the
-        // artifact, never the corpus): request-sized candidate set,
-        // SHUFFLE_HASH hint for the e14b reason (a broadcast join
-        // demands no distribution and Spark 4.1 then drops the bucketed
-        // scan WITH its pruning)
-        val vecs = ivfflatVecs(s, dir)
-        val candQ = cand.join(q, "qid")
-        val x = vecs.where(col("cl").isin(probedCls.toSeq: _*))
-          .join(candQ.hint("SHUFFLE_HASH"),
-            col("cl") === col("bcl") && col("vec_id") === col("cand_id"))
-          .select(col("qid"), col("vec_id"),
-            Portable.cosine(col("qe"), col("embedding")).as("cos"))
-        val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-        x.withColumn("rk", row_number().over(wr).cast("long"))
-          .where(col("rk") <= Similarity.K)
-          .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
-            col("rk"), graft.Q.r6(col("cos")).as("cos"))
-          .transform(d => graft.Q.sorted(d, "query_id", "rk"))
-      }
+    Q("e13_index_serve", ivfAdcOracleSql(Similarity.NProbeServe)) {
+      (s, dir) => indexServePlan(s, dir)
     },
 
     // e14b: RADIUS search served from the PERSISTED index (round-11

@@ -34,6 +34,13 @@ object Similarity {
   val NQueries = 5           // queries = vec_id < 5
   val NearDupThreshold = 0.45
   val NProbe = 2             // clusters probed per query in e5
+  /** Probe width of the IVF-PQ SERVE path (e11/e13). Separate from
+    * [[NProbe]] (e5/e14b keep their original geometry): the round-13
+    * exact re-rank left e11/e13 recall nprobe-bound at 0.800 with 2 of
+    * 10 lists probed — RecallSpec measures the recall-vs-nprobe curve
+    * and pins >= 0.85 at this default. Serve cost scales linearly in
+    * the probe width (candidates ~ nprobe/k of the corpus per query). */
+  val NProbeServe = 4
   val RangeRadius = 0.3      // e14 radius-search cosine threshold
 
   private def emb(spark: SparkSession, dir: String): DataFrame =

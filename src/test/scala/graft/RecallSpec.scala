@@ -96,24 +96,37 @@ class RecallSpec extends SparkTestBase {
     assert(recall >= 0.6, f"e14b recall collapsed: $recall%.3f")
   }
 
-  test("e11 IVF-ADC top-k with exact re-rank: measured recall floor vs brute e2") {
+  private def planPairs(d: DataFrame): Set[(Long, Long)] =
+    d.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("e11 IVF-ADC: recall-vs-nprobe curve measured; default floors at 0.85") {
     val brute = idPairs("e2_knn_brute")
-    val approx = idPairs("e11_ivf_adc")
     assert(brute.nonEmpty)
-    val recall = (approx & brute).size.toDouble / brute.size
-    info(f"e11 recall@k vs e2 brute: $recall%.3f (${(approx & brute).size}/${brute.size})")
-    // Before the round-13 exact re-rank the ADC order alone measured
-    // 4/15 = 0.267 (nprobe=2/10 AND the PQ distance stacked); fetching
-    // RerankC·K ADC candidates and re-ranking them by TRUE cosine
-    // measures 12/15 = 0.800 — the residual misses are the nprobe
-    // bound (true neighbors living in unprobed lists), which is the
-    // documented IVF trade. Floor at 0.6: catches a broken re-rank or
-    // shortlist (which lands back at ≤0.27) without flaking on the
-    // 15-pair sample.
-    assert(recall >= 0.6, f"e11 recall collapsed: $recall%.3f")
+    // Round-13 history: before the exact re-rank the ADC order alone
+    // measured 4/15 = 0.267; the re-rank lifted nprobe=2 to 12/15 =
+    // 0.800, with the residual misses nprobe-bound (true neighbors in
+    // unprobed lists). Round-14 (verdict task 3) measures the CURVE and
+    // ships the width that clears 0.85: on the gate corpus nprobe
+    // 2/4/6 of 10 lists measure 0.800 / 0.867 / 0.933 — the default is
+    // NProbeServe = 4. Serve cost is linear in the width (candidates ~
+    // nprobe/k of the corpus), so 4 doubles the probe-join volume vs 2;
+    // the sf100 serve rung prices that at well under the 2x envelope.
+    val curve = Seq(2, 4, 6).map { np =>
+      val r = (planPairs(ext.Embeddings.ivfAdcPlan(spark, sf, np)) & brute)
+        .size.toDouble / brute.size
+      info(f"e11 recall@k nprobe=$np: $r%.3f")
+      np -> r
+    }.toMap
+    // the curve must be monotone non-decreasing in nprobe (a probe
+    // ranking bug typically breaks this before it breaks any one point)
+    assert(curve(2) <= curve(4) && curve(4) <= curve(6),
+      s"recall not monotone in nprobe: $curve")
+    assert(curve(ext.Similarity.NProbeServe) >= 0.85,
+      f"e11 recall at the shipped default collapsed: ${curve(ext.Similarity.NProbeServe)}%.3f")
   }
 
-  test("e13 index-served top-k inherits the re-ranked recall floor") {
+  test("e13 index-served top-k inherits the default-width recall floor") {
     val brute = idPairs("e2_knn_brute")
     val served = idPairs("e13_index_serve")
     assert(brute.nonEmpty)
@@ -122,6 +135,6 @@ class RecallSpec extends SparkTestBase {
     // e13 IS e11 served from the persisted artifacts (PlanShapeSpec
     // pins row equality), so the floor is the same claim measured
     // through the serve path: a stale or corrupt index collapses it.
-    assert(recall >= 0.6, f"e13 recall collapsed: $recall%.3f")
+    assert(recall >= 0.85, f"e13 recall collapsed: $recall%.3f")
   }
 }
