@@ -484,19 +484,23 @@ object Lm {
   /** The trained tokenizer APPLIED: the corpus in its post-merge symbol
     * stream — what a tokenize stage hands to packing/counting. Serves
     * the memoized merge decisions through the
-    * [[graft.functions.ArrayOps.bpeEncodeAll]] KERNEL: ONE corpus scan,
-    * one narrow projection, the merge table riding in as a K-row
-    * constant (how a real tokenizer applies a loaded merge file), and K
-    * tight JVM passes per document instead of the interpreted HOF fold
-    * ([[bpeApplyAll]] — kept as the semantics reference BpeSpec pins
-    * the kernel against). The symbol arrays stay distributed end to
-    * end — the driver sees only the K merge rows.
+    * [[graft.functions.ArrayOps.bpeEncodeAuto]] dispatch: ONE corpus
+    * scan, one narrow projection, the merge table riding in as a K-row
+    * constant (how a real tokenizer applies a loaded merge file).
+    * The kernel is the rank-greedy heap walk — O(n log n) per doc
+    * INDEPENDENT of K (round-13 verdict task 6: the K-pass kernel's
+    * per-doc cost scaled with the merge table, untenable at a
+    * production K ≈ 50k) — with the K-pass kernel as the dispatch
+    * fallback for tables that alias merge outputs, and [[bpeApplyAll]]
+    * kept as the semantics reference BpeSpec pins both kernels
+    * against. The symbol arrays stay distributed end to end — the
+    * driver sees only the K merge rows.
     */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val merges = trainedMerges(spark, dir)
     Portable.spread(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"),
-        graft.functions.ArrayOps.bpeEncodeAll(Portable.tokens(col("text")),
+        graft.functions.ArrayOps.bpeEncodeAuto(Portable.tokens(col("text")),
           merges.map(m => (m.a, m.b))).as("sym"))
       .select(col("doc_id"), size(col("sym")).cast("long").as("n_syms"),
         array_join(col("sym"), ";").as("enc"))

@@ -226,6 +226,41 @@ object ArrayOps {
       "BPE merge pairs must be non-empty symbols")
     Interop.column(BpeEncodeAllK(Interop.expression(sym), merges))
   }
+  /** The greedy-heap equivalence precondition (see [[BpeEncodeGreedyK]]):
+    * no merge pair may reference a symbol string that a LATER merge
+    * produces — otherwise a late merge can create an occurrence of an
+    * earlier-rank pair, which the heap would merge and a K-pass replay
+    * would not. O(K) driver-side check over the K-row table.
+    */
+  def greedySafe(merges: Seq[(String, String)]): Boolean = {
+    val later = new java.util.HashSet[String]()
+    var ok = true
+    merges.indices.reverse.foreach { i =>
+      val (a, b) = merges(i)
+      if (later.contains(a) || later.contains(b)) ok = false
+      later.add(merges(i)._1 + "_" + merges(i)._2)
+    }
+    ok
+  }
+
+  def bpeEncodeGreedy(sym: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.forall { case (a, b) => a.nonEmpty && b.nonEmpty },
+      "BPE merge pairs must be non-empty symbols")
+    require(greedySafe(merges),
+      "merge table aliases a later merge output; greedy-heap encode would " +
+        "diverge from the K-pass semantics — use bpeEncodeAuto or bpeEncodeAll")
+    Interop.column(BpeEncodeGreedyK(Interop.expression(sym), merges))
+  }
+
+  /** Serve-path dispatch: the O(n log n) greedy-heap kernel whenever the
+    * trained table satisfies its equivalence precondition (every real
+    * table does unless corpus tokens alias merge outputs through '_'),
+    * the K-pass kernel otherwise. Both arms are bit-identical where both
+    * apply (BpeSpec pins it), so the dispatch is invisible to oracles. */
+  def bpeEncodeAuto(sym: Column, merges: Seq[(String, String)]): Column =
+    if (greedySafe(merges)) bpeEncodeGreedy(sym, merges)
+    else bpeEncodeAll(sym, merges)
+
   def hashedFeatureScore(toks: Column, weights: Array[Long], buckets: Int): Column =
     Interop.column(HashedFeatureScoreK(Interop.expression(toks),
       scala.collection.immutable.ArraySeq.unsafeWrapArray(weights), buckets))
@@ -419,6 +454,120 @@ case class BpeEncodeAllK(child: Expression, merges: Seq[(String, String)])
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeAllK =
+    copy(child = newChild)
+}
+
+/** Rank-greedy single-pass BPE encode — the production-K successor to
+  * [[BpeEncodeAllK]] (round-13 verdict: K passes scale with the merge
+  * table, so a 50k-merge production table costs 50k corpus passes per
+  * doc; this kernel is one heap walk, O(n log n) per doc INDEPENDENT
+  * of K). Algorithm: linked list over the symbol array + a min-heap of
+  * (rank, position) candidates; repeatedly merge the lowest-rank,
+  * leftmost occurrence, pushing the two adjacencies the merge creates.
+  * Stale heap entries (a side was consumed or re-merged since push)
+  * are discarded by re-checking the pair's CURRENT rank on pop.
+  *
+  * EQUIVALENCE CONTRACT: output is bit-identical to the K sequential
+  * greedy passes ([[BpeEncodeAllK]], which is what the DuckDB oracle
+  * replays) PROVIDED no merge pair references a symbol string that a
+  * LATER merge also produces (the [[ArrayOps.greedySafe]] check).
+  * Under that precondition a merge of rank r can never create an
+  * occurrence of a pair with rank < r — the operand would have to BE
+  * r's output, which post-dates the earlier pair's training — so
+  * "lowest rank first" visits ranks in exactly the K-pass order, and
+  * the leftmost tie-break inside a rank reproduces the pass's greedy
+  * left-to-right consumption. Trained tables satisfy the precondition
+  * by construction unless raw corpus tokens contain '_' in a way that
+  * aliases a merge output; [[ArrayOps.bpeEncodeAuto]] checks and falls
+  * back to the K-pass kernel when they do.
+  */
+case class BpeEncodeGreedyK(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode_greedy"
+
+  // rank lookup + merged-output table, built once per instance (K rows
+  // — the model-header budget). Keys are java Strings (' ' joint:
+  // cannot occur inside a symbol, so keys never collide).
+  @transient private lazy val rankOf: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      // first (lowest) rank wins if a table ever repeats a pair
+      m.putIfAbsent(a + " " + b, i)
+    }
+    m
+  }
+  @transient private lazy val mOut: Array[org.apache.spark.unsafe.types.UTF8String] =
+    merges.map(m => org.apache.spark.unsafe.types.UTF8String
+      .fromString(m._1 + "_" + m._2)).toArray
+  @transient private lazy val mOutStr: Array[String] =
+    merges.map(m => m._1 + "_" + m._2).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val in = input.asInstanceOf[ArrayData]
+    val n = in.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val sym = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    val str = new Array[String](n)
+    val next = new Array[Int](n)
+    val prev = new Array[Int](n)
+    val alive = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      sym(i) = in.getUTF8String(i)
+      str(i) = sym(i).toString
+      next(i) = if (i + 1 < n) i + 1 else -1
+      prev(i) = i - 1
+      alive(i) = true
+      i += 1
+    }
+    // heap entries encode (rank, leftPos) in one long: natural long
+    // order = rank asc, then position asc (leftmost-first within rank)
+    val heap = new java.util.PriorityQueue[java.lang.Long](math.max(4, n))
+    def push(p: Int): Unit = {
+      val q = next(p)
+      if (q >= 0) {
+        val r = rankOf.get(str(p) + " " + str(q))
+        if (r != null) heap.add((r.longValue << 32) | p.toLong)
+      }
+    }
+    i = 0
+    while (i < n - 1) { push(i); i += 1 }
+    var live = n
+    while (!heap.isEmpty) {
+      val v = heap.poll()
+      val r = (v >>> 32).toInt
+      val p = (v & 0xffffffffL).toInt
+      if (alive(p)) {
+        val q = next(p)
+        if (q >= 0) {
+          // stale unless the CURRENT pair at (p, q) still has rank r
+          val cur = rankOf.get(str(p) + " " + str(q))
+          if (cur != null && cur.intValue == r) {
+            sym(p) = mOut(r)
+            str(p) = mOutStr(r)
+            val qn = next(q)
+            next(p) = qn
+            if (qn >= 0) prev(qn) = p
+            alive(q) = false
+            live -= 1
+            val l = prev(p)
+            if (l >= 0) push(l)
+            push(p)
+          }
+        }
+      }
+    }
+    val res = new Array[Any](live)
+    var w = 0
+    i = 0
+    while (i < n) { if (alive(i)) { res(w) = sym(i); w += 1 }; i += 1 }
+    new GenericArrayData(res)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeGreedyK =
     copy(child = newChild)
 }
 

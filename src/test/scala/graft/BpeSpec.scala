@@ -85,8 +85,69 @@ class BpeSpec extends SparkTestBase {
     val kern = run(graft.functions.ArrayOps.bpeEncodeAll(col("sym"), merges))
     val hof = run(Lm.bpeApplyAll(col("sym"), merges))
     assert(kern == hof, s"kernel diverged from HOF:\nk=$kern\nh=$hof")
-    // and the kernel is what bpeEncode serves (already pinned ≡ K-pass
-    // above through the full gate corpus)
+    // the rank-greedy heap kernel (round-14): this table satisfies the
+    // greedy precondition (the a_b operand aliases an EARLIER output,
+    // which is fine — only later-output aliasing diverges), so it must
+    // match bit for bit on the same adversarial chains
+    assert(graft.functions.ArrayOps.greedySafe(merges))
+    val greedy = run(graft.functions.ArrayOps.bpeEncodeGreedy(col("sym"), merges))
+    assert(greedy == hof, s"greedy kernel diverged from HOF:\ng=$greedy\nh=$hof")
+  }
+
+  test("greedy-heap kernel: unsafe table dispatches to K-pass; direct use refuses") {
+    import spark.implicits._
+    // (x, a_b) references the OUTPUT of the LATER merge (a, b): after
+    // the heap merges rank-1 (a, b), a NEW rank-0 occurrence (x, a_b)
+    // appears, which the heap would merge and a K-pass replay would not
+    // — the exact divergence greedySafe exists to catch
+    val unsafe = Seq(("x", "a_b"), ("a", "b"))
+    assert(!graft.functions.ArrayOps.greedySafe(unsafe))
+    intercept[IllegalArgumentException] {
+      graft.functions.ArrayOps.bpeEncodeGreedy(col("sym"), unsafe)
+    }
+    // the dispatch serves the K-pass kernel instead — identical to the
+    // HOF fold (K-pass semantics preserved: x a b -> x a_b, NOT x_a_b)
+    val docs = Seq((0, Seq("x", "a", "b")), (1, Seq("a", "b", "x", "a", "b")))
+      .toDF("id", "sym")
+    def run(c: org.apache.spark.sql.Column) =
+      docs.select(col("id"), c.as("out")).as[(Int, Seq[String])]
+        .collect().sortBy(_._1).toSeq
+    val auto = run(graft.functions.ArrayOps.bpeEncodeAuto(col("sym"), unsafe))
+    val hof = run(Lm.bpeApplyAll(col("sym"), unsafe))
+    assert(auto == hof, s"dispatch diverged from K-pass semantics:\na=$auto\nh=$hof")
+    assert(auto.head._2 == Seq("x", "a_b"), s"K-pass semantics must hold: $auto")
+  }
+
+  test("greedy-heap kernel ≡ K-pass kernel at K=64 and K=1024 over the gate corpus") {
+    import spark.implicits._
+    // trained tables at two widths (the 1024 ask exercises a table far
+    // past the demo K; the gate corpus may exhaust first — whatever
+    // prefix trains is the table both kernels must agree on)
+    val m64 = Lm.bpeTrainLoop(spark, sf, rounds = 64).map(m => (m.a, m.b))
+    val m1024 = Lm.bpeTrainLoop(spark, sf, rounds = 1024).map(m => (m.a, m.b))
+    info(s"trained widths: K=${m64.length} and K=${m1024.length}")
+    val corpus = ext.Portable
+      .spread(sources.Tables.documents(spark, sf), "doc_id")
+      .select(col("doc_id"), ext.Portable.tokens(col("text")).as("sym"))
+      .localCheckpoint()
+    def enc(merges: Seq[(String, String)], greedy: Boolean): Map[Long, Seq[String]] = {
+      val c = if (greedy) graft.functions.ArrayOps.bpeEncodeGreedy(col("sym"), merges)
+        else graft.functions.ArrayOps.bpeEncodeAll(col("sym"), merges)
+      corpus.select(col("doc_id"), c.as("out")).as[(Long, Seq[String])]
+        .collect().toMap
+    }
+    Seq(m64, m1024).foreach { m =>
+      assert(graft.functions.ArrayOps.greedySafe(m))
+      val t0 = System.nanoTime()
+      val g = enc(m, greedy = true)
+      val tg = (System.nanoTime() - t0) / 1e6
+      val t1 = System.nanoTime()
+      val k = enc(m, greedy = false)
+      val tk = (System.nanoTime() - t1) / 1e6
+      info(f"K=${m.length}: greedy $tg%.0f ms, K-pass $tk%.0f ms")
+      assert(g == k, s"kernels diverged at K=${m.length}: " +
+        s"${(g.toSet -- k.toSet).take(2)} vs ${(k.toSet -- g.toSet).take(2)}")
+    }
   }
 
   test("trainer: deterministic merge table, symbol count shrinks by the applied merges") {
