@@ -922,4 +922,71 @@ class StreamingSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     }
   }
+
+  test("steady-state rung: 10k keys x 50 micro-batches on RocksDB — p50/p99 batch latency (round-13 task 8)") {
+    // The throughput rung measures 3 fat batches; the restore rung
+    // measures one restart. A deployment's steady state is NEITHER: it
+    // is a long sequence of SMALL batches, where regressions show up as
+    // per-batch latency creep (changelog growth, compaction stalls,
+    // state-load thrash) that a 3-batch total hides. This rung drives
+    // the full cascade at 10k keys for 50 one-bar-per-key micro-batches
+    // on RocksDB with changelog checkpointing (the production config)
+    // and reports p50/p99 of triggerExecution — a NUMBER future rounds
+    // regress against instead of an anecdote. Floors are collapse-only:
+    // semantics are pinned by the stream≡batch cases above.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    try {
+      val keys = 10000
+      val batches = 50
+      val input = MemoryStream[Bar](spark)
+      val q = Pipeline.indicatorCascade(input.toDS())
+        .writeStream.format("memory").queryName("steady10k")
+        .outputMode("append").start()
+      val batchMs = mutable.ArrayBuffer.empty[Long]
+      for (i <- 0 until batches) {
+        input.addData((0 until keys).map(k => bar(f"S$k%05d", i)))
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        batchMs += (System.nanoTime() - t0) / 1000000
+      }
+      val out = spark.table("steady10k")
+      assert(out.count() == keys.toLong * batches)
+      q.stop()
+
+      // wall-clock per processed batch (covers trigger + commit, the
+      // number a consumer of the stream actually waits), plus the
+      // engine's own triggerExecution for cross-checking in the log
+      val sorted = batchMs.sorted
+      def pct(p: Double) = sorted(math.min(sorted.length - 1,
+        (p * sorted.length).toInt))
+      val trig = q.recentProgress.filter(_.numInputRows > 0)
+        .map(_.durationMs.get("triggerExecution").longValue).sorted
+      def tpct(p: Double) = if (trig.isEmpty) -1L
+        else trig(math.min(trig.length - 1, (p * trig.length).toInt))
+      info(f"steady state $keys keys x $batches batches: wall p50=${pct(0.5)} ms " +
+        f"p99=${pct(0.99)} ms max=${sorted.last} ms; " +
+        f"triggerExecution p50=${tpct(0.5)} ms p99=${tpct(0.99)} ms " +
+        f"(total ${batchMs.sum / 1000.0}%.1f s for ${keys * batches} rows)")
+
+      // collapse-only floors, far above the measured envelope: a p99
+      // blowup (compaction stall, state reload per batch) or a ramp
+      // (late batches much slower than early) trips them; normal noise
+      // on a shared box does not
+      assert(pct(0.5) <= 10000, s"steady-state p50 collapsed: ${pct(0.5)} ms")
+      assert(pct(0.99) <= 30000, s"steady-state p99 collapsed: ${pct(0.99)} ms")
+      val early = batchMs.slice(5, 15).sorted.apply(5)
+      val late = batchMs.takeRight(10).sorted.apply(5)
+      assert(late <= math.max(early, 200L) * 10,
+        s"per-batch latency ramps: early median ${early} ms, late median ${late} ms " +
+          s"(all: ${batchMs.mkString(",")})")
+    } finally {
+      spark.streams.active.foreach(_.stop())
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
 }
