@@ -12,6 +12,13 @@ object CascadeProbe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed-scan ordering is a SESSION-CONSTRUCTION setting (round-15
+      // advice): a20c's exchange-free as-of plan needs it, and setting it
+      // inside one query builder made every LATER bucketed query's plan
+      // depend on whether a20c ran first. One file per bucket is still
+      // required for Spark to claim the order, so it can never assert an
+      // ordering the files don't have.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -22,6 +22,13 @@ object Verify {
       // under a ns reader while DuckDB sees 9999-12-31 (round-5 x_scd2
       // red row). µs represents year 9999 exactly on every reader.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // bucketed-scan ordering is a SESSION-CONSTRUCTION setting (round-15
+      // advice): a20c's exchange-free as-of plan needs it, and setting it
+      // inside one query builder made every LATER bucketed query's plan
+      // depend on whether a20c ran first. One file per bucket is still
+      // required for Spark to claim the order, so it can never assert an
+      // ordering the files don't have.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

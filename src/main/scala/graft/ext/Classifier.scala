@@ -94,56 +94,97 @@ object Classifier {
     * (shared with [[graft.ext.Lm]]'s merge table — the warehouse commit
     * protocol). Within ONE JVM the callers' `synchronized` makes this
     * safe outright; across processes sharing a warehouse, mutual
-    * exclusion comes from a lock FILE taken with
-    * `FileSystem.create(path, overwrite = false)` — atomic on the local
-    * FS and HDFS — around the sweep+rename, which closes the
-    * exists→delete→rename TOCTOU the bare re-check protocol left open
-    * (two JVMs could interleave so a committed artifact was deleted
-    * after the last _SUCCESS re-check). A loser of the lock race drops
-    * its tmp and waits for the winner's _SUCCESS; a lock older than
-    * [[PublishLockStaleMs]] is presumed crashed-writer debris and
-    * broken. (On an object store without atomic create-exclusive, use
-    * the store's conditional put instead.) */
+    * exclusion comes from a lock FILE around the sweep+rename, which
+    * closes the exists→delete→rename TOCTOU the bare re-check protocol
+    * left open. Round-15 advice hardening:
+    *
+    *   - OWNERSHIP IS VERIFIED, not assumed: on the local FS,
+    *     `create(path, overwrite = false)` is exists-then-create (NOT
+    *     atomic O_EXCL — two racers can both "succeed"), so each
+    *     acquirer writes a UUID and reads it back after a short settle;
+    *     exactly the one whose UUID survives holds the lock. (On HDFS
+    *     create-exclusive is atomic and the read-back is a no-op check;
+    *     on an object store use conditional put instead.)
+    *   - STALE locks are broken by RENAME to a unique name — rename is
+    *     atomic on both local FS and HDFS, so of several processes that
+    *     observe the same >[[PublishLockStaleMs]] lock, exactly one wins
+    *     the break and the committed-artifact sweep can never run twice
+    *     concurrently (the delete-based break let every observer
+    *     "succeed").
+    *   - A lock-race LOSER keeps its tmp until it has SEEN the winner's
+    *     _SUCCESS: if the winner is SIGKILLed mid-publish, the loser
+    *     breaks the stale lock and retries the rename with its own
+    *     still-valid tmp instead of hard-failing with its work
+    *     discarded. The wait is bounded by the stale window, not an
+    *     unrelated fixed 60 s.
+    */
   private[ext] val PublishLockStaleMs = 10 * 60 * 1000L
   private[ext] def publishArtifact(fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
     import org.apache.hadoop.fs.Path
     val success = new Path(dst, "_SUCCESS")
-    if (fs.exists(success)) { fs.delete(tmp, true); return } // lost the race: keep theirs
     val lock = new Path(dst.getParent, s".${dst.getName}.lock")
-    // break a stale lock (crashed publisher): age over the threshold
-    try {
-      val st = fs.getFileStatus(lock)
-      if (System.currentTimeMillis() - st.getModificationTime > PublishLockStaleMs)
-        fs.delete(lock, false)
-    } catch { case _: java.io.FileNotFoundException => () }
-    val acquired =
-      try { fs.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
-    if (acquired) {
-      try {
-        // under the lock: sweep crashed-writer debris (dir without
-        // _SUCCESS), then rename. NEVER rename onto an existing dir —
-        // Hadoop local-FS rename would move tmp INSIDE it instead of
-        // replacing it. The _SUCCESS re-check handles a writer that
-        // committed before we took the lock.
-        if (fs.exists(success)) { fs.delete(tmp, true); return }
-        if (fs.exists(dst)) fs.delete(dst, true)
-        if (!fs.rename(tmp, dst)) {
-          fs.delete(tmp, true)
-          require(fs.exists(success),
-            s"artifact $dst: rename failed and no committed artifact exists")
-        }
-      } finally fs.delete(lock, false)
-    } else {
-      // another publisher holds the lock: our tmp is redundant — drop it
-      // and wait for their commit rather than racing the sweep.
-      fs.delete(tmp, true)
-      val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
-      while (!fs.exists(success) && System.nanoTime < deadline)
+    val self = java.util.UUID.randomUUID().toString
+    var attempts = 0
+    while (true) {
+      if (fs.exists(success)) { fs.delete(tmp, true); return } // theirs is committed
+      val acquired =
+        try {
+          val out = fs.create(lock, false)
+          out.write(self.getBytes("UTF-8")); out.close()
+          // settle + read-back: if a racer also passed the non-atomic
+          // exists-check, last-writer-wins decides ONE owner
+          Thread.sleep(50)
+          val in = fs.open(lock)
+          val buf = new Array[Byte](64)
+          val nread = in.read(buf)
+          in.close()
+          new String(buf, 0, math.max(nread, 0), "UTF-8") == self
+        } catch { case _: java.io.IOException => false }
+      if (acquired) {
+        try {
+          // under the lock: sweep crashed-writer debris (dir without
+          // _SUCCESS), then rename. NEVER rename onto an existing dir —
+          // Hadoop local-FS rename would move tmp INSIDE it instead of
+          // replacing it. The _SUCCESS re-check handles a writer that
+          // committed before we took the lock.
+          if (fs.exists(success)) { fs.delete(tmp, true); return }
+          if (fs.exists(dst)) fs.delete(dst, true)
+          if (!fs.rename(tmp, dst)) {
+            fs.delete(tmp, true)
+            require(fs.exists(success),
+              s"artifact $dst: rename failed and no committed artifact exists")
+          }
+          return
+        } finally fs.delete(lock, false)
+      }
+      // lock held elsewhere: wait (keeping tmp) for their _SUCCESS until
+      // the lock goes stale, then break it by atomic rename and retry
+      val deadline = System.currentTimeMillis() + PublishLockStaleMs
+      var lockGone = false
+      while (!fs.exists(success) && !lockGone &&
+          System.currentTimeMillis() < deadline) {
         Thread.sleep(200)
-      require(fs.exists(success),
-        s"artifact $dst: concurrent publisher held the lock but no committed artifact appeared")
+        lockGone = !fs.exists(lock)
+      }
+      if (fs.exists(success)) { fs.delete(tmp, true); return }
+      if (!lockGone) {
+        try {
+          val st = fs.getFileStatus(lock)
+          if (System.currentTimeMillis() - st.getModificationTime > PublishLockStaleMs) {
+            val debris = new Path(lock.getParent, s"${lock.getName}.stale.$self")
+            if (fs.rename(lock, debris)) fs.delete(debris, false)
+          }
+        } catch { case _: java.io.FileNotFoundException => () }
+      }
+      attempts += 1
+      if (attempts >= 5) {
+        fs.delete(tmp, true)
+        throw new IllegalStateException(
+          s"artifact $dst: no committed artifact after $attempts " +
+            "lock-acquisition attempts (concurrent publishers crashing " +
+            "repeatedly, or a wedged filesystem)")
+      }
     }
   }
 

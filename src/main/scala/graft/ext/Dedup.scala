@@ -64,45 +64,230 @@ object Dedup {
     s"""sh0 AS (SELECT doc_id, ${sqlShingles3(sqlTokens("text"))} AS sh FROM documents),
        |shingled AS (SELECT * FROM sh0 WHERE len(sh) > 0)""".stripMargin
 
+  // ---- Winnow-gated pair tier (round 15) --------------------------------
+  //
+  // The uncapped inverted-index pair join carries Σ_g df(g)² candidate
+  // rows through one exchange. This corpus's df is BELL-SHAPED (measured
+  // at data/sf10: max df 25, mean 9.6, Σdf² = 279M over 26M postings), so
+  // the d6 df-cap never binds and no rare-shingle trick (prefix filter,
+  // cap) can cut the mass — at 5M docs the candidate shuffle (~2.8B rows)
+  // exceeded the sf100 scratch (round-14 ENOSPC). Past [[PairGateMinDocs]]
+  // the pair build DISPATCHES onto winnowing (Schleimer et al., MOSS —
+  // the x_winnow selection at window [[PairWinnowW]]): fingerprint
+  // postings are ~2/(w+1) of the shingle postings and the candidate mass
+  // drops ×8 (measured 34.7M vs 279M at data/sf10), candidates are gated
+  // on winnowed-set jaccard ≥ [[WinnowGateSlack]] (63k survivors vs 14.6M
+  // share-one-fingerprint pairs at data/sf10) and every survivor is
+  // VERIFIED with exact full-shingle jaccard — so emitted pairs are true
+  // ≥-threshold pairs with their exact score. The cost is recall on pairs
+  // that share no winnow fingerprint or miss the slack (measured 700 of
+  // 25 600 true pairs = 2.7% at data/sf10; the winnow guarantee bounds
+  // the misses to pairs with no shared ≥ w+2-token run). The oracle
+  // dispatches on the SAME constants (the SemDedup/IVF-PQ precedent), so
+  // plan and oracle agree at every corpus size; d4/d5 below
+  // [[PairGateMinDocs]] remain the uncapped exact references.
+  val PairGateMinDocs = 100000L
+  val PairWinnowW = 9
+  val WinnowGateSlack = 0.2
+  val ContainGateSlack = 0.3
+
+  /** Pair-route identity tag for persisted pair/loser artifacts: the
+    * route's constants are build logic, so they belong in the table name
+    * (the Layout contract). Empty on the small arm. */
+  private[graft] def gateTag(nDocs: Long): String =
+    if (nDocs <= PairGateMinDocs) ""
+    else s"_w${PairWinnowW}g${math.round(WinnowGateSlack * 100)}"
+
+  private def nDocsOf(s: SparkSession, dir: String): Long =
+    Tables.documents(s, dir).count()
+
+  /** Winnowed fingerprints (doc_id, sel) at window [[PairWinnowW]] — the
+    * x_winnow selection (positional 3-gram hashes, per-window minima,
+    * distinct), docs with an empty selection dropped. */
+  private def winnowSel(s: SparkSession, dir: String): DataFrame = {
+    val emptyL = typedLit(Seq.empty[Long])
+    val toks = tokens(col("text"))
+    val hs = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => hash32(array_join(slice(toks, i + 1, lit(3)), " "))))
+      .otherwise(emptyL)
+    val sel = when(size(col("hs")) >= PairWinnowW,
+      array_distinct(transform(sequence(lit(0), size(col("hs")) - PairWinnowW),
+        j => array_min(slice(col("hs"), j + 1, lit(PairWinnowW))))))
+      .otherwise(emptyL)
+    spread(Tables.documents(s, dir), "doc_id")
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"), sel.as("sel"))
+      .where(size(col("sel")) > 0)
+  }
+
+  /** Large-arm gated candidates: winnowed-fingerprint self-join, gated on
+    * winnowed-set similarity. `directed = false` emits doc_a < doc_b
+    * gated on winnowed jaccard; `directed = true` emits both orientations
+    * gated on winnowed containment iw/|sel_a|. Returns the gate-survivor
+    * pair list, localCheckpointed (near-dup-sized). */
+  private def winnowGated(s: SparkSession, dir: String,
+      directed: Boolean): DataFrame = {
+    val sel = winnowSel(s, dir).cache()
+    val e = sel.select(col("doc_id"), explode(col("sel")).as("g"))
+    val n = sel.select(col("doc_id"), size(col("sel")).as("nw"))
+    val cond =
+      if (directed) col("a.doc_id") =!= col("b.doc_id")
+      else col("a.doc_id") < col("b.doc_id")
+    val p = e.as("a").join(e.as("b").hint("shuffle_hash"),
+        col("a.g") === col("b.g") && cond)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("iw"))
+    val gate =
+      if (directed) col("iw") * 1.0 / col("na.nw") >= ContainGateSlack
+      else col("iw") * 1.0 /
+        (col("na.nw") + col("nb.nw") - col("iw")) >= WinnowGateSlack
+    val gated = p.join(n.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .where(gate)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    sel.unpersist()
+    gated
+  }
+
+  /** Full shingle sets for the (request-sized) doc ids appearing in a
+    * candidate pair list — tokenization runs only on those rows. */
+  private def shinglesFor(s: SparkSession, dir: String,
+      cands: DataFrame): DataFrame = {
+    val ids = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    spread(Tables.documents(s, dir), "doc_id")
+      .join(broadcast(ids), "doc_id")
+      .where(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+  }
+
+  /** Large-arm exact near-dup pairs: winnow-gated candidates verified
+    * with exact full-shingle jaccard (emitted score is exact). */
+  private def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val gated = winnowGated(s, dir, directed = false)
+    val shg = shinglesFor(s, dir, gated)
+    val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
+    gated.join(shg.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shg.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (inter * 1.0 /
+          (size(col("sa.sh")) + size(col("sb.sh")) - inter)).as("jaccard"))
+      .where(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** Small-arm exact pairs — the uncapped inverted-index counting join
+    * (the d4 reference shape, unchanged). `materialize` eagerly
+    * checkpoints the (near-dup-sized) pair list and releases the
+    * corpus-sized shingle cache — the artifact-build hygiene; the query
+    * surface passes false so the returned plan IS the pinned join shape
+    * (PlanShapeSpec) and the harness clears the cache per query. */
+  private def countingPairs(s: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
+    // cached: the tokenize+shingle projection (interpreted kernel, the
+    // most expensive per-row step) feeds the index explode AND the two
+    // size-lookup joins — 3 consumers, one computation
+    val sh = shingled(s, dir).cache()
+    val n = sh.select(col("doc_id"), size(col("sh")).as("ns"))
+    val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    // shuffle-hash, not broadcast: the exploded index is O(corpus) — at
+    // scale it cannot broadcast, and here the two identical
+    // hashpartitioning(g) exchanges collapse into one ReusedExchange so
+    // the explode pipeline runs once instead of twice
+    val p = e.as("a").join(e.as("b").hint("shuffle_hash"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val out = p.join(n.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") * 1.0 /
+          (col("na.ns") + col("nb.ns") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= JaccardThreshold)
+    if (materialize) {
+      val pairs = out.localCheckpoint()
+      sh.unpersist()
+      pairs
+    } else out
+  }
+
+  /** The size-dispatched exact pair list (doc_a < doc_b, exact jaccard ≥
+    * [[JaccardThreshold]]) — d4/d5 and the pipeline loser sets. */
+  private[graft] def exactPairsTiered(s: SparkSession, dir: String,
+      materialize: Boolean = false): DataFrame =
+    if (nDocsOf(s, dir) <= PairGateMinDocs) countingPairs(s, dir, materialize)
+    else winnowPairs(s, dir)
+
+  /** Oracle CTE block for the dispatched pair list: `pairs(doc_a, doc_b,
+    * jaccard)` — the small arm is the uncapped counting join, the large
+    * arm the winnow-gate + exact verify, each guarded on the SAME
+    * [[PairGateMinDocs]] constant as the plan (exactly one leg non-empty).
+    * Requires `$shingledCte` already in scope. */
+  /** The large arm's oracle CTEs alone (ndoc guard → winnow selection →
+    * gated self-join → exact verify as `wverify(doc_a, doc_b, jaccard)`),
+    * shared by [[pairsDispatchCtes]] and the d7-family `compCte`. */
+  private val winnowArmCtes: String = {
+    val gramHash = sqlHash32("array_to_string(toks[i+1:i+3], ' ')")
+    s"""ndoc AS (SELECT count(*) AS n FROM documents),
+       |wt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |       WHERE (SELECT n FROM ndoc) > $PairGateMinDocs),
+       |wg AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+       |         list_transform(range(0, len(toks) - 2), i -> $gramHash)
+       |       ELSE CAST([] AS BIGINT[]) END AS hs FROM wt),
+       |wsel AS (SELECT doc_id, CASE WHEN len(hs) >= $PairWinnowW THEN
+       |           list_distinct(list_transform(range(0, len(hs) - ${PairWinnowW - 1}),
+       |                         j -> list_min(hs[j+1:j+$PairWinnowW])))
+       |         ELSE CAST([] AS BIGINT[]) END AS sel FROM wg),
+       |wn AS (SELECT doc_id, len(sel) AS nw FROM wsel WHERE len(sel) > 0),
+       |we AS (SELECT doc_id, unnest(sel) AS g FROM wsel),
+       |wp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS iw
+       |       FROM we a JOIN we b ON a.g = b.g AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |wgated AS (SELECT doc_a, doc_b
+       |       FROM wp JOIN wn na ON na.doc_id = wp.doc_a
+       |               JOIN wn nb ON nb.doc_id = wp.doc_b
+       |       WHERE iw * 1.0 / (na.nw + nb.nw - iw) >= $WinnowGateSlack),
+       |wverify AS (SELECT doc_a, doc_b,
+       |       len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+       |         (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+       |       FROM wgated JOIN shingled sa ON sa.doc_id = wgated.doc_a
+       |                   JOIN shingled sb ON sb.doc_id = wgated.doc_b)""".stripMargin
+  }
+
+  private val pairsDispatchCtes: String =
+    s"""$winnowArmCtes,
+       |xn AS (SELECT doc_id, len(sh) AS ns FROM shingled),
+       |xe AS (SELECT doc_id, unnest(sh) AS g FROM shingled
+       |       WHERE (SELECT n FROM ndoc) <= $PairGateMinDocs),
+       |xp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |       FROM xe a JOIN xe b ON a.g = b.g AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |xj AS (SELECT doc_a, doc_b,
+       |              inter * 1.0 / (na.ns + nb.ns - inter) AS jaccard
+       |       FROM xp JOIN xn na ON na.doc_id = xp.doc_a
+       |               JOIN xn nb ON nb.doc_id = xp.doc_b
+       |       WHERE inter * 1.0 / (na.ns + nb.ns - inter) >= $JaccardThreshold),
+       |pairs AS (SELECT doc_a, doc_b, jaccard FROM xj
+       |          UNION ALL
+       |          SELECT doc_a, doc_b, jaccard FROM wverify
+       |          WHERE jaccard >= $JaccardThreshold)""".stripMargin
+
   def queries: Seq[Q] = Seq(
 
-    // d4: exact 3-gram Jaccard pairs via inverted shingle index.
+    // d4: exact 3-gram Jaccard pairs via inverted shingle index — the
+    // uncapped counting join below PairGateMinDocs, the winnow-gated +
+    // exact-verified route above it (see the tier note), oracle
+    // dispatched on the same constant.
     Q("d4_ngram_jaccard",
       s"""WITH $shingledCte,
-         |n AS (SELECT doc_id, len(sh) AS ns FROM shingled),
-         |e AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
-         |      GROUP BY 1, 2),
-         |j AS (SELECT doc_a, doc_b,
-         |             inter * 1.0 / (na.ns + nb.ns - inter) AS jaccard
-         |      FROM p JOIN n na ON na.doc_id = p.doc_a
-         |             JOIN n nb ON nb.doc_id = p.doc_b)
+         |$pairsDispatchCtes
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
-         |FROM j WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin) {
-      (s, dir) => {
-        // cached: the tokenize+shingle projection (interpreted kernel,
-        // the most expensive per-row step) feeds the index explode AND
-        // the two size-lookup joins — 3 consumers, one computation
-        val sh = shingled(s, dir).cache()
-        val n = sh.select(col("doc_id"), size(col("sh")).as("ns"))
-        val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-        // shuffle-hash, not broadcast: the exploded index is O(corpus) —
-        // at scale it cannot broadcast, and here the two identical
-        // hashpartitioning(g) exchanges collapse into one ReusedExchange
-        // so the explode pipeline runs once instead of twice
-        val p = e.as("a").join(e.as("b").hint("shuffle_hash"),
-            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-        val j = p.join(n.as("na"), col("doc_a") === col("na.doc_id"))
-          .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
-          .select(col("doc_a"), col("doc_b"),
-            (col("inter") * 1.0 / (col("na.ns") + col("nb.ns") - col("inter"))).as("jaccard"))
-        j.where(col("jaccard") >= JaccardThreshold)
+         |FROM pairs ORDER BY doc_a, doc_b""".stripMargin) {
+      (s, dir) =>
+        exactPairsTiered(s, dir)
           .select(col("doc_a"), col("doc_b"), graft.Q.r6(col("jaccard")).as("jaccard"))
           .transform(d => graft.Q.sorted(d, "doc_a", "doc_b"))
-      }
     },
 
     // d12: asymmetric shingle CONTAINMENT C(A->B) = |A∩B| / |A| — the
@@ -111,40 +296,81 @@ object Dedup {
     // original distinction). Same inverted-index shape as d4 — one
     // exploded self-join on the shingle key, never n² — but DIRECTED:
     // both (a,b) orientations emit, normalized by the contained side
-    // only. NOTE: as written this has NO document-frequency cap — a hot
-    // shingle with df=D emits D² join rows, so a 100 TB run MUST first
-    // add the d6-style df-cap WHERE to both the engine plan and the
-    // oracle (exactly as d4 documents); the synthetic corpus has no hot
-    // shingles, so the gate exercises the uncapped join.
+    // only. Past PairGateMinDocs the candidates route through the winnow
+    // gate (directed: winnowed containment ≥ ContainGateSlack) and every
+    // survivor verifies with exact full-shingle containment — the same
+    // tier as d4, oracle dispatched on the same constants.
     Q("d12_containment",
       s"""WITH $shingledCte,
+         |ndoc AS (SELECT count(*) AS n FROM documents),
          |n AS (SELECT doc_id, len(sh) AS ns FROM shingled),
-         |e AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM shingled
+         |      WHERE (SELECT n FROM ndoc) <= $PairGateMinDocs),
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
          |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id <> b.doc_id
          |      GROUP BY 1, 2),
          |c AS (SELECT doc_a, doc_b, inter * 1.0 / na.ns AS containment
-         |      FROM p JOIN n na ON na.doc_id = p.doc_a)
+         |      FROM p JOIN n na ON na.doc_id = p.doc_a),
+         |wt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |       WHERE (SELECT n FROM ndoc) > $PairGateMinDocs),
+         |wg AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+         |         list_transform(range(0, len(toks) - 2),
+         |                        i -> ${sqlHash32("array_to_string(toks[i+1:i+3], ' ')")})
+         |       ELSE CAST([] AS BIGINT[]) END AS hs FROM wt),
+         |wsel AS (SELECT doc_id, CASE WHEN len(hs) >= $PairWinnowW THEN
+         |           list_distinct(list_transform(range(0, len(hs) - ${PairWinnowW - 1}),
+         |                         j -> list_min(hs[j+1:j+$PairWinnowW])))
+         |         ELSE CAST([] AS BIGINT[]) END AS sel FROM wg),
+         |wn AS (SELECT doc_id, len(sel) AS nw FROM wsel WHERE len(sel) > 0),
+         |we AS (SELECT doc_id, unnest(sel) AS g FROM wsel),
+         |wp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS iw
+         |       FROM we a JOIN we b ON a.g = b.g AND a.doc_id <> b.doc_id
+         |       GROUP BY 1, 2),
+         |wgated AS (SELECT doc_a, doc_b
+         |       FROM wp JOIN wn na ON na.doc_id = wp.doc_a
+         |       WHERE iw * 1.0 / na.nw >= $ContainGateSlack),
+         |wc AS (SELECT doc_a, doc_b,
+         |       len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(sa.sh) AS containment
+         |       FROM wgated JOIN shingled sa ON sa.doc_id = wgated.doc_a
+         |                   JOIN shingled sb ON sb.doc_id = wgated.doc_b),
+         |cc AS (SELECT doc_a, doc_b, containment FROM c
+         |       UNION ALL SELECT doc_a, doc_b, containment FROM wc)
          |SELECT doc_a, doc_b, round(containment, 6) AS containment
-         |FROM c WHERE containment >= $ContainmentThreshold ORDER BY doc_a, doc_b""".stripMargin) {
+         |FROM cc WHERE containment >= $ContainmentThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin) {
       (s, dir) => {
-        val sh = shingled(s, dir).cache()
-        val n = sh.select(col("doc_id"), size(col("sh")).as("ns"))
-        val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-        val p = e.as("a").join(e.as("b").hint("shuffle_hash"),
-            col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-        val c = p.join(n.as("na"), col("doc_a") === col("na.doc_id"))
-          .select(col("doc_a"), col("doc_b"),
-            (col("inter") * 1.0 / col("na.ns")).as("containment"))
-        val out = c.where(col("containment") >= ContainmentThreshold)
-          .select(col("doc_a"), col("doc_b"), graft.Q.r6(col("containment")).as("containment"))
-          .localCheckpoint() // materialize the (tiny) contained-pair set,
-                             // then release the corpus-sized shingle cache
-                             // (the nearDupLosersBuild hygiene)
-        sh.unpersist()
-        graft.Q.sorted(out, "doc_a", "doc_b")
+        if (nDocsOf(s, dir) > PairGateMinDocs) {
+          val gated = winnowGated(s, dir, directed = true)
+          val shg = shinglesFor(s, dir, gated)
+          val out = gated
+            .join(shg.as("sa"), col("doc_a") === col("sa.doc_id"))
+            .join(shg.as("sb"), col("doc_b") === col("sb.doc_id"))
+            .select(col("doc_a"), col("doc_b"),
+              (size(array_intersect(col("sa.sh"), col("sb.sh"))) * 1.0 /
+                size(col("sa.sh"))).as("containment"))
+            .where(col("containment") >= ContainmentThreshold)
+            .select(col("doc_a"), col("doc_b"),
+              graft.Q.r6(col("containment")).as("containment"))
+          graft.Q.sorted(out, "doc_a", "doc_b")
+        } else {
+          val sh = shingled(s, dir).cache()
+          val n = sh.select(col("doc_id"), size(col("sh")).as("ns"))
+          val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+          val p = e.as("a").join(e.as("b").hint("shuffle_hash"),
+              col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+            .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+            .agg(count(lit(1)).as("inter"))
+          val c = p.join(n.as("na"), col("doc_a") === col("na.doc_id"))
+            .select(col("doc_a"), col("doc_b"),
+              (col("inter") * 1.0 / col("na.ns")).as("containment"))
+          val out = c.where(col("containment") >= ContainmentThreshold)
+            .select(col("doc_a"), col("doc_b"), graft.Q.r6(col("containment")).as("containment"))
+            .localCheckpoint() // materialize the (tiny) contained-pair set,
+                               // then release the corpus-sized shingle cache
+                               // (the nearDupLosersBuild hygiene)
+          sh.unpersist()
+          graft.Q.sorted(out, "doc_a", "doc_b")
+        }
       }
     },
 
@@ -204,34 +430,14 @@ object Dedup {
     // compare runs only on pairs that already passed the Jaccard gate.
     Q("d5_edit_distance",
       s"""WITH $shingledCte,
-         |n AS (SELECT doc_id, len(sh) AS ns FROM shingled),
-         |e AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
-         |      GROUP BY 1, 2),
-         |j AS (SELECT doc_a, doc_b,
-         |             inter * 1.0 / (na.ns + nb.ns - inter) AS jaccard
-         |      FROM p JOIN n na ON na.doc_id = p.doc_a
-         |             JOIN n nb ON nb.doc_id = p.doc_b)
+         |$pairsDispatchCtes
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard,
          |       levenshtein(da.text, db.text) AS edit_dist
-         |FROM j JOIN documents da ON da.doc_id = j.doc_a
-         |       JOIN documents db ON db.doc_id = j.doc_b
-         |WHERE jaccard >= $JaccardThreshold
+         |FROM pairs j JOIN documents da ON da.doc_id = j.doc_a
+         |             JOIN documents db ON db.doc_id = j.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin) {
       (s, dir) => {
-        val sh = shingled(s, dir).cache() // 3 consumers, as in d4
-        val n = sh.select(col("doc_id"), size(col("sh")).as("ns"))
-        val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-        val p = e.as("a").join(e.as("b").hint("shuffle_hash"),
-            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-        val j = p.join(n.as("na"), col("doc_a") === col("na.doc_id"))
-          .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
-          .select(col("doc_a"), col("doc_b"),
-            (col("inter") * 1.0 / (col("na.ns") + col("nb.ns") - col("inter"))).as("jaccard"))
-          .where(col("jaccard") >= JaccardThreshold)
+        val j = exactPairsTiered(s, dir)
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         j.join(docs.as("da"), col("doc_a") === col("da.doc_id"))
           .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
@@ -378,6 +584,13 @@ object Dedup {
     */
   private def jaccardPairs(s: SparkSession, dir: String,
       dfCap: Int = DfCap): DataFrame = {
+    // size dispatch (round 15): past PairGateMinDocs the candidate mass
+    // routes through the winnow gate (see the tier note above) — the
+    // df-cap below stays as the skew guard of the small arm, where the
+    // counting join is the cheaper exact shape
+    if (nDocsOf(s, dir) > PairGateMinDocs)
+      return winnowPairs(s, dir).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
     val sh = shingled(s, dir).cache() // index AND both exact-verify sides
     val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
       .withColumn("df", count(lit(1)).over(
@@ -443,7 +656,8 @@ object Dedup {
     * fingerprint and later sessions re-register the files. */
   private def persistedJaccardPairs(s: SparkSession, dir: String): DataFrame =
     Layout.ensureBucketedArtifact(
-      s, s"graft_ndpairs_${Layout.sourceFingerprint(s, s"$dir/documents.parquet")}",
+      s, s"graft_ndpairs_${Layout.sourceFingerprint(s, s"$dir/documents.parquet")}" +
+        gateTag(nDocsOf(s, dir)),
       "doc_a", 8) { jaccardPairs(s, dir) }
 
   /** Min-label propagation with pointer jumping over an undirected edge
@@ -513,7 +727,9 @@ object Dedup {
     * exact-Jaccard reference queries.
     */
   private val compCte =
-    s"""e0 AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
+    s"""$winnowArmCtes,
+       |e0 AS (SELECT doc_id, unnest(sh) AS g FROM shingled
+       |       WHERE (SELECT n FROM ndoc) <= $PairGateMinDocs),
        |e AS (SELECT doc_id, g FROM (
        |        SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM e0)
        |      WHERE df <= $DfCap),
@@ -530,7 +746,10 @@ object Dedup {
        |                 JOIN shingled sb ON sb.doc_id = gated.doc_b
        |      WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
        |            (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
-       |            >= $JaccardThreshold),
+       |            >= $JaccardThreshold
+       |      UNION ALL
+       |      SELECT doc_a, doc_b FROM wverify
+       |      WHERE jaccard >= $JaccardThreshold),
        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
        |          UNION SELECT doc_b, doc_a FROM pairs),
        |reach(u, r) AS (
@@ -746,15 +965,8 @@ object Dedup {
     Q("x_keep_pipeline", {
       val nstop = TextStats.sqlMarkerCountPublic("toks", TextStats.Stopwords)
       s"""WITH $shingledCte,
-         |n AS (SELECT doc_id, len(sh) AS ns FROM shingled),
-         |e AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
-         |      GROUP BY 1, 2),
-         |losers AS (SELECT DISTINCT doc_b
-         |      FROM p JOIN n na ON na.doc_id = p.doc_a
-         |             JOIN n nb ON nb.doc_id = p.doc_b
-         |      WHERE inter * 1.0 / (na.ns + nb.ns - inter) >= $JaccardThreshold),
+         |$pairsDispatchCtes,
+         |losers AS (SELECT DISTINCT doc_b FROM pairs),
          |t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks FROM documents),
          |q AS (SELECT doc_id, lang,
          |             ln(1 + n_chars) * (1.0 - $nstop * 1.0 / len(toks)) AS quality
@@ -796,15 +1008,8 @@ object Dedup {
     // standalone query already did.
     Q("x_curation_pipeline", {
       s"""WITH $shingledCte,
-         |sn AS (SELECT doc_id, len(sh) AS ns FROM shingled),
-         |se AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
-         |sp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |       FROM se a JOIN se b ON a.g = b.g AND a.doc_id < b.doc_id
-         |       GROUP BY 1, 2),
-         |losers AS (SELECT DISTINCT doc_b
-         |       FROM sp JOIN sn na ON na.doc_id = sp.doc_a
-         |              JOIN sn nb ON nb.doc_id = sp.doc_b
-         |       WHERE inter * 1.0 / (na.ns + nb.ns - inter) >= $JaccardThreshold),
+         |$pairsDispatchCtes,
+         |losers AS (SELECT DISTINCT doc_b FROM pairs),
          |ut AS (SELECT doc_id, u.t AS tok
          |       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |            UNNEST(toks) u(t)),
@@ -859,28 +1064,16 @@ object Dedup {
     * the shingle self-join runs once per corpus fingerprint. */
   def nearDupLosers(s: SparkSession, dir: String): DataFrame =
     Layout.ensureBucketedArtifact(
-      s, s"graft_ndlosers_${Layout.sourceFingerprint(s, s"$dir/documents.parquet")}",
-      "doc_b", 8) { nearDupLosersBuild(s, dir) }
-
-  private def nearDupLosersBuild(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir).cache()
-    val n = sh.select(col("doc_id"), size(col("sh")).as("ns"))
-    val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-    val p = e.as("a").join(e.as("b").hint("shuffle_hash"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val losers = p.join(n.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
-      .where(col("inter") * 1.0 /
-        (col("na.ns") + col("nb.ns") - col("inter")) >= JaccardThreshold)
-      .select(col("doc_b")).distinct()
-      .localCheckpoint() // materialize the (near-dup-sized) loser set,
-                         // then release the corpus-sized shingle cache —
-                         // same hygiene as jaccardPairs; before this the
-                         // cache was pinned in MemoryStore for the rest
-                         // of the session on every d8/keep/curation call
-    sh.unpersist()
-    losers
-  }
+      s, s"graft_ndlosers_${Layout.sourceFingerprint(s, s"$dir/documents.parquet")}" +
+        gateTag(nDocsOf(s, dir)),
+      "doc_b", 8) {
+      // the dispatched pair list (uncapped counting join on the small
+      // arm, winnow gate + exact verify on the large — see the tier
+      // note); losers = the higher-id side of each pair, distinct.
+      // materialize = true: the build checkpoints the near-dup-sized
+      // pair list and releases the corpus-sized shingle cache.
+      exactPairsTiered(s, dir, materialize = true)
+        .select(col("doc_b")).distinct()
+        .localCheckpoint()
+    }
 }

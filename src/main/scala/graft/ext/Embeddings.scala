@@ -53,6 +53,222 @@ object Embeddings {
   def rerankShortlist(nprobe: Int): Int =
     RerankPerList * Similarity.K * nprobe
 
+  /** Trained-arm re-rank depth: shortlist = the probed candidate mass
+    * over this divisor (floored at the label-arm formula). Failure
+    * attribution at data/sf10 (tools/IvfDiag, k=56): the coarse probe
+    * captured 15/15 true neighbors at every width — but their ADC ranks
+    * under the 256-codeword SAMPLED PQ codebook ran 1..1225 of ~14k
+    * probed candidates, so the fixed 48-slot shortlist kept only 8/15.
+    * The sampled codebook is an honest coarse PRUNER, not a ranker:
+    * re-ranking the top quarter of the probed mass (1800 exact cosines
+    * per query at sf10 — request-sized) restores the recall the probe
+    * already earned, and a Lloyd-TRAINED per-subspace codebook is the
+    * documented lever to shrink this divisor's cost if the re-rank
+    * fetch ever dominates. */
+  val RerankFracDiv = 4
+
+  def trainedShortlist(n: Long, k: Int, nprobe: Int): Long =
+    math.max(rerankShortlist(nprobe).toLong,
+      math.ceil(nprobe.toDouble * n / (k * RerankFracDiv.toDouble)).toLong)
+
+  // ---- Corpus-sized codebooks (round-15: the IVF-PQ scale arm) ---------
+  //
+  // The label-representative codebook (10 codewords playing BOTH the
+  // coarse-quantizer and PQ roles) is the reference-parity shape and the
+  // oracle-friendly gate geometry, but it has a fixed capacity: at 200k
+  // vectors the 8x10-codeword ADC distance is too coarse for any
+  // shortlist to retain true neighbors (measured recall@3 = 0.13 at
+  // data/sf10 vs 0.87 at gate — tools/RecallProbe, round 14). Real IVF-PQ
+  // sizes both codebooks with the corpus: coarse k ~ sqrt(n) (FAISS
+  // guidance) and PQ codebooks of 256 codewords per subspace (one byte
+  // per code). Past [[PqArmMaxRows]] the e11/e13/e14b family DISPATCHES
+  // onto corpus-sized codebooks — the SemDedup.LabelArmMaxRows precedent,
+  // with the oracle switching arms on the SAME constants so plan and
+  // oracle agree at every corpus size:
+  //
+  //   - coarse: k = min(ceil(sqrt n), [[CoarseKCap]]) centroids, seeded
+  //     from the first-k vectors and refined by [[CoarseRounds]] Lloyd
+  //     rounds (d2 assignment, 1e-6-quantized integer stats, float32
+  //     centroids — every step a shared-double computation both engines
+  //     state identically; the engine may exit early ONLY on an exact
+  //     integer fixpoint of the stats, the e12/x_pagerank_full contract);
+  //   - PQ: [[PqCodebookSize]] codewords per subspace — the first-256
+  //     vectors sliced per subspace (a deterministic data sample, the
+  //     standard PQ-codebook init; a Lloyd-refined PQ codebook drops in
+  //     by the same dispatch if the recall floor ever demands it).
+  //
+  // Assignment/probe METRIC per arm: the label arm keeps the e3/e5
+  // cosine-argmax convention; the trained arm ranks by squared distance
+  // (the metric its Lloyd training optimizes), ties by codeword id.
+  val PqArmMaxRows = 20000L
+  val PqCodebookSize = 256
+  val CoarseRounds = 2
+
+  /** Coarse-codebook budget: k·d floats of driver/kernel-reference state
+    * (1 MB at the cap) and a k·d-multiply [[graft.functions
+    * .NearestCodewords]] loop per assigned row. sqrt(n) stays under this
+    * cap through ~16M vectors; past it lists grow beyond sqrt(n)
+    * occupancy (recall per probe unchanged, more rows re-ranked per
+    * list) and the next rung is a hierarchical coarse quantizer — out of
+    * scope until a corpus actually crosses the cap. */
+  val CoarseKCap = 4096
+
+  def useTrainedArm(n: Long): Boolean = n > PqArmMaxRows
+
+  /** List-count divisor: k = ceil(sqrt(n) / CoarseKDiv). Recall at a
+    * FIXED probe width is governed by the probed fraction nprobe/k, so
+    * the divisor is the recall/throughput dial at the default
+    * NProbeServe: sqrt(n)/8 keeps nprobe=4 at ~5-10% of the lists
+    * through the measured corpora (k=56 at 200k vectors, k=177 at 2M)
+    * while per-probe ADC work stays O(sqrt n · CoarseKDiv) codes —
+    * measured at data/sf10: k=448 (div 1) gave recall@3 0.53 at
+    * nprobe=4 (probe mass 0.9%), k=56 clears the 0.85 floor. */
+  val CoarseKDiv = 8
+
+  def coarseK(n: Long): Int =
+    math.max(16L, math.min(
+      math.ceil(math.sqrt(n.toDouble) / CoarseKDiv).toLong,
+      CoarseKCap.toLong)).toInt
+
+  /** Artifact-name tag carrying the codebook-spec identity (the Layout
+    * contract: build-logic constants that change an artifact's content
+    * belong in its name). Empty on the label arm, so gate artifacts keep
+    * their round-14 names. */
+  private[graft] def armTag(n: Long): String =
+    if (!useTrainedArm(n)) "" else s"_k${coarseK(n)}r${CoarseRounds}q$PqCodebookSize"
+
+  /** Nearest-codeword assignment by squared distance, (d2, cl) ties —
+    * ONE [[graft.functions.NearestCodewords]] kernel column (no n·k join,
+    * no shuffle, no unrolled literal terms). The codebook MUST be
+    * cl-ascending: the kernel's first-min index tie-break then equals the
+    * oracle's (d2, cl). Appends `cl` to the input frame. */
+  private[graft] def assignNearest(e: DataFrame,
+      cb: Array[(Any, Array[Float])]): DataFrame = {
+    val cls = cb.map(_._1.asInstanceOf[Number].longValue).toSeq
+    val idx = graft.functions.ArrayOps.nearestCodewords(
+      col("embedding"), cb.map(_._2), 1)
+    e.withColumn("cl", element_at(typedlit(cls), element_at(idx, 1) + 1))
+  }
+
+  /** Trained-arm corpus pass — the [[pqPass]] twin over corpus-sized
+    * codebooks: ONE projection of two [[graft.functions.NearestCodewords]]
+    * kernels emits (vec_id, coarse cluster, PQ code array); kernel indices
+    * map to codeword ids through small literal arrays. */
+  private[graft] def trainedCodesPass(e: DataFrame, ccb: Array[(Any, Array[Float])],
+      pcb: Array[(Any, Array[Float])]): DataFrame = {
+    val ccls = ccb.map(_._1.asInstanceOf[Number].longValue).toSeq
+    val pcls = pcb.map(_._1.asInstanceOf[Number].longValue).toSeq
+    val coarseIdx = graft.functions.ArrayOps.nearestCodewords(
+      col("embedding"), ccb.map(_._2), 1)
+    val pqIdx = graft.functions.ArrayOps.nearestCodewords(
+      col("embedding"), pcb.map(_._2), PqM)
+    e.select(col("vec_id"),
+      element_at(typedlit(ccls), element_at(coarseIdx, 1) + 1).as("cl"),
+      transform(pqIdx, i => element_at(typedlit(pcls), i + 1)).as("codes"))
+  }
+
+  /** Lloyd-trained coarse codebook: seed = the first-k vectors (the
+    * SemDedup sqrt-k seed), then up to `rounds` assign → re-estimate
+    * rounds. Centroid components are CAST(qsum/(1e6·n) AS FLOAT) — one
+    * correctly-rounded double division over exact integer stats, then one
+    * double→float rounding, so both engines (and any shuffle order)
+    * produce bit-identical float32 centroids, which is also what a real
+    * index stores. Early exit ONLY on an exact integer fixpoint of the
+    * (cl, pos, n, qsum) stats — identical stats ⇒ identical centroids ⇒
+    * every further round reproduces the same frame, so the fixed-round
+    * oracle chain agrees (the e12 contract). Driver state per round:
+    * k·d stat rows + k·d floats — index-header-sized by construction. */
+  private[graft] def trainCoarse(e: DataFrame, k: Int,
+      rounds: Int = CoarseRounds): Array[(Any, Array[Float])] = {
+    def centroidsOf(stats: Array[(Long, Long, Long, Double)]): Array[(Any, Array[Float])] =
+      stats.groupBy(_._1).toArray.sortBy(_._1).map { case (cl, rows) =>
+        (cl: Any,
+          rows.sortBy(_._2).map { case (_, _, n, qsum) =>
+            (qsum / (1e6 * n)).toFloat
+          })
+      }
+    var cb: Array[(Any, Array[Float])] = e.where(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0): Any, r.getSeq[Float](1).toArray))
+    var prev: Array[(Long, Long, Long, Double)] = null
+    var i = 0
+    var converged = false
+    while (i < rounds && !converged) {
+      val stats = kmStats(assignNearest(
+          e.select(col("vec_id"), col("embedding")), cb), "cl")
+        .collect()
+        .map(r => (r.get(0).asInstanceOf[Number].longValue, r.getLong(1),
+          r.getLong(2), r.getDouble(3)))
+        .sortBy(s => (s._1, s._2))
+      if (prev != null && stats.sameElements(prev)) converged = true
+      else { cb = centroidsOf(stats); prev = stats }
+      i += 1
+    }
+    cb
+  }
+
+  /** The size-dispatched (coarse codebook, PQ codebook, distance-metric?)
+    * triple — [[useTrainedArm]] decides the arm, the oracle dispatches on
+    * the same constant. */
+  private[graft] def codebooks(e: DataFrame,
+      n: Long): (Array[(Any, Array[Float])], Array[(Any, Array[Float])], Boolean) =
+    if (!useTrainedArm(n)) {
+      val cb = codebook(e)
+      (cb, cb, false)
+    } else (trainCoarse(e, coarseK(n)), pqSampleCodebook(e), true)
+
+  /** The trained arm's PQ codebook: the first [[PqCodebookSize]] vectors,
+    * keyed by vec_id — [[subDists]] slices each per subspace, so every
+    * subspace gets its own 256-entry codebook drawn from the data
+    * distribution. */
+  private def pqSampleCodebook(e: DataFrame): Array[(Any, Array[Float])] =
+    e.where(col("vec_id") < PqCodebookSize)
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0): Any, r.getSeq[Float](1).toArray))
+
+  /** Driver-side fold twins of the plan/oracle arithmetic (index-ascending
+    * double adds — identical IEEE results), for the request-sized math the
+    * trained arm keeps on the driver: probe selection and ADC LUTs over
+    * collected queries and the collected index header. */
+  private def d2Driver(q: Array[Float], c: Array[Float], from: Int, len: Int): Double = {
+    var vv = 0.0; var vc = 0.0; var cc = 0.0
+    var i = 0
+    while (i < len) { val x = q(from + i).toDouble; vv += x * x; i += 1 }
+    i = 0
+    while (i < len) { vc += q(from + i).toDouble * c(from + i).toDouble; i += 1 }
+    i = 0
+    while (i < len) { val y = c(from + i).toDouble; cc += y * y; i += 1 }
+    (vv - 2.0 * vc) + cc
+  }
+
+  /** Spark round(x, 0).cast(long) replayed on the driver (HALF_UP over
+    * BigDecimal.valueOf — Spark's Round semantics; DuckDB round() is the
+    * same half-away-from-zero). */
+  private def roundE6(v: Double): Long =
+    java.math.BigDecimal.valueOf(v * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  /** nprobe nearest coarse codewords per query by (d2, cl) — driver math
+    * over request-sized inputs (the trained arm's probe selection). */
+  private[graft] def probeTrained(qs: Seq[(Long, Array[Float])],
+      cb: Array[(Any, Array[Float])], nprobe: Int): Seq[(Long, Long)] =
+    qs.flatMap { case (qid, q) =>
+      cb.map { case (cl, ce) =>
+          (cl.asInstanceOf[Number].longValue, d2Driver(q, ce, 0, q.length)) }
+        .sortBy { case (cl, d) => (d, cl) }
+        .take(nprobe)
+        .map { case (cl, _) => (qid, cl) }
+    }
+
+  /** The ADC LUT of one query as a PLAIN map value ("m_cl" → quantized
+    * d2, the [[lutMap]] convention): with 256·M entries the expression
+    * form is a ~2048-term Catalyst tree per query — computing the same
+    * folds on the driver ships a literal map instead. */
+  private[graft] def lutDriver(q: Array[Float],
+      cb: Array[(Any, Array[Float])]): Map[String, Long] =
+    (for { m <- 0 until PqM; (cl, ce) <- cb } yield
+      s"${m}_$cl" -> roundE6(d2Driver(q, ce, m * SubDim, SubDim))).toMap
+
   /** Sequential-fold dot product over arrays of ANY numeric element type
     * (mirrors [[Portable.sqlDot]] exactly: per-index double products,
     * index-ascending accumulation). The codegen kernel
@@ -389,7 +605,11 @@ object Embeddings {
     */
   def adcTopK(e: DataFrame, queriesIn: DataFrame, k: Int,
       batchSize: Int = 0, excludeSelf: Boolean = true): DataFrame = {
-    val cb = codebook(e)
+    // PQ codebook dispatched on corpus size (the e11/e13 arm constant):
+    // past PqArmMaxRows the 10-codeword label LUT is too coarse for the
+    // ADC order to mean anything — see the corpus-sized-codebook note
+    val nRows = e.count()
+    val cb = if (useTrainedArm(nRows)) pqSampleCodebook(e) else codebook(e)
     val bs = if (batchSize > 0) batchSize else adcMaxQueryBatch(cb.length)
     val codes = pqPass(e, cb, withErr = false, withAssign = false)
       .select(col("vec_id"),
@@ -415,6 +635,81 @@ object Embeddings {
         col("rk"), col("adist2_e6"))
   }
 
+  /** The oracle's codebook-dispatch CTE block (no WITH keyword): derives
+    * BOTH arms' codebooks and picks per corpus size on the SAME constants
+    * as [[codebooks]] — `pqcb` (the PQ codebook), `assign` (coarse corpus
+    * assignment) and `qprobe` (per-query probed clusters, `nprobe` wide).
+    * The label arm ranks by cosine over the label representatives; the
+    * trained arm replays the [[trainCoarse]] Lloyd rounds verbatim (seed
+    * = first-k vectors, d2 assignment, 1e-6-quantized integer stats,
+    * float32 centroids) and ranks by d2. Exactly one arm's WHERE guard
+    * holds, so each UNION ALL leg is empty on the other arm. */
+  private def coarseDispatchSql(nprobe: Int): String = {
+    val cosEC = Portable.sqlCosine("e.embedding", "cw.ce")
+    def d2full(v: String, c: String) =
+      s"((${Portable.sqlDot(v, v)} - 2.0*${Portable.sqlDot(v, c)}) + " +
+        s"${Portable.sqlDot(c, c)})"
+    val rounds = (1 to CoarseRounds).map { i =>
+      s"""ta$i AS (SELECT vec_id, embedding, cl FROM (
+         |    SELECT e.vec_id, e.embedding, c.cl,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${d2full("e.embedding", "c.ce")}, c.cl) AS rn
+         |    FROM embeddings e CROSS JOIN tc${i - 1} c) WHERE rn = 1),
+         |ty$i AS (SELECT cl, i AS pos,
+         |        CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1e6, 0) AS BIGINT) AS qv
+         |        FROM ta$i CROSS JOIN (SELECT unnest(range(0, $Dims)) AS i) r),
+         |tg$i AS (SELECT cl, pos, count(*) AS n, CAST(sum(qv) AS DOUBLE) AS qsum
+         |        FROM ty$i GROUP BY 1, 2),
+         |tc$i AS (SELECT cl, list_transform(list(qsum / (1e6 * n) ORDER BY pos),
+         |                x -> CAST(x AS FLOAT)) AS ce
+         |         FROM tg$i GROUP BY cl)""".stripMargin
+    }.mkString(",\n")
+    s"""nn AS (SELECT count(*) AS n FROM embeddings),
+       |cwl AS (
+       |  SELECT cl, ce FROM (
+       |    SELECT label AS cl, embedding AS ce,
+       |           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+       |    FROM embeddings) WHERE rn = 1
+       |    AND (SELECT n FROM nn) <= $PqArmMaxRows),
+       |kk AS (SELECT greatest(16, least(CAST(ceil(sqrt(n) / ${CoarseKDiv}.0) AS BIGINT),
+       |                               $CoarseKCap)) AS k FROM nn),
+       |tc0 AS (SELECT vec_id AS cl, embedding AS ce FROM embeddings
+       |        WHERE (SELECT n FROM nn) > $PqArmMaxRows
+       |          AND vec_id < (SELECT k FROM kk)),
+       |$rounds,
+       |pqcb AS (SELECT CAST(cl AS BIGINT) AS cl, ce FROM cwl
+       |         UNION ALL
+       |         SELECT vec_id AS cl, embedding AS ce FROM embeddings
+       |         WHERE (SELECT n FROM nn) > $PqArmMaxRows
+       |           AND vec_id < $PqCodebookSize),
+       |assign AS (
+       |  SELECT vec_id, CAST(cl AS BIGINT) AS cl FROM (
+       |    SELECT e.vec_id, cw.cl,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $cosEC DESC, cw.cl) AS rn
+       |    FROM embeddings e CROSS JOIN cwl cw) WHERE rn = 1
+       |  UNION ALL
+       |  SELECT vec_id, cl FROM (
+       |    SELECT e.vec_id, c.cl,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${d2full("e.embedding", "c.ce")}, c.cl) AS rn
+       |    FROM embeddings e CROSS JOIN tc$CoarseRounds c) WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS qid, CAST(cl AS BIGINT) AS cl FROM (
+       |    SELECT e.vec_id, cw.cl,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $cosEC DESC, cw.cl) AS rn
+       |    FROM embeddings e CROSS JOIN cwl cw
+       |    WHERE e.vec_id < ${Similarity.NQueries}) WHERE rn <= $nprobe
+       |  UNION ALL
+       |  SELECT vec_id AS qid, cl FROM (
+       |    SELECT e.vec_id, c.cl,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${d2full("e.embedding", "c.ce")}, c.cl) AS rn
+       |    FROM embeddings e CROSS JOIN tc$CoarseRounds c
+       |    WHERE e.vec_id < ${Similarity.NQueries}) WHERE rn <= $nprobe)""".stripMargin
+  }
+
   /** Shared oracle of e11 (transient IVF-ADC) and e13 (the same retrieval
     * served from the PERSISTED index): identical semantics by
     * construction, so one SQL adjudicates both — any divergence between
@@ -438,35 +733,19 @@ object Embeddings {
     val lutUnpivot = (0 until PqM)
       .map(m => s"SELECT qid, cl, CAST($m AS BIGINT) AS m, l$m AS d2q FROM lp")
       .mkString("\nUNION ALL ")
-    val cosEC = Portable.sqlCosine("e.embedding", "cw.ce")
-    s"""WITH cw AS (
-       |  SELECT label AS cl, embedding AS ce FROM (
-       |    SELECT label, embedding,
-       |           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-       |    FROM embeddings) WHERE rn = 1),
+    s"""WITH ${coarseDispatchSql(nprobe)},
        |p AS (SELECT e.vec_id, cw.cl,
        |       $pCols
-       |      FROM embeddings e CROSS JOIN cw),
+       |      FROM embeddings e CROSS JOIN pqcb cw),
        |sub AS ($unpivot),
        |codes AS (SELECT vec_id, m, cl AS code FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist2, cl) AS rn
        |    FROM sub) WHERE rn = 1),
-       |assign AS (SELECT vec_id, cl FROM (
-       |    SELECT e.vec_id, cw.cl,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |             ORDER BY $cosEC DESC, cw.cl) AS rn
-       |    FROM embeddings e CROSS JOIN cw) WHERE rn = 1),
-       |qprobe AS (SELECT vec_id AS qid, cl FROM (
-       |    SELECT e.vec_id, cw.cl,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |             ORDER BY $cosEC DESC, cw.cl) AS rn
-       |    FROM embeddings e CROSS JOIN cw
-       |    WHERE e.vec_id < ${Similarity.NQueries}) WHERE rn <= $nprobe),
        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
        |      WHERE vec_id < ${Similarity.NQueries}),
        |lp AS (SELECT q.qid, cw.cl,
        |       $lutCols
-       |      FROM q CROSS JOIN cw),
+       |      FROM q CROSS JOIN pqcb cw),
        |lut AS ($lutUnpivot),
        |a AS (SELECT l.qid, c.vec_id, CAST(sum(l.d2q) AS BIGINT) AS adist2_e6
        |      FROM codes c
@@ -482,7 +761,11 @@ object Embeddings {
        |      FROM ac
        |      JOIN q ON q.qid = ac.qid
        |      JOIN embeddings e ON e.vec_id = ac.vec_id
-       |      WHERE ac.ark <= ${rerankShortlist(nprobe)}),
+       |      WHERE ac.ark <= (SELECT CASE WHEN nn.n <= $PqArmMaxRows
+       |             THEN ${rerankShortlist(nprobe)}
+       |             ELSE greatest(${rerankShortlist(nprobe)},
+       |                  CAST(ceil(($nprobe * nn.n) / (kk.k * ${RerankFracDiv}.0)) AS BIGINT))
+       |             END FROM nn, kk)),
        |r2 AS (SELECT *, row_number() OVER (PARTITION BY qid
        |         ORDER BY cos DESC, vec_id) AS rk FROM x)
        |SELECT qid AS query_id, vec_id AS neighbor_id, CAST(rk AS BIGINT) AS rk,
@@ -498,6 +781,40 @@ object Embeddings {
   private def embFp(s: org.apache.spark.sql.SparkSession, dir: String): String =
     graft.sources.Layout.sourceFingerprint(s, s"$dir/embeddings.parquet")
 
+  /** The corpus row count, memoized per corpus fingerprint as a 1-row
+    * artifact — the index header's size field. The serve path (e13/e14b)
+    * dispatches codebook arms on n without re-counting the corpus per
+    * request; the count job runs once per fingerprint, at index-build
+    * time. */
+  private[graft] def corpusN(s: SparkSession, dir: String): Long =
+    graft.sources.Layout.ensureBucketedArtifact(
+      s, s"graft_ivfpq_meta_${embFp(s, dir)}", "n", 1) {
+      import s.implicits._
+      Seq(Tables.embeddings(s, dir).count()).toDF("n")
+    }.head().getLong(0)
+
+  /** A codebook as a local-relation frame (cl, ce) — the index header
+    * shipped into a plan. */
+  private def centDfOf(s: SparkSession, cb: Array[(Any, Array[Float])]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val clType: DataType = cb.head._1 match {
+      case _: java.lang.Long => LongType
+      case _: java.lang.Integer => IntegerType
+      case other => throw new IllegalArgumentException(
+        s"unsupported codebook key type: ${other.getClass}")
+    }
+    val schema = StructType(Seq(
+      StructField("cl", clType, nullable = false),
+      StructField("ce", ArrayType(FloatType, containsNull = false))))
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      cb.toSeq.map { case (cl, ce) => Row(cl, ce.toSeq) }.asJava, schema)
+  }
+
+  private def collectCb(df: DataFrame): Array[(Any, Array[Float])] =
+    df.orderBy("cl").collect().map(r => (r.get(0), r.getSeq[Float](1).toArray))
+
   /** The persisted IVF-PQ index, built ONCE per corpus fingerprint (the
     * d10/CoPurchase pattern applied to ANN — round-10 task 6): one
     * codegen'd corpus pass emits (vec_id, coarse cluster, PQ codes) and
@@ -505,14 +822,37 @@ object Embeddings {
     * + [[ivfpqCentroids]] — the embeddings table never appears in the
     * serve plan (PlanShapeSpec pins that), which is the point: at 100 TB
     * the raw vectors are cold storage and the index is the hot artifact.
+    * Codebooks are sourced from their own artifacts ([[ivfpqCentroids]] /
+    * [[ivfpqPqcb]]), so coarse training runs once per fingerprint no
+    * matter which index table is demanded first; the arm (and on the
+    * trained arm the codebook spec) is part of each artifact's name.
     */
-  def ivfpqCodes(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+  def ivfpqCodes(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val n = corpusN(s, dir)
     graft.sources.Layout.ensureBucketedArtifact(
-      s, s"graft_ivfpq_codes_${embFp(s, dir)}", "cl", IndexBuckets) {
+      s, s"graft_ivfpq_codes_${embFp(s, dir)}${armTag(n)}", "cl", IndexBuckets) {
       val e = Portable.spread(Tables.embeddings(s, dir), "vec_id")
-      pqPass(e, codebook(e), withErr = false, withAssign = true)
-        .select(col("vec_id"), col("cl"),
-          array((0 until PqM).map(m => col(s"code$m")): _*).as("codes"))
+      val ccb = collectCb(ivfpqCentroids(s, dir))
+      if (useTrainedArm(n))
+        trainedCodesPass(e, ccb, collectCb(ivfpqPqcb(s, dir)))
+      else
+        pqPass(e, ccb, withErr = false, withAssign = true)
+          .select(col("vec_id"), col("cl"),
+            array((0 until PqM).map(m => col(s"code$m")): _*).as("codes"))
+    }
+  }
+
+  /** The persisted PQ codebook of the trained arm ([[PqCodebookSize]]
+    * rows — index-header state): serving must never scan the corpus, so
+    * the sampled codewords are written once per fingerprint alongside
+    * the coarse centroids. On the label arm [[ivfpqCentroids]] plays both
+    * roles and this table is never created. */
+  def ivfpqPqcb(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Layout.ensureBucketedArtifact(
+      s, s"graft_ivfpq_pqcb_${embFp(s, dir)}_q$PqCodebookSize", "cl", 4) {
+      Portable.spread(Tables.embeddings(s, dir), "vec_id")
+        .where(col("vec_id") < PqCodebookSize)
+        .select(col("vec_id").as("cl"), col("embedding").as("ce"))
     }
 
   /** The IVF-FLAT leg of the persisted index (round-11 task 4): the raw
@@ -525,7 +865,8 @@ object Embeddings {
     * corpus table. */
   def ivfflatVecs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     graft.sources.Layout.ensureBucketedArtifact(
-      s, s"graft_ivfflat_${embFp(s, dir)}", "cl", IndexBuckets) {
+      s, s"graft_ivfflat_${embFp(s, dir)}${armTag(corpusN(s, dir))}", "cl",
+      IndexBuckets) {
       val e = Portable.spread(Tables.embeddings(s, dir), "vec_id")
       ivfpqCodes(s, dir).select(col("vec_id"), col("cl"))
         .join(e.select(col("vec_id"), col("embedding")), "vec_id")
@@ -537,23 +878,7 @@ object Embeddings {
     * mismatch), probes [[Similarity.NProbe]] clusters per query, then
     * EXACT cosine + radius inside the probed lists. */
   private def rangeIndexOracleSql: String = {
-    val cosEC = Portable.sqlCosine("e.embedding", "cw.ce")
-    s"""WITH cw AS (
-       |  SELECT label AS cl, embedding AS ce FROM (
-       |    SELECT label, embedding,
-       |           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-       |    FROM embeddings) WHERE rn = 1),
-       |assign AS (SELECT vec_id, cl FROM (
-       |    SELECT e.vec_id, cw.cl,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |             ORDER BY $cosEC DESC, cw.cl) AS rn
-       |    FROM embeddings e CROSS JOIN cw) WHERE rn = 1),
-       |qprobe AS (SELECT vec_id AS qid, cl FROM (
-       |    SELECT e.vec_id, cw.cl,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |             ORDER BY $cosEC DESC, cw.cl) AS rn
-       |    FROM embeddings e CROSS JOIN cw
-       |    WHERE e.vec_id < ${Similarity.NQueries}) WHERE rn <= ${Similarity.NProbe}),
+    s"""WITH ${coarseDispatchSql(Similarity.NProbe)},
        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
        |      WHERE vec_id < ${Similarity.NQueries}),
        |scored AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
@@ -569,26 +894,95 @@ object Embeddings {
 
   /** The index's coarse-quantizer centroids (cl, ce) — the "index
     * header": k·d floats, read to the driver at serve time exactly like
-    * a loaded FAISS index. */
-  def ivfpqCentroids(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    * a loaded FAISS index. Label representatives below [[PqArmMaxRows]];
+    * the [[trainCoarse]] Lloyd centroids above it (the arm and codebook
+    * spec are part of the table name). */
+  def ivfpqCentroids(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val n = corpusN(s, dir)
     graft.sources.Layout.ensureBucketedArtifact(
-      s, s"graft_ivfpq_cent_${embFp(s, dir)}", "cl", 4) {
-      Portable.spread(Tables.embeddings(s, dir), "vec_id")
-        .withColumn("rn",
-          row_number().over(Window.partitionBy("label").orderBy("vec_id")))
-        .where(col("rn") === 1)
-        .select(col("label").as("cl"), col("embedding").as("ce"))
+      s, s"graft_ivfpq_cent_${embFp(s, dir)}${armTag(n)}", "cl", 4) {
+      if (useTrainedArm(n))
+        centDfOf(s, trainCoarse(
+          Portable.spread(Tables.embeddings(s, dir), "vec_id"), coarseK(n)))
+      else
+        Portable.spread(Tables.embeddings(s, dir), "vec_id")
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("label").orderBy("vec_id")))
+          .where(col("rn") === 1)
+          .select(col("label").as("cl"), col("embedding").as("ce"))
     }
+  }
 
   /** e11's transient IVF-ADC retrieval plan, with the probe width
     * injectable so RecallSpec can measure the recall-vs-nprobe curve on
     * one code path (round-13 verdict task 3). The shipped default is
     * [[Similarity.NProbeServe]] — the oracle derives with the SAME
     * constant, so plan and oracle agree at every width. */
+  /** Per-query exact-cosine top-K + egress formatting (shared tail of the
+    * e11/e13 retrieval plans). Input: (qid, vec_id, cos). */
+  private def topKOut(x: DataFrame): DataFrame = {
+    val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    x.withColumn("rk", row_number().over(wr).cast("long"))
+      .where(col("rk") <= Similarity.K)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("rk"), graft.Q.r6(col("cos")).as("cos"))
+      .transform(d => graft.Q.sorted(d, "query_id", "rk"))
+  }
+
+  /** Trained-arm ADC scoring + shortlist over a (vec_id, cl, codes)
+    * frame: probe selection and the per-query LUTs are driver math over
+    * request-sized inputs ([[probeTrained]]/[[lutDriver]]), shipped as ONE
+    * small local relation — so the plan carries literal maps instead of
+    * 256·M-term expression trees. The cluster-equality join prunes each
+    * codes row to its own cluster's probes; the per-list shortlist keeps
+    * the exact re-rank request-sized. Returns (qid, cand_id, bcl). */
+  private def adcShortlistTrained(s: SparkSession, codes: DataFrame,
+      qRows: Seq[(Long, Array[Float])], ccb: Array[(Any, Array[Float])],
+      pcb: Array[(Any, Array[Float])], nprobe: Int, n: Long): DataFrame = {
+    import s.implicits._
+    requireAdcBatch(qRows.size.toLong, pcb.length, nprobe)
+    val luts = qRows.map { case (qid, q) => qid -> lutDriver(q, pcb) }.toMap
+    val qps = probeTrained(qRows, ccb, nprobe)
+      .map { case (qid, ccl) => (qid, ccl, luts(qid)) }
+      .toDF("qid", "ccl", "lut")
+    val a = codes.join(broadcast(qps),
+        col("cl") === col("ccl") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cl").as("bcl"),
+        adcSum(col("codes"), col("lut")).as("adist2_e6"))
+    val wa = Window.partitionBy("qid").orderBy(col("adist2_e6"), col("vec_id"))
+    a.withColumn("ark", row_number().over(wa))
+      .where(col("ark") <= trainedShortlist(n, ccb.length, nprobe))
+      .select(col("qid"), col("vec_id").as("cand_id"), col("bcl"))
+  }
+
+  /** e11's trained arm: corpus-sized codebooks, one codegen'd corpus pass
+    * for (cluster, codes), driver-side probe/LUT, exact re-rank of the
+    * shortlist against the corpus via a broadcast of the request-sized
+    * candidate set. */
+  private def ivfAdcPlanTrained(s: SparkSession, e: DataFrame, n: Long,
+      nprobe: Int): DataFrame = {
+    import s.implicits._
+    val (ccb, pcb, _) = codebooks(e, n)
+    val codes = trainedCodesPass(e, ccb, pcb).localCheckpoint()
+    val qRows = e.where(col("vec_id") < Similarity.NQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    val cand = adcShortlistTrained(s, codes, qRows, ccb, pcb, nprobe, n)
+    val q = qRows.toDF("qid", "qe")
+    val candQ = cand.select(col("qid"), col("cand_id").as("vec_id")).join(q, "qid")
+    topKOut(e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candQ), "vec_id")
+      .select(col("qid"), col("vec_id"),
+        Portable.cosine(col("qe"), col("embedding")).as("cos")))
+  }
+
   private[graft] def ivfAdcPlan(s: SparkSession, dir: String,
       nprobe: Int = Similarity.NProbeServe): DataFrame = {
     import Portable._
     val e = Portable.spread(Tables.embeddings(s, dir), "vec_id")
+    // ONE count job decides the codebook arm (the SemDedup dispatch)
+    val n = e.count()
+    if (useTrainedArm(n)) return ivfAdcPlanTrained(s, e, n, nprobe)
     val cb = codebook(e)
     // coarse assignment unrolled into the SAME projection as the PQ
     // coder (pqPass withAssign: greatest() of the k cosines, first
@@ -656,11 +1050,11 @@ object Embeddings {
   private[graft] def indexServePlan(s: SparkSession, dir: String,
       nprobe: Int = Similarity.NProbeServe): DataFrame = {
     import Portable._
+    val n = corpusN(s, dir)
     val cent = ivfpqCentroids(s, dir)
     val codes = ivfpqCodes(s, dir)
     // index header -> driver (k·d floats), like loading a FAISS index
-    val cb = cent.orderBy("cl").collect()
-      .map(r => (r.get(0), r.getSeq[Float](1).toArray))
+    val cb = collectCb(cent)
     // the query vectors are REQUEST INPUT in this shape — read once
     // outside the plan and shipped as a local relation (5 rows); the
     // serve plan itself never touches the corpus table
@@ -670,6 +1064,24 @@ object Embeddings {
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().toSeq
     val q = qRows.toDF("qid", "qe")
+    if (useTrainedArm(n)) {
+      // trained arm: probe + LUT are driver math over the loaded header
+      // (probeTrained/lutDriver — the oracle's d2 folds verbatim); the
+      // probed-cluster set prunes BOTH bucketed scans (codes and the
+      // IVF-FLAT lists) before any join runs
+      val pcb = collectCb(ivfpqPqcb(s, dir))
+      val probedCls = probeTrained(qRows.sortBy(_._1), cb, nprobe)
+        .map(_._2).distinct
+      val pruned = codes.where(col("cl").isin(probedCls: _*))
+      val cand = adcShortlistTrained(s, pruned, qRows.sortBy(_._1), cb, pcb, nprobe, n)
+      val vecs = ivfflatVecs(s, dir)
+      val candQ = cand.join(q, "qid")
+      return topKOut(vecs.where(col("cl").isin(probedCls: _*))
+        .join(candQ.hint("SHUFFLE_HASH"),
+          col("cl") === col("bcl") && col("vec_id") === col("cand_id"))
+        .select(col("qid"), col("vec_id"),
+          Portable.cosine(col("qe"), col("embedding")).as("cos")))
+    }
     val qprobe = q.crossJoin(broadcast(cent.select(col("cl").as("ccl"), col("ce"))))
       .withColumn("rn", row_number().over(Window.partitionBy("qid")
         .orderBy(Portable.cosine(col("qe"), col("ce")).desc, col("ccl"))))
@@ -1064,6 +1476,7 @@ object Embeddings {
     Q("e14b_range_index", rangeIndexOracleSql) {
       (s, dir) => {
         import s.implicits._
+        val n = corpusN(s, dir)
         val cent = ivfpqCentroids(s, dir)
         val vecs = ivfflatVecs(s, dir)
         // query vectors are REQUEST INPUT (the e13 convention): read once
@@ -1073,11 +1486,18 @@ object Embeddings {
           .select(col("vec_id"), col("embedding"))
           .as[(Long, Array[Float])].collect().toSeq
         val q = qRows.toDF("qid", "qe")
-        val qprobe = q.crossJoin(broadcast(cent.select(col("cl").as("ccl"), col("ce"))))
-          .withColumn("rn", row_number().over(Window.partitionBy("qid")
-            .orderBy(Portable.cosine(col("qe"), col("ce")).desc, col("ccl"))))
-          .where(col("rn") <= Similarity.NProbe)
-          .select(col("qid"), col("ccl"))
+        // probe selection per codebook arm: cosine over the label
+        // representatives, d2 over the trained centroids (driver math —
+        // queries and the index header are both request-sized)
+        val qprobe =
+          if (useTrainedArm(n))
+            probeTrained(qRows.sortBy(_._1), collectCb(cent), Similarity.NProbe)
+              .toDF("qid", "ccl")
+          else q.crossJoin(broadcast(cent.select(col("cl").as("ccl"), col("ce"))))
+            .withColumn("rn", row_number().over(Window.partitionBy("qid")
+              .orderBy(Portable.cosine(col("qe"), col("ce")).desc, col("ccl"))))
+            .where(col("rn") <= Similarity.NProbe)
+            .select(col("qid"), col("ccl"))
         // (qid, probed cluster, query vector): NQueries·NProbe rows
         val qps = qprobe.join(q, "qid")
         // the probed clusters, collected (<= NQueries·NProbe values):

@@ -120,6 +120,40 @@ object AsOf {
         payload.map(attr(rPlan, _)), leftOuter))
   }
 
+  /** Raw derivations of the as-of family's two sides. */
+  private def rawSides(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), Bars.symbolFor(col("user_id")).as("symbol"),
+      col("ts"), col("value"))
+    val b = Bars(s, dir)
+      .select(col("symbol"), col("datetime").as("bar_time"),
+        col("close").as("bar_close"))
+    (ev, b)
+  }
+
+  /** (events, bars) for a8/a20/a20b — SERVED from the a20c bucketed
+    * artifacts when BOTH are already persisted for this corpus (round-15
+    * verdict task 7: a20b paid the 61 s raw scan+exchange+sort at sf100
+    * while a20c answered the same oracle in 37 s from the artifacts that
+    * already existed), falling back to the raw derivation otherwise.
+    * Presence never triggers a build — only a20c pays that, once per
+    * corpus fingerprint. The artifacts are projections of the raw
+    * tables, so either arm answers the identical oracle; the dispatch
+    * precedent is ops/Dashboard.cascade's history-depth arm. */
+  private[graft] def asofSides(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val b = graft.ops.CoPurchase.buckets(s, dir)
+    val fp = graft.sources.Layout.sourceFingerprint(s, s"$dir/events.parquet")
+    val served = for {
+      ev <- graft.sources.Layout.bucketedArtifactIfPresent(s,
+        s"graft_asofev_$fp", "symbol", b, Seq("symbol", "ts"))
+      bars <- graft.sources.Layout.bucketedArtifactIfPresent(s,
+        s"graft_asofbar_$fp", "symbol", b, Seq("symbol", "bar_time"))
+    } yield (ev, bars)
+    served.getOrElse(rawSides(s, dir))
+  }
+
   def queries: Seq[Q] = Seq(
 
     // a8: each event joined to the latest bar at-or-before its ts for
@@ -137,13 +171,7 @@ object AsOf {
          |  ON ev.symbol = b.symbol AND ev.ts >= b.datetime
          |ORDER BY ev.event_id""".stripMargin) {
       (s, dir) => {
-        val ev = Tables.events(s, dir).select(
-          col("event_id"), Bars.symbolFor(col("user_id")).as("symbol"),
-          col("ts"), col("value"))
-        val b = Bars(s, dir)
-          .select(col("symbol"), col("datetime"), col("close"))
-          .withColumnRenamed("datetime", "bar_time")
-          .withColumnRenamed("close", "bar_close")
+        val (ev, b) = asofSides(s, dir)
         Q.norm(
           asofJoin(ev, b, "symbol", "ts", "bar_time",
             payload = Seq("bar_time", "bar_close")),
@@ -167,13 +195,7 @@ object AsOf {
          |  ON ev.symbol = b.symbol AND ev.ts >= b.datetime
          |ORDER BY ev.event_id""".stripMargin) {
       (s, dir) => {
-        val ev = Tables.events(s, dir).select(
-          col("event_id"), Bars.symbolFor(col("user_id")).as("symbol"),
-          col("ts"), col("value"))
-        val b = Bars(s, dir)
-          .select(col("symbol"), col("datetime"), col("close"))
-          .withColumnRenamed("datetime", "bar_time")
-          .withColumnRenamed("close", "bar_close")
+        val (ev, b) = asofSides(s, dir)
         Q.norm(
           asofJoinNative(ev, b, "symbol", "ts", "bar_time",
             payload = Seq("bar_time", "bar_close")),
@@ -199,13 +221,7 @@ object AsOf {
          |  ON ev.symbol = b.symbol AND ev.ts >= b.datetime
          |ORDER BY ev.event_id""".stripMargin) {
       (s, dir) => {
-        val ev = Tables.events(s, dir).select(
-          col("event_id"), Bars.symbolFor(col("user_id")).as("symbol"),
-          col("ts"), col("value"))
-        val b = Bars(s, dir)
-          .select(col("symbol"), col("datetime"), col("close"))
-          .withColumnRenamed("datetime", "bar_time")
-          .withColumnRenamed("close", "bar_close")
+        val (ev, b) = asofSides(s, dir)
         Q.norm(
           asofJoinNative(ev, b, "symbol", "ts", "bar_time",
             payload = Seq("bar_time", "bar_close"), leftOuter = true)
@@ -243,16 +259,19 @@ object AsOf {
          |ORDER BY ev.event_id""".stripMargin) {
       (s, dir) => {
         // Spark reports a bucketed scan's in-file sort as outputOrdering
-        // only under this flag (SPARK-28595 turned it off by default
-        // because multi-file buckets interleave) — and even then ONLY
-        // when every bucket has exactly one file, which
-        // ensureBucketedArtifact's pre-write repartition guarantees and
-        // append paths (multiple files per bucket) automatically fail,
-        // so the flag can never claim an ordering the files don't have.
-        // Without it the exec's (key, ts) requirement plans a
-        // partition-local sort over each scan — the exact disk-resident
-        // sort that made a20b's sf100 row 173 s.
-        s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        // only under spark.sql.legacy.bucketedTableScan.outputOrdering
+        // (SPARK-28595 turned it off by default because multi-file
+        // buckets interleave) — and even then ONLY when every bucket has
+        // exactly one file, which ensureBucketedArtifact's pre-write
+        // repartition guarantees and append paths (multiple files per
+        // bucket) automatically fail, so the flag can never claim an
+        // ordering the files don't have. Without it the exec's (key, ts)
+        // requirement plans a partition-local sort over each scan — the
+        // exact disk-resident sort that made a20b's sf100 row 173 s.
+        // The flag is a SESSION-CONSTRUCTION setting (round-15 advice:
+        // setting it here made later bucketed plans depend on query
+        // order) — every harness session sets it at build time; library
+        // callers who want the sort-free plan must do the same.
         val b = graft.ops.CoPurchase.buckets(s, dir)
         val fp = graft.sources.Layout
           .sourceFingerprint(s, s"$dir/events.parquet")

@@ -146,6 +146,60 @@ object Layout {
     * exchange-free (LayoutSpec pins this for [[writeBucketed]]; the
     * DDL re-register path is pinned by ArtifactSpec).
     */
+  /** The table name an artifact spec resolves to. Identity = base name
+    * (which carries the source fingerprint and any build-logic constants)
+    * + bucket spec + sort spec; the column COUNT disambiguates the sort
+    * tag because "_" may appear inside column names — a joined spelling
+    * alone could collide (("symbol","ts") vs ("symbol_ts")) onto one
+    * table identity (round-15 advice). */
+  def artifactTableName(baseName: String, bucketCol: String, buckets: Int,
+      sortCols: Seq[String] = Nil): String = {
+    val sortSpec = if (sortCols.isEmpty) Seq(bucketCol) else sortCols
+    val sortTag =
+      if (sortSpec == Seq(bucketCol)) ""
+      else s"_s${sortSpec.length}_${sortSpec.mkString("_")}"
+    s"${baseName}_${bucketCol}_b$buckets$sortTag"
+  }
+
+  /** Metadata-only re-register of a prior JVM's bucketed files (bucket
+    * ids live in the file names, so the layout survives the catalog).
+    * False when there are no committed files or no footers to infer
+    * from. */
+  private def registerPrior(spark: SparkSession, table: String,
+      bucketCol: String, buckets: Int, sortSpec: Seq[String]): Boolean = {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")) && (try {
+      val schema = spark.read.parquet(loc.toString).schema
+      spark.sql(
+        s"""CREATE TABLE $table (${schema.toDDL})
+           |USING parquet
+           |CLUSTERED BY ($bucketCol) SORTED BY (${sortSpec.mkString(", ")}) INTO $buckets BUCKETS
+           |LOCATION '${loc.toString}'""".stripMargin)
+      true
+    } catch { case _: Exception => false })
+  }
+
+  /** The persisted artifact IF it already exists (catalog hit, or a prior
+    * JVM's committed files re-registered) — NEVER builds. The
+    * serve-when-available dispatch arm: raw-derivation queries (a8/a20b)
+    * check this and serve from the bucketed layout when some earlier
+    * build paid for it, falling back to their raw plan otherwise. */
+  def bucketedArtifactIfPresent(
+      spark: SparkSession,
+      baseName: String,
+      bucketCol: String,
+      buckets: Int,
+      sortCols: Seq[String] = Nil): Option[DataFrame] = Layout.synchronized {
+    val sortSpec = if (sortCols.isEmpty) Seq(bucketCol) else sortCols
+    val table = artifactTableName(baseName, bucketCol, buckets, sortCols)
+    if (spark.catalog.tableExists(table) ||
+        registerPrior(spark, table, bucketCol, buckets, sortSpec))
+      Some(spark.table(table))
+    else None
+  }
+
   def ensureBucketedArtifact(
       spark: SparkSession,
       baseName: String,
@@ -153,7 +207,7 @@ object Layout {
       buckets: Int,
       sortCols: Seq[String] = Nil)(build: => DataFrame): DataFrame = Layout.synchronized {
     // the bucket SPEC is part of the artifact's identity, same as the
-    // source fingerprint the caller embeds in baseName: path 2 below
+    // source fingerprint the caller embeds in baseName: registerPrior
     // re-registers bare files with the CURRENT (bucketCol, buckets) DDL,
     // so files written under a different spec must never answer for it —
     // a 32-bucket layout re-declared as 64 buckets would silently pair
@@ -169,27 +223,11 @@ object Layout {
     // sort over the scan. The sort spec is part of the identity too:
     // differently-sorted layouts must never answer for each other.
     val sortSpec = if (sortCols.isEmpty) Seq(bucketCol) else sortCols
-    val sortTag =
-      if (sortSpec == Seq(bucketCol)) "" else s"_s${sortSpec.mkString("_")}"
-    val table = s"${baseName}_${bucketCol}_b$buckets$sortTag"
+    val table = artifactTableName(baseName, bucketCol, buckets, sortCols)
     if (!spark.catalog.tableExists(table)) {
       val warehouse = spark.conf.get("spark.sql.warehouse.dir")
       val loc = new org.apache.hadoop.fs.Path(warehouse, table)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val prior = fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
-      val registered = prior && (try {
-        // metadata-only re-register of a prior JVM's files; an empty
-        // artifact (only _SUCCESS) has no footers to infer from — fall
-        // through to a rebuild, which re-registers the schema via the
-        // catalog write path
-        val schema = spark.read.parquet(loc.toString).schema
-        spark.sql(
-          s"""CREATE TABLE $table (${schema.toDDL})
-             |USING parquet
-             |CLUSTERED BY ($bucketCol) SORTED BY (${sortSpec.mkString(", ")}) INTO $buckets BUCKETS
-             |LOCATION '${loc.toString}'""".stripMargin)
-        true
-      } catch { case _: Exception => false })
+      val registered = registerPrior(spark, table, bucketCol, buckets, sortSpec)
       if (!registered) {
         // one repartition on the bucket key before the write: bucketBy
         // alone writes one file per (input task x non-empty bucket) —

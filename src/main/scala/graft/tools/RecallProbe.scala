@@ -19,6 +19,13 @@ object RecallProbe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed-scan ordering is a SESSION-CONSTRUCTION setting (round-15
+      // advice): a20c's exchange-free as-of plan needs it, and setting it
+      // inside one query builder made every LATER bucketed query's plan
+      // depend on whether a20c ran first. One file per bucket is still
+      // required for Spark to claim the order, so it can never assert an
+      // ordering the files don't have.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -29,6 +36,7 @@ object RecallProbe {
 
     val brute = pairs(graft.SparkEntry.queries("e2_knn_brute")(spark, dir))
     require(brute.nonEmpty)
+    var floorFail = false
     Seq(2, 4, 6).foreach { np =>
       val t0 = System.nanoTime()
       val got = pairs(graft.ext.Embeddings.ivfAdcPlan(spark, dir, np))
@@ -36,8 +44,18 @@ object RecallProbe {
       val recall = (got & brute).size.toDouble / brute.size
       println(f"[recall] $dir nprobe=$np recall@k=${recall}%.3f " +
         f"(${(got & brute).size}/${brute.size}) plan_sec=$dt%.1f")
+      // large-corpus floor (round-15: corpus-sized codebooks measured
+      // 1.000/1.000/1.000 at data/sf10 — k = sqrt(n)/CoarseKDiv coarse
+      // probe captured 15/15 true neighbors at every width, and the
+      // probed-mass-proportional re-rank window keeps them; the floor is
+      // the serve-dial promise at the shipped default, pinned here at
+      // the 100x scale RecallSpec's gate corpus can't reach)
+      if (np >= graft.ext.Similarity.NProbeServe && recall < 0.85) floorFail = true
       spark.catalog.clearCache()
     }
     spark.stop()
+    if (floorFail)
+      sys.error(s"recall floor violated at $dir: < 0.85 at nprobe >= " +
+        s"${graft.ext.Similarity.NProbeServe} (see [recall] lines above)")
   }
 }

@@ -14,6 +14,13 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       // mirror Verify's egress representation (see Verify.scala)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // bucketed-scan ordering is a SESSION-CONSTRUCTION setting (round-15
+      // advice): a20c's exchange-free as-of plan needs it, and setting it
+      // inside one query builder made every LATER bucketed query's plan
+      // depend on whether a20c ran first. One file per bucket is still
+      // required for Spark to claim the order, so it can never assert an
+      // ordering the files don't have.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .appName("graft-test")
       .getOrCreate()

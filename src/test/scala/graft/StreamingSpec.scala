@@ -977,6 +977,22 @@ class StreamingSpec extends SparkTestBase {
       // on a shared box does not
       assert(pct(0.5) <= 10000, s"steady-state p50 collapsed: ${pct(0.5)} ms")
       assert(pct(0.99) <= 30000, s"steady-state p99 collapsed: ${pct(0.99)} ms")
+      // tail-shape guard (round-15 task 5, attributed via
+      // tools/SteadyProbe): the measured p99/p50 = 7.7× tail is ENTIRELY
+      // batch 0 — RocksDB instance creation + the first memtable flush
+      // (5.9 s vs 0.7 s steady; gc ≤ 0.1 s, compaction 0 in all 50
+      // batches). Past batch 0 the only recurring bump is the
+      // every-~10th-batch memtable flush + snapshot checkpoint
+      // (changelog cadence, +0.3–0.9 s on a 0.7 s batch). So excluding
+      // warmup, the tail must stay within a small multiple of the
+      // median: a genuine compaction stall or state-reload-per-batch
+      // regression lands 10×+ and trips this.
+      val postWarm = batchMs.drop(1).sorted
+      def ppct(p: Double) = postWarm(math.min(postWarm.length - 1,
+        (p * postWarm.length).toInt))
+      assert(ppct(0.99) <= math.max(ppct(0.5) * 6, 2000L),
+        s"post-warmup tail regressed: p50=${ppct(0.5)} ms p99=${ppct(0.99)} ms " +
+          s"(batch 0 = ${batchMs.head} ms is excluded warmup; see SteadyProbe)")
       val early = batchMs.slice(5, 15).sorted.apply(5)
       val late = batchMs.takeRight(10).sorted.apply(5)
       assert(late <= math.max(early, 200L) * 10,
