@@ -468,13 +468,21 @@ object Dedup {
     // the exact verification against the FULL shingle sets — so the
     // REPORTED jaccard is exact, and the cap costs recall only (a pair
     // whose similarity rests on hot shingles can miss the gate;
-    // documented tradeoff of every production df cap).
+    // documented tradeoff of every production df cap). The CAP is
+    // size-dispatched (round 15): this corpus's df is bell-shaped (max
+    // 25), so the 50 skew guard never binds and d6 carried the full
+    // Σdf² candidate mass that overran the sf100 scratch — past
+    // PairGateMinDocs the cap drops to DfCapLarge, cutting the mass
+    // 6.1× (measured at data/sf10: 45.7M vs 279M) at the documented
+    // recall cost; the oracle dispatches on the same constants.
     Q("d6_jaccard_dfcap",
       s"""WITH $shingledCte,
+         |ndoc AS (SELECT count(*) AS n FROM documents),
          |e AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
          |ek AS (SELECT doc_id, g FROM (
          |         SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM e)
-         |       WHERE df <= $DfCap),
+         |       WHERE df <= (SELECT CASE WHEN n > $PairGateMinDocs
+         |                    THEN $DfCapLarge ELSE $DfCap END FROM ndoc)),
          |nk AS (SELECT doc_id, count(*) AS nks FROM ek GROUP BY 1),
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
          |      FROM ek a JOIN ek b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -492,6 +500,7 @@ object Dedup {
          |FROM verified WHERE jaccard >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin) {
       (s, dir) => {
+        val cap = if (nDocsOf(s, dir) > PairGateMinDocs) DfCapLarge else DfCap
         val sh = shingled(s, dir).cache() // index AND both verify sides
         val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
         // df as a WINDOW count over g, not a groupBy+join: one shuffle on
@@ -501,7 +510,7 @@ object Dedup {
         val ek = e
           .withColumn("df", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy("g")))
-          .where(col("df") <= DfCap)
+          .where(col("df") <= cap)
           .select(col("doc_id"), col("g"))
         val nk = ek.groupBy("doc_id").agg(count(lit(1)).as("nks"))
         val p = ek.as("a").join(ek.as("b").hint("shuffle_hash"),
@@ -528,6 +537,14 @@ object Dedup {
 
   /** Hot-shingle document-frequency cap for the d6 inverted index. */
   val DfCap = 50
+
+  /** d6's cap past [[PairGateMinDocs]]: with this corpus's bell-shaped
+    * df (max 25) the skew-guard 50 never binds, so at scale the cap must
+    * bind on the BULK to bound the candidate mass — df ≤ 8 keeps ~26% of
+    * postings and cuts Σdf² 6.1× (measured at data/sf10). Harder capping
+    * costs gate recall (capped-set jaccard is noisier), the documented
+    * d6 trade; d4's winnow tier is the recall-preserving route. */
+  val DfCapLarge = 8
 
   /** Max label-propagation rounds for d7. With the pointer-jumping step
     * each round at least halves the remaining label depth, so 15 rounds

@@ -98,9 +98,14 @@ object WarehouseGc {
     list(warehouse.getPath).filter(_.getName.startsWith("graft_")).sortBy(_.getName)
       .foreach { d =>
         val name = d.getName
-        val hasCurrentFp = hexToken.findAllIn(name).exists(fps)
+        val tokens = hexToken.findAllIn(name).toSeq
+        val hasCurrentFp = tokens.exists(fps)
         val versioned = VersionedPrefixes.exists(name.startsWith)
-        val keep = hasCurrentFp && (!versioned || expected(name))
+        // fingerprint-LESS tables (e.g. the classifier weight file) are
+        // not orphans — the orphan rule fires only on a name that
+        // carries a fingerprint matching no current corpus
+        val keep = (tokens.isEmpty || hasCurrentFp) &&
+          (!versioned || expected(name))
         val bytes = du(d)
         if (keep) { keptB += bytes }
         else {
