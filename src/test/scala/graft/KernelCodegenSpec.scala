@@ -155,4 +155,41 @@ class KernelCodegenSpec extends SparkTestBase {
       }
     }
   }
+
+  test("NearestCodewords: codegen ≡ interpreted ≡ reference folds, first-min tie-break") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val dims = 16
+    val cb = Array.fill(6)(Array.fill(dims)(rnd.nextFloat() * 2 - 1))
+    // duplicate codeword 2 as codeword 5: any vector nearest to it must
+    // report index 2 (first minimum), the oracle's (d2, cl) tie-break
+    cb(5) = cb(2).clone()
+    val vecs = Seq.fill(50)(Array.fill(dims)(rnd.nextFloat() * 2 - 1)) :+
+      cb(2).clone() // exact tie on the duplicated codeword
+    def ref(v: Array[Float], subspaces: Int): Seq[Int] = {
+      val sub = dims / subspaces
+      (0 until subspaces).map { m =>
+        val from = m * sub
+        def fold(a: Array[Float], b: Array[Float]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < sub) { acc += a(from + i).toDouble * b(from + i).toDouble; i += 1 }
+          acc
+        }
+        val vv = fold(v, v)
+        cb.zipWithIndex.map { case (c, j) =>
+          ((vv - 2.0 * fold(v, c)) + fold(c, c), j)
+        }.reduceLeft((a, b) => if (b._1 < a._1) b else a)._2
+      }
+    }
+    Seq(1, 4).foreach { m =>
+      val got = withCodegenOnly {
+        vecs.toDF("v")
+          .select(ArrayOps.nearestCodewords(col("v"), cb, m).as("idx"))
+          .collect().map(_.getSeq[Int](0).toSeq).toSeq
+      }
+      val interp = vecs.map(ref(_, m))
+      assert(got == interp, s"NearestCodewords m=$m diverged from reference folds")
+    }
+  }
 }
