@@ -103,23 +103,20 @@ object Dedup {
 
   /** Winnowed fingerprints (doc_id, sel) at window [[PairWinnowW]] — the
     * x_winnow selection (positional 3-gram hashes, per-window minima,
-    * distinct), docs with an empty selection dropped. */
-  private def winnowSel(s: SparkSession, dir: String): DataFrame = {
-    val emptyL = typedLit(Seq.empty[Long])
-    val toks = tokens(col("text"))
-    val hs = when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3),
-        i => hash32(array_join(slice(toks, i + 1, lit(3)), " "))))
-      .otherwise(emptyL)
-    val sel = when(size(col("hs")) >= PairWinnowW,
-      array_distinct(transform(sequence(lit(0), size(col("hs")) - PairWinnowW),
-        j => array_min(slice(col("hs"), j + 1, lit(PairWinnowW))))))
-      .otherwise(emptyL)
+    * distinct), docs with an empty selection dropped. The selection is
+    * the [[graft.functions.WinnowSelK]] KERNEL, and the emptiness filter
+    * is the cheap equivalent precondition size(tokens) ≥ w+2 applied
+    * BEFORE the projection (sel is empty iff n_grams = size−2 < w): the
+    * first cut filtered on size(sel) > 0 AFTER an HOF projection, which
+    * inlined the whole interpreted sha-per-gram tree into the filter
+    * predicate and computed it twice per row — stack-sampled at ~40 min
+    * per corpus pass in the killed sf100 full run. */
+  private def winnowSel(s: SparkSession, dir: String): DataFrame =
     spread(Tables.documents(s, dir), "doc_id")
-      .select(col("doc_id"), hs.as("hs"))
-      .select(col("doc_id"), sel.as("sel"))
-      .where(size(col("sel")) > 0)
-  }
+      .where(size(tokens(col("text"))) >= PairWinnowW + 2)
+      .select(col("doc_id"),
+        graft.functions.ArrayOps.winnowSel(tokens(col("text")), PairWinnowW)
+          .as("sel"))
 
   /** Large-arm gated candidates: winnowed-fingerprint self-join, gated on
     * winnowed-set similarity. `directed = false` emits doc_a < doc_b

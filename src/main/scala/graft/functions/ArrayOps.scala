@@ -317,12 +317,93 @@ case class NearestCodewords(child: Expression, codebook: Array[Array[Float]],
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint selection (Schleimer et al. / MOSS) over a token
+  * array: positional 3-gram hashes — sha256 of the space-joined gram,
+  * first 8 hex chars as a long, byte-identical to
+  * [[graft.ext.Portable.hash32]] of the same gram string — then per-
+  * `w`-window minima, first-occurrence distinct. Consumers are order-
+  * insensitive (explode → join, size), matching the oracle's
+  * `list_distinct` set semantics.
+  *
+  * Exists because the HOF form (nested `transform` with a sha2 lambda)
+  * evaluates interpreted AND gets inlined into filter predicates —
+  * measured at data/sf100 it turned every winnow-tier dedup query into a
+  * ~40-minute corpus pass (round-15 full-run kill, stack-sampled); this
+  * kernel digests each gram exactly once in a tight loop. One digest per
+  * gram is the cost floor — the digest instance is reused across the
+  * row's grams.
+  */
+case class WinnowSelK(child: Expression, w: Int) extends UnaryExpression {
+
+  require(w >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_sel"
+
+  /** Shared by interpreted eval and the generated code (called through a
+    * referenced object — keeps the surrounding WholeStageCodegen span
+    * intact with one virtual call per row). */
+  def compute(toks: ArrayData): Array[Long] = {
+    val n = toks.numElements()
+    val nGrams = n - 2
+    if (n < 3 || nGrams < w) return Array.emptyLongArray
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hs = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      md.reset()
+      md.update(toks.getUTF8String(i).getBytes)
+      md.update(' '.toByte)
+      md.update(toks.getUTF8String(i + 1).getBytes)
+      md.update(' '.toByte)
+      md.update(toks.getUTF8String(i + 2).getBytes)
+      val d = md.digest()
+      // first 8 hex chars of the sha256 = first 4 bytes, big-endian
+      // unsigned — exactly conv(substring(sha2(s, 256), 1, 8), 16, 10)
+      hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val nWin = nGrams - w + 1
+    var j = 0
+    while (j < nWin) {
+      var m = hs(j)
+      var k = 1
+      while (k < w) { val v = hs(j + k); if (v < m) m = v; k += 1 }
+      seen.add(m)
+      j += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val self = ctx.addReferenceObj("winnowSel", this,
+        classOf[WinnowSelK].getName)
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $self.compute($t));""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelK =
+    copy(child = newChild)
+}
+
 object ArrayOps {
   def shingles3(toks: Column): Column =
     Interop.column(Shingles3K(Interop.expression(toks)))
   def nearestCodewords(vec: Column, codebook: Array[Array[Float]],
       subspaces: Int): Column =
     Interop.column(NearestCodewords(Interop.expression(vec), codebook, subspaces))
+  def winnowSel(toks: Column, w: Int): Column =
+    Interop.column(WinnowSelK(Interop.expression(toks), w))
   def polyHash(c: Column): Column =
     Interop.column(PolyHash(Interop.expression(c)))
   def dotF(a: Column, b: Column): Column =

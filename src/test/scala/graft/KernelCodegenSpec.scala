@@ -192,4 +192,45 @@ class KernelCodegenSpec extends SparkTestBase {
       assert(got == interp, s"NearestCodewords m=$m diverged from reference folds")
     }
   }
+
+  test("WinnowSelK ≡ the HOF winnow expression (sha-per-gram, window minima, distinct)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val docs = Seq.tabulate(40)(i =>
+      Seq.fill(3 + rnd.nextInt(40))(words(rnd.nextInt(words.size))).mkString(" ")) ++
+      Seq("a b", "one two three", "") // short-doc edges (empty selections)
+    val w = 9
+    val df = docs.toDF("text")
+    val toks = split(col("text"), " ")
+    val emptyL = typedLit(Seq.empty[Long])
+    val hs = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => Portable.hash32(array_join(slice(toks, i + 1, lit(3)), " "))))
+      .otherwise(emptyL)
+    val hofSel = when(size(col("hs")) >= w,
+      array_distinct(transform(sequence(lit(0), size(col("hs")) - w),
+        j => array_min(slice(col("hs"), j + 1, lit(w))))))
+      .otherwise(emptyL)
+    val hof = df.select(col("text"), hs.as("hs"))
+      .select(col("text"), hofSel.as("sel"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    val kern = withCodegenOnly {
+      df.select(col("text"),
+          ArrayOps.winnowSel(split(col("text"), " "), w).as("sel"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    }
+    // set equality (consumers are order-insensitive; the oracle's
+    // list_distinct order is unspecified too)
+    docs.distinct.foreach { d =>
+      assert(kern(d) == hof(d), s"winnow diverged for '$d'")
+    }
+    // the pre-filter equivalence the plan relies on: sel empty iff
+    // size(toks) < w + 2
+    docs.distinct.foreach { d =>
+      val nToks = if (d.isEmpty) 1 else d.split(" ", -1).length
+      assert(kern(d).isEmpty == (nToks < w + 2), s"emptiness precondition for '$d'")
+    }
+  }
 }
