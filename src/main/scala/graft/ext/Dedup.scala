@@ -472,17 +472,30 @@ object Dedup {
     // PairGateMinDocs the cap drops to DfCapLarge, cutting the mass
     // 6.1× (measured at data/sf10: 45.7M vs 279M) at the documented
     // recall cost; the oracle dispatches on the same constants.
+    //
+    // Postings are HASHED ([[Portable.hash32]]) and df comes from a
+    // hash AGGREGATE, not a window: the window formulation sorted the
+    // full 260M-posting index (strings) before the cap could drop
+    // anything and its sort spill alone overran the sf100 scratch even
+    // solo with 36 GB free (round-15 retry). Hashed 16-byte rows + a
+    // sort-free groupBy/semi-join — both hashpartitioned on h, so the
+    // exchange is still reused across the self-join legs — cut the
+    // disk footprint ~5×. Both engines hash identically, so any
+    // 32-bit collision (expected O(100) at 2.7M distinct shingles)
+    // affects the GATE identically on both sides; the emitted jaccard
+    // is still the exact full-shingle verification.
     Q("d6_jaccard_dfcap",
       s"""WITH $shingledCte,
          |ndoc AS (SELECT count(*) AS n FROM documents),
-         |e AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
-         |ek AS (SELECT doc_id, g FROM (
-         |         SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM e)
-         |       WHERE df <= (SELECT CASE WHEN n > $PairGateMinDocs
-         |                    THEN $DfCapLarge ELSE $DfCap END FROM ndoc)),
+         |eh AS (SELECT doc_id, ${sqlHash32("g")} AS h FROM (
+         |         SELECT doc_id, unnest(sh) AS g FROM shingled)),
+         |dfk AS (SELECT h FROM (SELECT h, count(*) AS df FROM eh GROUP BY h)
+         |        WHERE df <= (SELECT CASE WHEN n > $PairGateMinDocs
+         |                     THEN $DfCapLarge ELSE $DfCap END FROM ndoc)),
+         |ek AS (SELECT doc_id, h FROM eh JOIN dfk USING (h)),
          |nk AS (SELECT doc_id, count(*) AS nks FROM ek GROUP BY 1),
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |      FROM ek a JOIN ek b ON a.g = b.g AND a.doc_id < b.doc_id
+         |      FROM ek a JOIN ek b ON a.h = b.h AND a.doc_id < b.doc_id
          |      GROUP BY 1, 2),
          |gated AS (SELECT doc_a, doc_b
          |      FROM p JOIN nk na ON na.doc_id = p.doc_a
@@ -499,19 +512,15 @@ object Dedup {
       (s, dir) => {
         val cap = if (nDocsOf(s, dir) > PairGateMinDocs) DfCapLarge else DfCap
         val sh = shingled(s, dir).cache() // index AND both verify sides
-        val e = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-        // df as a WINDOW count over g, not a groupBy+join: one shuffle on
-        // g produces postings WITH their df, already hash-partitioned on
-        // the self-join key — the twin join subtrees then collapse into a
-        // ReusedExchange instead of paying a df-lookup join per side
-        val ek = e
-          .withColumn("df", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("g")))
-          .where(col("df") <= cap)
-          .select(col("doc_id"), col("g"))
+        val eh = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+          .select(col("doc_id"), hash32(col("g")).as("h"))
+        val dfk = eh.groupBy("h").agg(count(lit(1)).as("df"))
+          .where(col("df") <= cap).select(col("h"))
+        val ek = eh.join(dfk.hint("shuffle_hash"), "h")
+          .select(col("doc_id"), col("h"))
         val nk = ek.groupBy("doc_id").agg(count(lit(1)).as("nks"))
         val p = ek.as("a").join(ek.as("b").hint("shuffle_hash"),
-            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("inter"))
         val gated = p.join(nk.as("na"), col("doc_a") === col("na.doc_id"))
