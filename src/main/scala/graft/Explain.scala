@@ -51,6 +51,32 @@ object Explain {
     // round 14
     "a20c_asof_bucketed", "j8b_tpch_q17_bucketed")
 
+  /** Queries whose semantics become APPROXIMATE past a size tier (the
+    * round-15 advice: the oracle dispatches on the same constants, so
+    * the in-band gate can't flag it — the docs must). Measured recall
+    * numbers live in SCALING.md and `tools/PairRecallProbe`. */
+  val approximate: Map[String, String] = {
+    val winnow = "past PairGateMinDocs (100k docs) the pair list is " +
+      "winnow-fingerprint-gated (MOSS) with exact full-shingle verify — " +
+      "measured 97.3% pair recall at data/sf10 (PairRecallProbe floor 0.95)"
+    Map(
+      "d4_ngram_jaccard" -> winnow,
+      "d6_jaccard_dfcap" -> ("past PairGateMinDocs the inverted-index df " +
+        "cap drops 50 → DfCapLarge=8 (gate-recall trade measured by " +
+        "PairRecallProbe; exact verify unchanged)"),
+      "d12_containment" -> winnow,
+      "x_keep_pipeline" -> winnow,
+      "x_curation_pipeline" -> winnow,
+      "e11_ivf_adc" -> ("past PqArmMaxRows (20k vectors) retrieval is " +
+        "IVF-ADC with Lloyd-trained coarse codebook — recall@3 = 1.000 " +
+        "at data/sf10, RecallProbe floor 0.85"),
+      "e13_index_serve" -> ("served from the persisted IVF-PQ index " +
+        "(same trained-arm geometry as e11; RecallProbe floor 0.85)"),
+      "x_semdedup" -> ("past PqArmMaxRows clusters come from the " +
+        "sqrt(n)-codeword codebook (oracle dispatches on the same " +
+        "constant; cell-exact at data/sf10)"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -75,29 +101,78 @@ object Explain {
     val sb = new StringBuilder
     sb.append("# EXPLAIN — physical plan audit\n\n")
     sb.append(s"Generated by `graft.Explain` over `$sfDir`. Shuffle count is\n")
-    sb.append("`Exchange` operators in the final plan (AQE may coalesce at runtime).\n\n")
+    sb.append("`Exchange` operators in the final plan (AQE may coalesce at runtime).\n")
+    sb.append("Queries that materialize an intermediate (localCheckpoint /\n")
+    sb.append("driver-side stats collect) truncate the final plan's lineage, so\n")
+    sb.append("their build-time executions are audited as `[staged N]` sub-rows —\n")
+    sb.append("captured via QueryExecutionListener while the query was constructed\n")
+    sb.append("(round-16: the d12 row used to read `0 scans` because the audit\n")
+    sb.append("could only see the post-checkpoint plan).\n\n")
 
     val audit = new StringBuilder
     audit.append("| query | exchanges | sorts | wscg spans | scans |\n")
     audit.append("|---|---|---|---|---|\n")
+
+    // build-time executions (eager localCheckpoint, driver-side stats
+    // collects) fire QueryExecutionListener events; collect them so the
+    // audit can show the REAL scan/shuffle shape of staged queries
+    val stagedPlans =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        (String, org.apache.spark.sql.execution.QueryExecution)]
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = stagedPlans.add((funcName, qe))
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
 
     headline.foreach { name =>
       // an earlier query's cache() would substitute InMemoryRelation into
       // any later plan that equals the cached subtree — audit the real
       // scan pipelines, not cache hits
       spark.catalog.clearCache()
+      stagedPlans.clear()
       val df = SparkEntry.queries(name)(spark, sfDir)
-      val plan = df.queryExecution.executedPlan
-      val s = plan.toString
+      // listener delivery is async on the shared bus; build-time jobs
+      // themselves ran synchronously inside the builder, so a short
+      // settle is enough for their events to drain
+      Thread.sleep(300)
       val formatted = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+
+      def row(label: String, s: String, txt: String): Unit = {
+        val nEx = "Exchange".r.findAllIn(s).length
+        val nSort = raw"\bSort\b".r.findAllIn(s).length
+        // codegen'd operators carry a "* " prefix in formatted explain
+        val nWscg = raw"\*\s[A-Z]".r.findAllIn(txt).length
+        val nScan = raw"Scan parquet".r.findAllIn(s).length
+        audit.append(s"| $label | $nEx | $nSort | $nWscg | $nScan |\n")
+      }
+
+      val staged = {
+        val it = stagedPlans.iterator(); val b = Seq.newBuilder[
+          (String, org.apache.spark.sql.execution.QueryExecution)]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      staged.zipWithIndex.foreach { case ((fn, qe), i) =>
+        row(s"$name [staged ${i + 1}: $fn]", qe.executedPlan.toString,
+          qe.explainString(formatted))
+      }
+      row(name, df.queryExecution.executedPlan.toString,
+        df.queryExecution.explainString(formatted))
+
       val txt = df.queryExecution.explainString(formatted)
-      val nEx = "Exchange".r.findAllIn(s).length
-      val nSort = raw"\bSort\b".r.findAllIn(s).length
-      // codegen'd operators carry a "* " prefix in formatted explain
-      val nWscg = raw"\*\s[A-Z]".r.findAllIn(txt).length
-      val nScan = raw"Scan parquet".r.findAllIn(s).length
-      audit.append(s"| $name | $nEx | $nSort | $nWscg | $nScan |\n")
-      sb.append(s"## $name\n\n```\n$txt```\n\n")
+      val note = approximate.get(name)
+        .map(n => s"> **approximate past tier threshold:** $n\n\n").getOrElse("")
+      val stagedNote =
+        if (staged.isEmpty) ""
+        else s"> staged: ${staged.size} build-time execution(s) audited as " +
+          "sub-rows above (the final plan below starts from the " +
+          "materialized intermediate).\n\n"
+      sb.append(s"## $name\n\n$note$stagedNote```\n$txt```\n\n")
     }
 
     Files.writeString(Paths.get("EXPLAIN.md"),

@@ -98,13 +98,13 @@ object Classifier {
     * closes the exists→delete→rename TOCTOU the bare re-check protocol
     * left open. Round-15 advice hardening:
     *
-    *   - OWNERSHIP IS VERIFIED, not assumed: on the local FS,
-    *     `create(path, overwrite = false)` is exists-then-create (NOT
-    *     atomic O_EXCL — two racers can both "succeed"), so each
-    *     acquirer writes a UUID and reads it back after a short settle;
-    *     exactly the one whose UUID survives holds the lock. (On HDFS
-    *     create-exclusive is atomic and the read-back is a no-op check;
-    *     on an object store use conditional put instead.)
+    *   - ACQUISITION IS ATOMIC where the FS allows it: on the local FS
+    *     the lock is taken with NIO `CREATE_NEW` (O_CREAT|O_EXCL — the
+    *     kernel picks exactly one winner; Hadoop's
+    *     `create(path, overwrite = false)` is exists-then-create and a
+    *     settle+read-back is only a heuristic). On HDFS
+    *     create-exclusive is atomic and a read-to-EOF UUID check is
+    *     belt-and-braces; on an object store use conditional put.
     *   - STALE locks are broken by RENAME to a unique name — rename is
     *     atomic on both local FS and HDFS, so of several processes that
     *     observe the same >[[PublishLockStaleMs]] lock, exactly one wins
@@ -130,17 +130,36 @@ object Classifier {
       if (fs.exists(success)) { fs.delete(tmp, true); return } // theirs is committed
       val acquired =
         try {
-          val out = fs.create(lock, false)
-          out.write(self.getBytes("UTF-8")); out.close()
-          // settle + read-back: if a racer also passed the non-atomic
-          // exists-check, last-writer-wins decides ONE owner
-          Thread.sleep(50)
-          val in = fs.open(lock)
-          val buf = new Array[Byte](64)
-          val nread = in.read(buf)
-          in.close()
-          new String(buf, 0, math.max(nread, 0), "UTF-8") == self
-        } catch { case _: java.io.IOException => false }
+          if (fs.getScheme == "file") {
+            // local FS: O_CREAT|O_EXCL via NIO is true mutual exclusion
+            // (Hadoop's create(path, false) is exists-then-create, and
+            // the old 50 ms settle+read-back was a heuristic — a racer
+            // landing after the owner's read-back let BOTH believe they
+            // owned it). Content is the UUID, kept for observability.
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(lock.toUri.getPath),
+              self.getBytes("UTF-8"),
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            true
+          } else {
+            // HDFS: create-exclusive is atomic; the read-back is a
+            // belt-and-braces check. Read to EOF — a partial first
+            // read() must not make the true owner falsely lose.
+            val out = fs.create(lock, false)
+            out.write(self.getBytes("UTF-8")); out.close()
+            val in = fs.open(lock)
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](64)
+            var nread = in.read(buf)
+            while (nread > 0) { bos.write(buf, 0, nread); nread = in.read(buf) }
+            in.close()
+            bos.toString("UTF-8") == self
+          }
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException => false
+        }
       if (acquired) {
         try {
           // under the lock: sweep crashed-writer debris (dir without

@@ -162,7 +162,7 @@ object Dedup {
 
   /** Large-arm exact near-dup pairs: winnow-gated candidates verified
     * with exact full-shingle jaccard (emitted score is exact). */
-  private def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def winnowPairs(s: SparkSession, dir: String): DataFrame = {
     val gated = winnowGated(s, dir, directed = false)
     val shg = shinglesFor(s, dir, gated)
     val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
@@ -180,7 +180,7 @@ object Dedup {
     * corpus-sized shingle cache — the artifact-build hygiene; the query
     * surface passes false so the returned plan IS the pinned join shape
     * (PlanShapeSpec) and the harness clears the cache per query. */
-  private def countingPairs(s: SparkSession, dir: String,
+  private[graft] def countingPairs(s: SparkSession, dir: String,
       materialize: Boolean): DataFrame = {
     // cached: the tokenize+shingle projection (interpreted kernel, the
     // most expensive per-row step) feeds the index explode AND the two
@@ -511,6 +511,19 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin) {
       (s, dir) => {
         val cap = if (nDocsOf(s, dir) > PairGateMinDocs) DfCapLarge else DfCap
+        d6PairsAtCap(s, dir, cap)
+      }
+    })
+
+  /** d6's capped-index gate + exact verify at an EXPLICIT cap — one
+    * implementation shared by the d6 query body (cap dispatched on
+    * [[PairGateMinDocs]]) and [[graft.tools.PairRecallProbe]], which
+    * re-runs it at both caps to measure what the harder
+    * [[DfCapLarge]] gate costs in pair recall (the oracle dispatches on
+    * the same constants, so in-band correctness can't see that number).
+    */
+  private[graft] def d6PairsAtCap(s: SparkSession, dir: String,
+      cap: Int): DataFrame = {
         val sh = shingled(s, dir).cache() // index AND both verify sides
         val eh = sh.select(col("doc_id"), explode(col("sh")).as("g"))
           .select(col("doc_id"), hash32(col("g")).as("h"))
@@ -538,8 +551,7 @@ object Dedup {
         verified.where(col("jaccard") >= JaccardThreshold)
           .select(col("doc_a"), col("doc_b"), graft.Q.r6(col("jaccard")).as("jaccard"))
           .transform(d => graft.Q.sorted(d, "doc_a", "doc_b"))
-      }
-    })
+  }
 
   /** Hot-shingle document-frequency cap for the d6 inverted index. */
   val DfCap = 50

@@ -951,7 +951,7 @@ object Embeddings {
         adcSum(col("codes"), col("lut")).as("adist2_e6"))
     val wa = Window.partitionBy("qid").orderBy(col("adist2_e6"), col("vec_id"))
     a.withColumn("ark", row_number().over(wa))
-      .where(col("ark") <= trainedShortlist(n, ccb.length, nprobe))
+      .where(col("ark") <= trainedShortlist(n, coarseK(n), nprobe))
       .select(col("qid"), col("vec_id").as("cand_id"), col("bcl"))
   }
 

@@ -281,6 +281,8 @@ case class NearestCodewords(child: Expression, codebook: Array[Array[Float]],
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
       s"""
          |int[] $out = new int[$subspaces];
          |int ${from};
@@ -288,8 +290,8 @@ case class NearestCodewords(child: Expression, codebook: Array[Array[Float]],
          |  $from = $m * $subDim;
          |  double $vv = 0.0;
          |  for (int $i = 0; $i < $subDim; $i++) {
-         |    double x = (double) $v.getFloat($from + $i);
-         |    $vv += x * x;
+         |    double $xv = (double) $v.getFloat($from + $i);
+         |    $vv += $xv * $xv;
          |  }
          |  double $best = Double.POSITIVE_INFINITY;
          |  int $bestJ = 0;
@@ -301,8 +303,8 @@ case class NearestCodewords(child: Expression, codebook: Array[Array[Float]],
          |    }
          |    double $cc = 0.0;
          |    for (int $i = 0; $i < $subDim; $i++) {
-         |      double y = (double) $c[$from + $i];
-         |      $cc += y * y;
+         |      double $yv = (double) $c[$from + $i];
+         |      $cc += $yv * $yv;
          |    }
          |    double $d2 = ($vv - 2.0 * $vc) + $cc;
          |    if ($d2 < $best) { $best = $d2; $bestJ = $j; }

@@ -120,12 +120,26 @@ object WarehouseGc {
       (if (apply) "" else " (dry run — pass --apply)"))
 
     if (scratch) {
+      // ANY live Spark-capable JVM counts — an sbt test session or a
+      // stray spark-submit also owns /tmp shuffle dirs; keying on graft
+      // entrypoint names alone would sweep theirs mid-run. Our own
+      // process tree (this JVM + the sbt that forked it) is exempt.
+      val selfTree = {
+        var cur = ProcessHandle.current()
+        val b = scala.collection.mutable.Set(cur.pid())
+        while (cur.parent().isPresent) { cur = cur.parent().get(); b += cur.pid() }
+        b.toSet
+      }
       val live = list("/proc").filter(_.getName.forall(_.isDigit)).exists { p =>
         try {
-          val cmd = java.nio.file.Files.readString(
-            java.nio.file.Paths.get(p.getPath, "cmdline"))
-          cmd.contains("graft.Bench") || cmd.contains("graft.Verify") ||
-            (cmd.contains("graft.tools.") && !cmd.contains("WarehouseGc"))
+          !selfTree.contains(p.getName.toLong) && {
+            val cmd = java.nio.file.Files.readString(
+              java.nio.file.Paths.get(p.getPath, "cmdline"))
+            cmd.contains("graft.Bench") || cmd.contains("graft.Verify") ||
+              cmd.contains("graft.tools.") ||
+              cmd.contains("org.apache.spark") ||
+              cmd.contains("sbt-launch") || cmd.contains("xsbt.boot.Boot")
+          }
         } catch { case _: Throwable => false }
       }
       if (live)
