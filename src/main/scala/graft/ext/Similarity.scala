@@ -520,10 +520,19 @@ object Similarity {
           col("embedding").as("ea"), col("nrm").as("na"), col("keys").as("ka"))
         val bSide = bands.select(col("band"), col("bkey"), col("vec_id").as("idb"),
           col("embedding").as("eb"), col("nrm").as("nb"), col("keys").as("kb"))
-        val earlierMatch = exists(
-          zip_with(slice(col("ka"), lit(1), col("band")),
-            slice(col("kb"), lit(1), col("band")), (x, y) => x === y),
-          p => p)
+        // no-earlier-match as PLAIN boolean algebra, not a HOF: nBands
+        // is a plan-time literal, so "some band j < band has ka[j] ==
+        // kb[j]" unrolls to (nBands-1) codegen'd comparisons. The HOF
+        // form (exists over zip_with of two slices) is interpreted and
+        // ran once per CANDIDATE row — the same per-element-lambda class
+        // the round-15 winnow kill measured (band keys are non-null
+        // ints, so equality never returns null and the disjunction is
+        // exact). Output is set-identical either way: the oracle's
+        // DISTINCT and this predicate both keep one copy per pair.
+        val earlierMatch = (0 until nBands - 1)
+          .map(j => col("band") > j &&
+            element_at(col("ka"), j + 1) === element_at(col("kb"), j + 1))
+          .reduceOption(_ || _).getOrElse(lit(false))
         aSide.join(bSide.hint("shuffle_hash"), Seq("band", "bkey"))
           .where(col("ida") < col("idb") && !earlierMatch)
           .select(col("ida").as("vec_a"), col("idb").as("vec_b"),
