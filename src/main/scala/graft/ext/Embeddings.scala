@@ -307,10 +307,17 @@ object Embeddings {
     * is per-row math, the (dist², cl) tie-break mirrors the oracle's
     * row_number ORDER BY exactly. */
   private def kmAssign(e: DataFrame, cent: DataFrame): DataFrame = {
+    // ce·ce is a per-centroid CONSTANT: fold it once on the k-row
+    // centroid frame instead of interpreted per (row × centroid) cross-
+    // join pair (round-16 HOF audit — same IEEE fold, same value, half
+    // the per-pair interpreted work; the x·ce cross term stays dotD
+    // because ce is double-typed centroid math and casting it to ride
+    // the float kernel would change the oracle-mirrored arithmetic).
+    val centC = cent.withColumn("cc2", dotD(col("ce"), col("ce")))
     val dist2 = (graft.functions.ArrayOps.dotF(col("embedding"), col("embedding"))
-      - lit(2.0) * dotD(col("embedding"), col("ce"))) + dotD(col("ce"), col("ce"))
+      - lit(2.0) * dotD(col("embedding"), col("ce"))) + col("cc2")
     val wv = Window.partitionBy("vec_id").orderBy(dist2, col("cl"))
-    e.crossJoin(broadcast(cent))
+    e.crossJoin(broadcast(centC))
       .withColumn("rn", row_number().over(wv))
       .where(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cl"))

@@ -111,6 +111,29 @@ object CoPurchase {
     * basket scan. Node-cardinality; not worth its own artifact. */
   def nodes(s: SparkSession, dir: String): DataFrame =
     basket(s, dir).select(col("pk")).distinct()
+
+  /** Out-degree artifact per edge-set flavor ("sym" = the symmetric
+    * closure the step/3 queries walk; "dir" = the directed u < v pairs
+    * the full solver walks). Node-cardinality, bucketed by u like the
+    * edge artifacts, so every superstep's edges⋈deg join is
+    * bucket-local with zero exchange.
+    *
+    * Round-16 scratch lesson: the superstep loops used to persist the
+    * |E|-sized edges⋈deg frame DISK_ONLY per run — at sf100 that spill
+    * plus the per-round contribution shuffles overran the 36 GB local
+    * scratch and x_pagerank3 died ENOSPC even solo after a sweep. The
+    * loop-invariant side the warehouse should hold is the TINY one
+    * (degrees, |V| rows); the edge list is already a persisted bucketed
+    * artifact whose per-round re-scan is page-cache-warm. */
+  def outDeg(s: SparkSession, dir: String, flavor: String): DataFrame = {
+    require(flavor == "sym" || flavor == "dir", s"unknown flavor $flavor")
+    Layout.ensureBucketedArtifact(s, s"graft_cop_deg${flavor}_${fp(s, dir)}",
+        "u", buckets(s, dir)) {
+      val e = if (flavor == "sym") symEdges(s, dir)
+              else pairs(s, dir).select(col("u"), col("v"))
+      e.groupBy("u").agg(count(lit(1)).as("d"))
+    }
+  }
 }
 
 object Basket {
@@ -300,7 +323,7 @@ object Basket {
         val edges = CoPurchase.symEdges(s, dir)
         val nodes = CoPurchase.nodes(s, dir)
         val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
-        val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+        val deg = CoPurchase.outDeg(s, dir, "sym")
         val contrib = edges.join(deg, "u").crossJoin(nn)
           .groupBy(col("v").as("pk"))
           .agg(sum(expr("(1000000000000 div n) div d")).as("incoming"))
@@ -357,22 +380,18 @@ object Basket {
         val edges = CoPurchase.symEdges(s, dir)
         val nodes = CoPurchase.nodes(s, dir).localCheckpoint()
         val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
-        val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
-        // hoist the static edges⋈deg join out of the loop: the
-        // materialized (u, v, d) list keeps its hash(u) partitioning,
-        // so each superstep's join shuffles only the NODE-cardinality
-        // rank frontier to meet it — the edge list (the big side)
-        // never re-exchanges after round 1. Exactly ONE |E|-sized
-        // artifact (holding a second edge copy measured 1.6× slower at
-        // sf10 from MemoryStore pressure), persisted DISK_ONLY, not
-        // localCheckpoint's MEMORY_AND_DISK — the pagerankConverged
-        // lesson: the 119.6M-row frame pinned the unified region and
-        // starved superstep aggregation memory at the default heap;
-        // on disk it reads back page-cache-warm per round. Released
-        // after the loop (the nearDupLosers lesson) — safe because
-        // each round's frontier is localCheckpointed.
+        // loop-invariant sides SERVED, not spilled (round 16): degrees
+        // come from the node-cardinality bucketed artifact, and the
+        // edges⋈deg join is bucket-local on u (both artifacts share the
+        // bucket spec) — re-planned per round from page-cache-warm
+        // scans. The former DISK_ONLY persist of this |E|-sized frame
+        // was exactly the scratch that ENOSPC'd the sf100 solo run
+        // (218 s in, 36 GB free, post-sweep): at 1.2B edges the spill
+        // plus one round's contribution shuffle exceeds local scratch,
+        // while on a real cluster per-executor scratch scales out —
+        // the artifact route removes the single-node cliff entirely.
+        val deg = CoPurchase.outDeg(s, dir, "sym")
         val contribBase = edges.join(deg, "u")
-          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         var rank = nodes.crossJoin(nn)
           .select(col("pk"), expr("1000000000000 div n").as("r"))
         for (_ <- 1 to 3) {
@@ -390,8 +409,11 @@ object Basket {
               (expr("15 * 1000000000000 div (100 * n)")
                 + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
             .localCheckpoint()
+          // ContextCleaner is GC-driven: without a nudge, the previous
+          // round's dead superstep shuffle files survive to the end of
+          // the query and the rounds' footprints ADD on local scratch
+          System.gc()
         }
-        contribBase.unpersist()
         rank.select(col("pk"), col("r").as("rank_units"))
           .transform(d => graft.Q.sorted(d, "pk"))
       }
@@ -419,10 +441,12 @@ object Basket {
     // round 1) stop paying supersteps immediately.
     Q("x_pagerank_full", pagerankFullOracleSql) {
       (s, dir) => {
-        // undirected edge set = the shared pair artifact at supp >= 1
+        // undirected edge set = the shared pair artifact at supp >= 1;
+        // degrees ride their own node-cardinality artifact (round 16)
         val edges = CoPurchase.pairs(s, dir).select(col("u"), col("v"))
         val nodes = CoPurchase.nodes(s, dir)
-        val (rank, _) = pagerankConverged(edges, nodes, PrFullIters)
+        val (rank, _) = pagerankConverged(edges, nodes, PrFullIters,
+          degIn = Some(CoPurchase.outDeg(s, dir, "dir")))
         rank.select(col("pk"), col("r").as("rank_units"))
           .transform(d => graft.Q.sorted(d, "pk"))
       }
@@ -556,24 +580,31 @@ object Basket {
     */
   def pagerankConverged(edgesIn: org.apache.spark.sql.DataFrame,
       nodesIn: org.apache.spark.sql.DataFrame,
-      maxIters: Int): (org.apache.spark.sql.DataFrame, Int) = {
+      maxIters: Int,
+      degIn: Option[org.apache.spark.sql.DataFrame] = None):
+      (org.apache.spark.sql.DataFrame, Int) = {
     val nodes = nodesIn.localCheckpoint()
     val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
-    val deg = edgesIn.groupBy("u").agg(count(lit(1)).as("d"))
-    // exactly ONE |E|-sized artifact, the x_pagerank3 lesson (holding the
-    // raw edge list AND the edges⋈deg join measured 1.6× slower at sf10
-    // from MemoryStore pressure): edges materialize only inside this
-    // persist; the dangling test below uses the node-cardinality
-    // source-key projection derived from it, not the edge list.
-    // DISK_ONLY, not localCheckpoint's MEMORY_AND_DISK: the 119.6M-edge
-    // frame pinned gigabytes of the unified region at sf10 and starved
-    // the supersteps' aggregation memory at the default 16 GB heap
-    // (AGGREGATE_OUT_OF_MEMORY) — on disk it reads back page-cache-warm
-    // per round while execution keeps the whole pool, the same trade a
-    // real cluster makes by leaning on shuffle files
+    // round-16 scratch fix (the x_pagerank3 sf100 ENOSPC lesson, see
+    // CoPurchase.outDeg): no |E|-sized persist at all. Degrees ride the
+    // caller-provided node-cardinality artifact (or a one-pass
+    // aggregate for ad-hoc graphs, e.g. Ext8Spec's), the edges⋈deg
+    // join re-plans per round from the bucketed edge artifact's
+    // page-cache-warm scan, and each round ends with a GC nudge so
+    // ContextCleaner reclaims the previous round's dead shuffle files
+    // instead of letting the rounds' scratch footprints add up. The
+    // earlier DISK_ONLY persist traded recompute for spill — the right
+    // trade at sf10, a cliff at sf100 where the spill alone approached
+    // the free scratch.
+    // (localCheckpoint only the ad-hoc aggregate — checkpointing a
+    // bucketed artifact scan would erase its outputPartitioning and
+    // force a per-round exchange the bucket layout exists to avoid)
+    val deg = degIn.getOrElse(
+      edgesIn.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint())
     val contribBase = edgesIn.join(deg, "u")
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val srcs = contribBase.select(col("u")).distinct().localCheckpoint()
+    // dangling test: node-cardinality source-key projection (deg's
+    // keyset IS the distinct source set), never the edge list
+    val srcs = deg.select(col("u"))
     var rank = nodes.crossJoin(nn)
       .select(col("pk"), expr("1000000000000 div n").as("r"))
       .localCheckpoint()
@@ -599,11 +630,11 @@ object Basket {
       converged = delta == 0L
       rank = next
       iters += 1
+      // reclaim the previous round's dead shuffle files promptly —
+      // ContextCleaner only acts when the dropped dependencies are
+      // actually garbage-collected
+      System.gc()
     }
-    // rank is checkpointed each round — the |E|-sized cache has no
-    // consumer after the loop, so release it instead of leaking it into
-    // the session (the nearDupLosers lesson)
-    contribBase.unpersist()
     (rank, iters)
   }
 
