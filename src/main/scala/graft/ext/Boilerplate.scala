@@ -93,10 +93,15 @@ object Boilerplate {
           .select("seg")
         val kept = seg.join(broadcast(hot), Seq("seg"), "left_anti")
         val tot = seg.groupBy("doc_id").agg(count(lit(1)).as("n_seg"))
+        // round 16 (guide §4): sort_array + GetArrayStructFields instead
+        // of array_sort + a transform lambda — the lambda ran interpreted
+        // once per document on the reassembly task; the native pair is
+        // whole-stage-codegen. Natural struct ordering is identical
+        // (seg_idx is unique per doc), so output is bit-identical.
         val k = kept.groupBy("doc_id").agg(
           array_join(
-            transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
-              x => x.getField("seg")), " ").as("kept_text"),
+            sort_array(collect_list(struct(col("seg_idx"), col("seg"))))
+              .getField("seg"), " ").as("kept_text"),
           count(lit(1)).as("n_kept"))
         Q.norm(
           tot.join(k, Seq("doc_id"), "left")
@@ -200,10 +205,12 @@ object Boilerplate {
     val tok = t.select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
     val kept = tok.join(cov, Seq("doc_id", "pos"), "left_anti")
+    // round 16: native sort_array + struct-field projection (see
+    // x_linededup) — removes the per-doc interpreted transform lambda
     val k = kept.groupBy("doc_id").agg(
       array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok")), " ").as("cleaned_text"),
+        sort_array(collect_list(struct(col("pos"), col("tok"))))
+          .getField("tok"), " ").as("cleaned_text"),
       count(lit(1)).as("n_kept"))
     t.select(col("doc_id"), col("n")).join(k, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n").cast("long").as("n_tokens"),

@@ -30,9 +30,24 @@ object Portable {
     * core while 31 idle. Hash-partitioning on the row key costs one tiny
     * shuffle (O(rows), upstream of all the heavy per-row work) and is the
     * same operation a 100 TB run gets for free from many input splits.
+    *
+    * Round-16 fix (guide §2.5/§7.2, measured): `repartition(col)` with no
+    * explicit count is ShuffleOrigin REPARTITION_BY_COL, which AQE's
+    * partition coalescing happily folds back to ONE partition when the
+    * shuffled BYTES are small — and these rows are small precisely
+    * because the heavy work (sha256 per window/shingle, dot products)
+    * happens AFTER the exchange. Measured at sf0.1: x_substr_dedup's
+    * window-hash stage ran as a single 1.9 s task on one core with 31
+    * idle. AQE sizes by bytes and cannot see downstream CPU cost, so the
+    * width must be pinned: REPARTITION_BY_NUM (explicit count) is exempt
+    * from coalescing. The count is the session's shuffle width — which
+    * Bench/production derive from input size — NOT a local constant, so
+    * the spread stays scale-adaptive.
     */
   def spread(df: org.apache.spark.sql.DataFrame, key: String): org.apache.spark.sql.DataFrame =
-    df.repartition(col(key))
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+      col(key))
 
   /** 32-bit portable hash: first 8 hex chars of sha256 as a long. */
   def hash32(c: Column): Column =

@@ -379,7 +379,10 @@ object Basket {
         // exchange-free on the bucket key
         val edges = CoPurchase.symEdges(s, dir)
         val nodes = CoPurchase.nodes(s, dir).localCheckpoint()
-        val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
+        // round 16: n as a driver literal (one count job) instead of a
+        // 1-row broadcast frame — drops two crossJoin broadcast builds
+        // per superstep plan; identical floor-division arithmetic
+        val n = nodes.count()
         // loop-invariant sides SERVED, not spilled (round 16): degrees
         // come from the node-cardinality bucketed artifact, and the
         // edges⋈deg join is bucket-local on u (both artifacts share the
@@ -392,8 +395,8 @@ object Basket {
         // the artifact route removes the single-node cliff entirely.
         val deg = CoPurchase.outDeg(s, dir, "sym")
         val contribBase = edges.join(deg, "u")
-        var rank = nodes.crossJoin(nn)
-          .select(col("pk"), expr("1000000000000 div n").as("r"))
+        val base = 15L * 1000000000000L / (100L * n)
+        var rank = nodes.select(col("pk"), lit(1000000000000L / n).as("r"))
         for (_ <- 1 to 3) {
           val contrib = contribBase
             .join(rank.withColumnRenamed("pk", "u"), "u")
@@ -403,16 +406,17 @@ object Basket {
           // lineage each round — same as ext/Dedup's CC loop; without
           // this, round N's plan nests rounds 1..N-1 and AQE re-plans
           // the whole chain
-          rank = nodes.crossJoin(nn)
+          rank = nodes
             .join(contrib, Seq("pk"), "left")
             .select(col("pk"),
-              (expr("15 * 1000000000000 div (100 * n)")
-                + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
+              expr(s"$base + (85 * coalesce(s, 0)) div 100").as("r"))
             .localCheckpoint()
           // ContextCleaner is GC-driven: without a nudge, the previous
           // round's dead superstep shuffle files survive to the end of
-          // the query and the rounds' footprints ADD on local scratch
-          System.gc()
+          // the query and the rounds' footprints ADD on local scratch.
+          // Scale-conditional since round 16 — pure pause tax at gate
+          // SFs (see pagerankConverged).
+          if (bigCorpus(s, dir)) System.gc()
         }
         rank.select(col("pk"), col("r").as("rank_units"))
           .transform(d => graft.Q.sorted(d, "pk"))
@@ -446,7 +450,8 @@ object Basket {
         val edges = CoPurchase.pairs(s, dir).select(col("u"), col("v"))
         val nodes = CoPurchase.nodes(s, dir)
         val (rank, _) = pagerankConverged(edges, nodes, PrFullIters,
-          degIn = Some(CoPurchase.outDeg(s, dir, "dir")))
+          degIn = Some(CoPurchase.outDeg(s, dir, "dir")),
+          gcPerRound = bigCorpus(s, dir))
         rank.select(col("pk"), col("r").as("rank_units"))
           .transform(d => graft.Q.sorted(d, "pk"))
       }
@@ -491,6 +496,14 @@ object Basket {
           .transform(d => graft.Q.sorted(d, "part"))
       }
     })
+
+  /** Corpus-size tier for scale-conditional hygiene (the per-round
+    * System.gc() that keeps sf100 scratch alive is a pure pause tax at
+    * gate SFs). Same 512 MB line Bench.LargeSfBytes draws. */
+  private val GcTierBytes = 512L << 20
+  private def bigCorpus(s: SparkSession, dir: String): Boolean =
+    try graft.sources.Layout.sourceBytes(s, s"$dir/lineitem.parquet") > GcTierBytes
+    catch { case _: Throwable => false }
 
   /** Core threshold for x_kcore (median gate-graph degree is 3, so the
     * 3-core prunes roughly half the vertices through a deep cascade). */
@@ -581,10 +594,16 @@ object Basket {
   def pagerankConverged(edgesIn: org.apache.spark.sql.DataFrame,
       nodesIn: org.apache.spark.sql.DataFrame,
       maxIters: Int,
-      degIn: Option[org.apache.spark.sql.DataFrame] = None):
+      degIn: Option[org.apache.spark.sql.DataFrame] = None,
+      gcPerRound: Boolean = false):
       (org.apache.spark.sql.DataFrame, Int) = {
     val nodes = nodesIn.localCheckpoint()
-    val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
+    // Round-16 (guide §1.2/§5 — fewer actions per round): n is ONE long
+    // for the whole solve; holding it as a driver literal instead of a
+    // 1-row broadcast frame removes a broadcast-exchange build from
+    // every round's plan (the probe/each superstep re-executed it as a
+    // separate job). O(1) driver state, same floor-division arithmetic.
+    val n = nodes.count()
     // round-16 scratch fix (the x_pagerank3 sf100 ENOSPC lesson, see
     // CoPurchase.outDeg): no |E|-sized persist at all. Degrees ride the
     // caller-provided node-cardinality artifact (or a one-pass
@@ -605,35 +624,52 @@ object Basket {
     // dangling test: node-cardinality source-key projection (deg's
     // keyset IS the distinct source set), never the edge list
     val srcs = deg.select(col("u"))
-    var rank = nodes.crossJoin(nn)
-      .select(col("pk"), expr("1000000000000 div n").as("r"))
-      .localCheckpoint()
+    val r0 = 1000000000000L / n // positive longs: / == SQL div
+    var rank = nodes.select(col("pk"), lit(r0).as("r")).localCheckpoint()
+    // Round-16 probe fusion (guide §1.2): the per-round anti-join that
+    // summed the dangling mass of rank_k was its own job + broadcast
+    // build, yet the delta probe already scans rank_k one action later.
+    // The probe now returns BOTH aggregates in one O(1)-row action
+    // (delta, and Σ r over rows with no deg match — deg.u is unique so
+    // the left join multiplies nothing), and the dangling mass rides to
+    // the next round as a driver long. Round 1's mass needs no data
+    // pass at all: r0 is uniform, so dm0 = (#dangling nodes) · r0 with
+    // the node count from one count job. Per round this removes one
+    // pass over the rank frontier, one broadcast build, and two jobs;
+    // arithmetic is unchanged (same rows, same integer sums).
+    var dm = nodes.join(srcs, nodes("pk") === srcs("u"), "left_anti").count() * r0
+    val base = 15L * 1000000000000L / (100L * n)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      val dang = broadcast(
-        rank.join(srcs, rank("pk") === srcs("u"), "left_anti")
-          .agg(coalesce(sum("r"), lit(0L)).as("dm")))
+      val dmn = dm / n
       val contrib = contribBase
         .join(rank.withColumnRenamed("pk", "u"), "u")
         .groupBy(col("v").as("pk"))
         .agg(sum(expr("r div d")).as("s"))
-      val next = nodes.crossJoin(nn).crossJoin(dang)
+      val next = nodes
         .join(contrib, Seq("pk"), "left")
         .select(col("pk"),
-          (expr("15 * 1000000000000 div (100 * n)")
-            + expr("(85 * (coalesce(s, 0) + (dm div n))) div 100")).as("r"))
+          expr(s"$base + (85 * (coalesce(s, 0) + $dmn)) div 100").as("r"))
         .localCheckpoint()
-      val delta = next
+      val probe = next
         .join(rank.select(col("pk"), col("r").as("rp")), "pk")
-        .agg(sum(abs(col("r") - col("rp")))).head().getLong(0)
-      converged = delta == 0L
+        .join(deg.select(col("u").as("pk"), lit(1).as("hasout")), Seq("pk"), "left")
+        .agg(sum(abs(col("r") - col("rp"))).as("delta"),
+          coalesce(sum(when(col("hasout").isNull, col("r"))), lit(0L)).as("dm"))
+        .head()
+      converged = probe.getLong(0) == 0L
+      dm = probe.getLong(1)
       rank = next
       iters += 1
       // reclaim the previous round's dead shuffle files promptly —
       // ContextCleaner only acts when the dropped dependencies are
-      // actually garbage-collected
-      System.gc()
+      // actually garbage-collected. Scale-conditional (round 16): the
+      // full-GC pause is pure tax at gate SFs where the per-round
+      // shuffle footprint is KBs; callers pass gcPerRound=true above
+      // the large-corpus tier where scratch reclamation is what kept
+      // the sf100 solo run alive.
+      if (gcPerRound) System.gc()
     }
     (rank, iters)
   }

@@ -127,6 +127,15 @@ object Layout {
     java.lang.Long.toHexString(h)
   }
 
+  /** Total bytes under a source path (file or directory) — the
+    * size-dispatch input for scale-conditional behavior (round 16:
+    * per-round GC gating in the iterative solvers). Metadata-only. */
+  def sourceBytes(spark: SparkSession, p: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(path).getLength
+  }
+
   /** Build-once persisted bucketed artifact — the shared-graph pattern:
     * an expensive derived frame (an edge list, a dedup pair graph, an
     * ANN index) is built by the FIRST query that needs it, written as a
