@@ -527,9 +527,25 @@ object Dedup {
         val sh = shingled(s, dir).cache() // index AND both verify sides
         val eh = sh.select(col("doc_id"), explode(col("sh")).as("g"))
           .select(col("doc_id"), hash32(col("g")).as("h"))
-        val dfk = eh.groupBy("h").agg(count(lit(1)).as("df"))
+        // Round-16 (guide §2.4): eh used to feed TWO exchanges — the df
+        // aggregate's (partial-agg rows) and the semi-join's (raw rows).
+        // DataFrame reuse duplicates the logical subtree and column
+        // pruning makes the copies canonically unequal, so neither AQE
+        // nor the exchange-reuse rule dedups them: the explode+sha256
+        // map side ran once PER CONSUMER (measured: two ~2.5 s
+        // IMR-scanning stages at sf0.1). A bare repartition doesn't fix
+        // it (each copy materializes its own exchange — measured, see
+        // plans/r16/d6_jaccard_dfcap_tmp.txt); the postings frame must
+        // be MATERIALIZED pre-partitioned on h, so the hash pass runs
+        // once and every consumer reads h-partitioned cached rows with
+        // no further exchange. Below the pair-tier threshold the 16-byte
+        // posting rows cache comfortably; above it (sf100 rung) the
+        // recompute shape that survived the round-15 solo run stays.
+        val ehx = if (nDocsOf(s, dir) > PairGateMinDocs) eh
+                  else spread(eh, "h").cache()
+        val dfk = ehx.groupBy("h").agg(count(lit(1)).as("df"))
           .where(col("df") <= cap).select(col("h"))
-        val ek = eh.join(dfk.hint("shuffle_hash"), "h")
+        val ek = ehx.join(dfk.hint("shuffle_hash"), "h")
           .select(col("doc_id"), col("h"))
         val nk = ek.groupBy("doc_id").agg(count(lit(1)).as("nks"))
         val p = ek.as("a").join(ek.as("b").hint("shuffle_hash"),

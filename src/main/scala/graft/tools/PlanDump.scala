@@ -78,7 +78,23 @@ object PlanDump {
       val planTxt = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       Files.write(Paths.get(planDir, s"${name}_$suffix.txt"),
         planTxt.getBytes("UTF-8"))
+      // post-execution capture: the AQE FINAL plan of the noop write,
+      // where runtime stage reuse (ReusedExchange/ReusedQueryStage) is
+      // actually visible — df.queryExecution before execution only shows
+      // the initial plan
+      val execPlans = scala.collection.mutable.ArrayBuffer[String]()
+      val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+          execPlans += qe.executedPlan.toString
+        override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(ql)
       df.write.format("noop").mode("overwrite").save()
+      Thread.sleep(200) // listener bus drain
+      spark.listenerManager.unregister(ql)
+      if (execPlans.nonEmpty)
+        Files.write(Paths.get(planDir, s"${name}_${suffix}_exec.txt"),
+          execPlans.mkString("\n\n=== next execution ===\n\n").getBytes("UTF-8"))
       val tTot = (System.nanoTime() - t0) / 1e9
       println(f"===== $name  build=$tBuild%.2fs total=$tTot%.2fs  jobs=${jobs.size} stages=${stages.size}")
       jobs.foreach { case (id, _, ms) => if (ms > 50) println(f"  job $id%3d ${ms}%6d ms") }
