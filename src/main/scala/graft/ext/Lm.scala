@@ -83,8 +83,27 @@ object Lm {
         // bijective, and grouping/joining on two dictionary-encoded
         // token columns skips materializing n_bigrams concat strings
         // through two exchanges
-        val db = pairs(Tables.documents(s, dir))
+        // round 16 (guide §2.4, measured): the db subtree fed BOTH the
+        // df aggregate and the join — DataFrame reuse duplicates the
+        // logical subtree, so the explode + pair build ran twice (the
+        // same never-shared shape as the batch-2 postings frames).
+        // Below the shared-postings tier: spread the scan on doc_id —
+        // hash(doc_id) satisfies the (doc_id, a, b) clustering, so the
+        // db aggregate needs NO exchange — and cache the aggregated
+        // triples: the pair build runs once, the df aggregate re-keys
+        // only aggregated rows, and the final groupBy(doc_id) inherits
+        // the cache's doc_id partitioning (also exchange-free). Above
+        // the tier the dual-subtree recompute shape is kept (same 512 MB
+        // line and rationale as Boilerplate.ShareTierBytes: a corpus-
+        // sized triple cache is a scratch-disk liability at sf100).
+        val raw = Tables.documents(s, dir)
+        val small = (try graft.sources.Layout.sourceBytes(
+            s, s"$dir/documents.parquet") <= (512L << 20)
+          catch { case _: Throwable => true })
+        val db0 = (if (small) pairs(Portable.spread(raw, "doc_id"))
+                   else pairs(raw))
           .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("c_db"))
+        val db = if (small) { val c = db0.cache(); c.count(); c } else db0
         val df = db.groupBy("a", "b").agg(count(lit(1)).as("df_b"))
         db.join(df, Seq("a", "b"))
           .groupBy("doc_id")
