@@ -393,6 +393,10 @@ object Basket {
         // plus one round's contribution shuffle exceeds local scratch,
         // while on a real cluster per-executor scratch scales out —
         // the artifact route removes the single-node cliff entirely.
+        // (pagerankConverged's degree-folded frontier was A/B'd here
+        // too and measured SLOWER — this loop has no convergence probe,
+        // so the fold's per-round win doesn't exist and its init
+        // nodes⋈deg checkpoint is pure addition: 2.5→3.2 s at sf0.1.)
         val deg = CoPurchase.outDeg(s, dir, "sym")
         val contribBase = edges.join(deg, "u")
         val base = 15L * 1000000000000L / (100L * n)
@@ -597,70 +601,68 @@ object Basket {
       degIn: Option[org.apache.spark.sql.DataFrame] = None,
       gcPerRound: Boolean = false):
       (org.apache.spark.sql.DataFrame, Int) = {
-    val nodes = nodesIn.localCheckpoint()
-    // Round-16 (guide §1.2/§5 — fewer actions per round): n is ONE long
-    // for the whole solve; holding it as a driver literal instead of a
-    // 1-row broadcast frame removes a broadcast-exchange build from
-    // every round's plan (the probe/each superstep re-executed it as a
-    // separate job). O(1) driver state, same floor-division arithmetic.
-    val n = nodes.count()
     // round-16 scratch fix (the x_pagerank3 sf100 ENOSPC lesson, see
     // CoPurchase.outDeg): no |E|-sized persist at all. Degrees ride the
     // caller-provided node-cardinality artifact (or a one-pass
-    // aggregate for ad-hoc graphs, e.g. Ext8Spec's), the edges⋈deg
-    // join re-plans per round from the bucketed edge artifact's
-    // page-cache-warm scan, and each round ends with a GC nudge so
-    // ContextCleaner reclaims the previous round's dead shuffle files
-    // instead of letting the rounds' scratch footprints add up. The
-    // earlier DISK_ONLY persist traded recompute for spill — the right
-    // trade at sf10, a cliff at sf100 where the spill alone approached
-    // the free scratch.
-    // (localCheckpoint only the ad-hoc aggregate — checkpointing a
-    // bucketed artifact scan would erase its outputPartitioning and
-    // force a per-round exchange the bucket layout exists to avoid)
+    // aggregate for ad-hoc graphs, e.g. Ext8Spec's), the edge list
+    // re-plans per round from the bucketed artifact's page-cache-warm
+    // scan, and each round ends with a GC nudge so ContextCleaner
+    // reclaims the previous round's dead shuffle files instead of
+    // letting the rounds' scratch footprints add up. The earlier
+    // DISK_ONLY persist traded recompute for spill — the right trade at
+    // sf10, a cliff at sf100 where the spill alone approached the free
+    // scratch.
     val deg = degIn.getOrElse(
       edgesIn.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint())
-    val contribBase = edgesIn.join(deg, "u")
-    // dangling test: node-cardinality source-key projection (deg's
-    // keyset IS the distinct source set), never the edge list
-    val srcs = deg.select(col("u"))
+    // Round-16 degree folding (guide §2.4 — remove per-round work that
+    // is loop-invariant): the frontier row carries (pk, d, r), with d
+    // the out-degree or NULL for dangling nodes, joined ONCE here. Each
+    // superstep's contribution join then takes d straight from the
+    // frontier (the old per-round edges⋈deg re-join is gone), and the
+    // dangling test is `d IS NULL` on the already-checkpointed frontier
+    // — the old per-round probe joins against rank and deg are gone
+    // too. The frontier stays node-cardinality; d adds 8 bytes/row.
+    val keyed = nodesIn
+      .join(deg.withColumnRenamed("u", "pk"), Seq("pk"), "left")
+      .localCheckpoint()
+    // Round-16 (guide §1.2/§5 — fewer actions per round): n and the
+    // dangling-node count are ONE head() for the whole solve; driver
+    // literals instead of 1-row broadcast frames remove a broadcast-
+    // exchange build from every round's plan. O(1) driver state, same
+    // floor-division arithmetic. Round 1's dangling mass needs no data
+    // pass: r0 is uniform, so dm0 = (#dangling nodes) · r0.
+    val init = keyed.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col("d").isNull, 1L)), lit(0L)).as("dangling")).head()
+    val n = init.getLong(0)
     val r0 = 1000000000000L / n // positive longs: / == SQL div
-    var rank = nodes.select(col("pk"), lit(r0).as("r")).localCheckpoint()
-    // Round-16 probe fusion (guide §1.2): the per-round anti-join that
-    // summed the dangling mass of rank_k was its own job + broadcast
-    // build, yet the delta probe already scans rank_k one action later.
-    // The probe now returns BOTH aggregates in one O(1)-row action
-    // (delta, and Σ r over rows with no deg match — deg.u is unique so
-    // the left join multiplies nothing), and the dangling mass rides to
-    // the next round as a driver long. Round 1's mass needs no data
-    // pass at all: r0 is uniform, so dm0 = (#dangling nodes) · r0 with
-    // the node count from one count job. Per round this removes one
-    // pass over the rank frontier, one broadcast build, and two jobs;
-    // arithmetic is unchanged (same rows, same integer sums).
-    var dm = nodes.join(srcs, nodes("pk") === srcs("u"), "left_anti").count() * r0
+    var rank = keyed.select(col("pk"), col("d"), lit(r0).as("r"))
+    var dm = init.getLong(1) * r0
     val base = 15L * 1000000000000L / (100L * n)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
       val dmn = dm / n
-      val contrib = contribBase
-        .join(rank.withColumnRenamed("pk", "u"), "u")
+      val contrib = edgesIn
+        .join(rank.select(col("pk").as("u"), col("d"), col("r")), "u")
         .groupBy(col("v").as("pk"))
         .agg(sum(expr("r div d")).as("s"))
-      val next = nodes
+      val next = rank
+        .select(col("pk"), col("d"), col("r").as("rp"))
         .join(contrib, Seq("pk"), "left")
-        .select(col("pk"),
-          expr(s"$base + (85 * (coalesce(s, 0) + $dmn)) div 100").as("r"))
+        .select(col("pk"), col("d"),
+          expr(s"$base + (85 * (coalesce(s, 0) + $dmn)) div 100").as("r"),
+          col("rp"))
         .localCheckpoint()
+      // the probe is a plain aggregate over the checkpointed frontier —
+      // delta AND next round's dangling mass in one O(1)-row action,
+      // zero joins (rp and d ride the frontier row)
       val probe = next
-        .join(rank.select(col("pk"), col("r").as("rp")), "pk")
-        .join(deg.select(col("u").as("pk"), lit(1).as("hasout")), Seq("pk"), "left")
         .agg(sum(abs(col("r") - col("rp"))).as("delta"),
-          coalesce(sum(when(col("hasout").isNull, col("r"))), lit(0L)).as("dm"))
+          coalesce(sum(when(col("d").isNull, col("r"))), lit(0L)).as("dm"))
         .head()
       converged = probe.getLong(0) == 0L
       dm = probe.getLong(1)
-      rank = next
+      rank = next.select(col("pk"), col("d"), col("r"))
       iters += 1
       // reclaim the previous round's dead shuffle files promptly —
       // ContextCleaner only acts when the dropped dependencies are
@@ -671,7 +673,7 @@ object Basket {
       // the sf100 solo run alive.
       if (gcPerRound) System.gc()
     }
-    (rank, iters)
+    (rank.select(col("pk"), col("r")), iters)
   }
 
   /** Oracle twin of x_pagerank_full: the identical integer recurrence
