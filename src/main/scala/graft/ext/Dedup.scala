@@ -393,10 +393,15 @@ object Dedup {
          |FROM verified WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin) {
       (s, dir) => {
         // cached: feeds the band explode AND both sides of the verify
-        // join — without it the sha256+signature work runs three times
+        // join — without it the sha256+signature work runs three times.
+        // Materialized EAGERLY (round 16): AQE submits this query's
+        // independent shuffle/broadcast stages concurrently, and every
+        // one that arrives before the cache is built re-runs the
+        // sha256-per-shingle signature pipeline (same race as x_lm_df).
         val sig = shingled(s, dir)
           .select(col("doc_id"), col("sh"), minhashSig(col("sh")).as("sig"))
           .cache()
+        sig.count()
         val bands = sig.select(col("doc_id"),
           posexplode(bandKeys(col("sig"))).as(Seq("bi", "bk")))
         val cand = bands.as("a").join(bands.as("b").hint("shuffle_hash"),
@@ -934,9 +939,19 @@ object Dedup {
          |           LEFT JOIN vn ON vn.nid = s.doc_id
          |WHERE s.doc_id % 5 = 0 ORDER BY 1""".stripMargin) {
       (s, dir) => {
+        // eagerly materialized — see d2's note (the concurrent-stage
+        // cache race re-ran the signature pipeline per consumer here
+        // too: twelve ~1 s stages at sf0.1, each scanning 8.4 MB)
         val sig = shingled(s, dir)
           .select(col("doc_id"), col("sh"), minhashSig(col("sh")).as("sig"))
           .cache()
+        sig.count()
+        // (A/B'd and kept out, round 16: materializing the narrow band
+        // rows once pre-partitioned on bk + inverting the verify joins
+        // to broadcast the tiny candidate frames measured SLOWER —
+        // 1.84 → 2.70 s at sf0.1. The duplicate wide-cache scans run
+        // CONCURRENTLY on otherwise-idle cores, so the extra
+        // materialization barriers cost more wall than the saved work.)
         val bands = sig.select(col("doc_id"),
           posexplode(bandKeys(col("sig"))).as(Seq("bi", "bk")))
         val bNew = bands.where(col("doc_id") % 5 === 0)

@@ -568,16 +568,12 @@ object Embeddings {
     }
   }
 
-  /** The 1e-6-quantized ADC lookup table for one query vector, folded
-    * into a single map column — k·M integer entries keyed "m_cl" (the
-    * e10 convention; shared by e10, e11 and [[adcTopK]]). */
-  private def lutMap(qe: Column, cb: Array[(Any, Array[Float])]): Column =
-    map_from_entries(array((0 until PqM).flatMap { m =>
-      subDists(qe, m, cb).map { case (cl, d) =>
-        struct(concat_ws("_", lit(m), lit(cl)).as("k"),
-          round(d * 1e6, 0).cast("long").as("v"))
-      }
-    }: _*))
+  // (round 16: the lutMap EXPRESSION form of the ADC lookup table —
+  // map_from_entries over k·M struct/dot-product terms per query — is
+  // gone: every call site ships [[lutDriver]] maps computed on the
+  // driver over the request-sized query rows, identical values by the
+  // d2Driver/roundE6 folds. The expression tree charged each invocation
+  // ~1 s of driver planning/codegen at sf0.1.)
 
   /** Exact-integer ADC distance: sum over subspaces of LUT[m][code[m]]. */
   private def adcSum(codes: Column, lut: Column): Column =
@@ -627,9 +623,18 @@ object Embeddings {
         Window.orderBy("qid")) - 1) / bs).cast("int"))
       .localCheckpoint()
     val nB = q.agg(coalesce(max("bi"), lit(0)).as("m")).head().getInt(0) + 1
+    import e.sparkSession.implicits._
     val scored = (0 until nB).map { i =>
-      val lut = q.where(col("bi") === i)
-        .select(col("qid"), lutMap(col("qe"), cb).as("lut"))
+      // round 16: per-batch LUTs as DRIVER math shipped as one local
+      // relation (the trained-arm lutDriver convention) instead of a
+      // k·M-term Catalyst tree per query — the expression form charged
+      // every invocation ~1 s of driver planning/codegen at sf0.1. The
+      // per-batch collect is bounded by the same adcMaxQueryBatch line
+      // that already bounds the broadcast the LUT rows ride in.
+      val lut = q.where(col("bi") === i).select(col("qid"), col("qe"))
+        .as[(Long, Array[Float])].collect().toSeq
+        .map { case (qid, qv) => (qid, lutDriver(qv, cb)) }
+        .toDF("qid", "lut")
       val joined = codes.crossJoin(broadcast(lut))
       (if (excludeSelf) joined.where(col("vec_id") =!= col("qid")) else joined)
         .select(col("qid"), col("vec_id"),
@@ -1015,8 +1020,13 @@ object Embeddings {
         .orderBy(Portable.cosine(col("qe"), col("ce")).desc, col("ccl"))))
       .where(col("rn") <= nprobe)
       .select(col("qid"), col("ccl"))
-    val lutPerQ = qe
-      .select(col("qid"), lutMap(col("qe"), cb).as("lut"))
+    // round 16: driver LUTs (lutDriver, the trained-arm convention)
+    // instead of a k·M-term lutMap expression tree per query — same
+    // bounded request-sized collect the trained arm already does
+    import s.implicits._
+    val lutPerQ = qe.as[(Long, Array[Float])].collect().toSeq
+      .map { case (qid, qv) => (qid, lutDriver(qv, cb)) }
+      .toDF("qid", "lut")
     // (qid, probed cluster, LUT map): queries×nprobe rows, broadcast;
     // the cluster-equality join prunes each corpus row to its own
     // cluster's probes before any ADC math or re-keying happens.
@@ -1095,7 +1105,11 @@ object Embeddings {
       .where(col("rn") <= nprobe)
       .select(col("qid"), col("ccl"))
     requireAdcBatch(qRows.size.toLong, cb.length, nprobe)
-    val qps = qprobe.join(q.select(col("qid"), lutMap(col("qe"), cb).as("lut")), "qid")
+    // round 16: driver LUTs over the already-collected request rows
+    // (lutDriver) instead of a k·M-term lutMap expression tree
+    val lutQ = qRows.map { case (qid, qv) => (qid, lutDriver(qv, cb)) }
+      .toDF("qid", "lut")
+    val qps = qprobe.join(lutQ, "qid")
     // bucket pruning via the collected probe set (the e14b move):
     // the codes scan skips buckets holding no probed cluster
     val probedCls = qprobe.select(col("ccl")).distinct().collect().map(_.get(0))
@@ -1408,14 +1422,17 @@ object Embeddings {
         // each output row sums M map lookups — exact integer math in
         // any order — replacing the (n·M)⋈LUT join + hash re-aggregate
         // with a single pass that never re-keys the corpus.
-        // one map expression per query row — no Generate, no re-group:
-        // CreateArray/CreateMap children split across generated methods
-        // inside a ProjectExec, where the same 80-entry tree inlined
-        // into a Generate stage blew janino's method limit
+        // shipped as DRIVER math over the request-sized query rows
+        // (round 16, the lutDriver convention): the former lutMap
+        // expression form — k·M structs of dot-product trees per query
+        // — charged every invocation ~1 s of driver planning/codegen
         requireAdcBatch(Similarity.NQueries, cb.length, nprobe = 1)
+        import s.implicits._
         val lutPerQ = e.where(col("vec_id") < Similarity.NQueries)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-          .select(col("qid"), lutMap(col("qe"), cb).as("lut"))
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])].collect().toSeq
+          .map { case (qid, qv) => (qid, lutDriver(qv, cb)) }
+          .toDF("qid", "lut")
         val a = codes.crossJoin(broadcast(lutPerQ))
           .where(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),
